@@ -1,0 +1,26 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests need several devices; real TPU hardware in this
+environment exposes a single chip, so tests force the CPU backend with 8
+virtual devices (the driver separately dry-run-compiles the multi-chip path
+and benches on the real chip).
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(12345)
