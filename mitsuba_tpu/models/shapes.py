@@ -1,0 +1,211 @@
+"""Shapes: triangle meshes + generators for analytic primitives.
+
+Reference: src/render/mesh.cpp (1865 LoC) + shape plugins (src/shapes/ —
+rectangle.cpp, cube.cpp, sphere.cpp, obj.cpp, ply.cpp ...).  TPU design:
+*everything is triangles*.  Analytic rectangles/cubes mesh exactly; spheres
+mesh to a configurable subdivision (an analytic sphere shape can be added to
+the intersector later as a second primitive type).  One global flattened
+triangle buffer feeds a single intersection kernel — no per-shape virtual
+dispatch in the hot loop.
+
+Position sampling for area emitters mirrors Shape::sample_position
+(shape.h:348): uniform-by-area over faces via a DiscreteDistribution, then
+uniform barycentrics.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static, field
+from ..core import warp
+from ..core.distr import DiscreteDistribution
+from ..core.math import cross, dot, normalize, safe_sqrt
+from ..core.records import PositionSample
+
+
+@pytree
+class Mesh:
+    """A triangle mesh in world space.
+
+    ``vertices`` is the differentiable leaf (lens-design optimizes it
+    directly, reference lens.py:509 scatters sag updates into
+    vertex_positions).
+    """
+
+    vertices: jnp.ndarray        # (V, 3) float32
+    faces: jnp.ndarray           # (F, 3) int32
+    normals: jnp.ndarray | None  # (V, 3) or None
+    uvs: jnp.ndarray | None      # (V, 2) or None
+    id: str = static("mesh")
+    bsdf_index: int = static(0)
+    emitter_index: int = static(-1)  # -1: not an emitter
+    interior_medium: int = static(-1)
+    exterior_medium: int = static(-1)
+
+    @staticmethod
+    def make(vertices, faces, normals=None, uvs=None, **kw):
+        return Mesh(
+            vertices=jnp.asarray(vertices, jnp.float32),
+            faces=jnp.asarray(faces, jnp.int32),
+            normals=None if normals is None else jnp.asarray(normals, jnp.float32),
+            uvs=None if uvs is None else jnp.asarray(uvs, jnp.float32),
+            **kw,
+        )
+
+    def face_areas(self):
+        tri = self.vertices[self.faces]
+        e1 = tri[:, 1] - tri[:, 0]
+        e2 = tri[:, 2] - tri[:, 0]
+        return 0.5 * jnp.sqrt(
+            jnp.maximum(jnp.sum(cross(e1, e2) ** 2, axis=-1), 0.0)
+        )
+
+    def surface_area(self):
+        return jnp.sum(self.face_areas())
+
+    def sample_position(self, sample1, sample2, face_distr: DiscreteDistribution):
+        """Uniform-by-area position sample. sample1: (N,), sample2: (N,2)."""
+        fidx, face_pmf = face_distr.sample_pmf(sample1)
+        f = self.faces[fidx]
+        p0, p1, p2 = self.vertices[f[:, 0]], self.vertices[f[:, 1]], self.vertices[f[:, 2]]
+        b = warp.square_to_uniform_triangle(sample2)
+        p = (
+            p0 * (1.0 - b[..., 0] - b[..., 1])[:, None]
+            + p1 * b[..., 0:1]
+            + p2 * b[..., 1:2]
+        )
+        n = normalize(cross(p1 - p0, p2 - p0))
+        area = 0.5 * jnp.sqrt(
+            jnp.maximum(jnp.sum(cross(p1 - p0, p2 - p0) ** 2, axis=-1), 0.0)
+        )
+        # pdf over the whole mesh surface (area measure)
+        pdf = face_pmf / jnp.maximum(area, 1e-20)
+        return PositionSample(
+            p=p, n=n, uv=b, pdf=pdf, delta=jnp.zeros(p.shape[:-1], bool)
+        )
+
+
+# --------------------------------------------------------------------------
+# Mesh generators (host-side numpy; reference plugins rectangle.cpp etc.)
+# --------------------------------------------------------------------------
+
+def rectangle(to_world=None):
+    """Unit rectangle [-1,1]^2 in the z=0 plane, +z normal (rectangle.cpp)."""
+    v = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    return _apply_to_world(v, f, n, uv, to_world)
+
+
+def cube(to_world=None):
+    """Axis-aligned [-1,1]^3 cube with outward normals (cube.cpp)."""
+    vs, fs, ns, uvs = [], [], [], []
+    base_v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    base_f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    base_uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    # 6 faces: transform the z=1-offset rectangle onto each cube face
+    rots = [
+        np.eye(3),                                        # +z
+        np.diag([1.0, -1.0, -1.0]),                       # -z
+        np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0.]]),    # +y? (rotated)
+        np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0.]]),
+        np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0.]]),
+        np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0.]]),
+    ]
+    off = 0
+    for R in rots:
+        v = (base_v + np.array([0, 0, 1.0], np.float32)) @ np.asarray(R, np.float32).T
+        n = np.tile((np.array([0, 0, 1.0], np.float32) @ np.asarray(R, np.float32).T)[None], (4, 1))
+        vs.append(v)
+        ns.append(n)
+        uvs.append(base_uv)
+        fs.append(base_f + off)
+        off += 4
+    return _apply_to_world(
+        np.concatenate(vs), np.concatenate(fs), np.concatenate(ns),
+        np.concatenate(uvs), to_world,
+    )
+
+
+def sphere_mesh(subdiv: int = 4, to_world=None):
+    """Icosphere approximation of the unit sphere (sphere.cpp analogue)."""
+    t = (1.0 + 5 ** 0.5) / 2.0
+    v = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        edge_mid: dict[tuple[int, int], int] = {}
+        verts = list(v)
+        new_f = []
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts[a] + verts[b]
+                m /= np.linalg.norm(m)
+                edge_mid[key] = len(verts)
+                verts.append(m)
+            return edge_mid[key]
+
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_f += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(new_f, np.int64)
+    v = v.astype(np.float32)
+    n = v.copy()  # unit sphere: normal == position
+    theta = np.arccos(np.clip(v[:, 2], -1, 1))
+    phi = np.arctan2(v[:, 1], v[:, 0])
+    uv = np.stack([(phi + np.pi) / (2 * np.pi), theta / np.pi], axis=-1).astype(np.float32)
+    return _apply_to_world(v, f.astype(np.int32), n, uv, to_world)
+
+
+def disk_mesh(n_seg: int = 64, to_world=None):
+    """Unit disk in the z=0 plane (disk.cpp analogue), triangle fan."""
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros(n_seg)], axis=-1)
+    v = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
+    f = np.stack(
+        [
+            np.zeros(n_seg, np.int32),
+            np.arange(1, n_seg + 1, dtype=np.int32),
+            np.roll(np.arange(1, n_seg + 1, dtype=np.int32), -1),
+        ],
+        axis=-1,
+    )
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (n_seg + 1, 1))
+    uv = (v[:, :2] + 1) * 0.5
+    return _apply_to_world(v, f, nrm, uv, to_world)
+
+
+def _apply_to_world(v, f, n, uv, to_world):
+    if to_world is not None:
+        m = np.asarray(to_world, np.float32)
+        v = v @ m[:3, :3].T + m[:3, 3]
+        inv = np.linalg.inv(m[:3, :3])
+        n = n @ inv
+        norms = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / np.maximum(norms, 1e-20)
+        # winding flip if the transform mirrors
+        if np.linalg.det(m[:3, :3]) < 0:
+            f = f[:, ::-1].copy()
+    return v, f, n, uv

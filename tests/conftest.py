@@ -7,7 +7,6 @@ and benches on the real chip).
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+# NOTE: the env var JAX_PLATFORMS is pinned to "axon" (the TPU tunnel) by the
+# environment's sitecustomize *before* any user code runs, so it can't be
+# overridden via os.environ here — only via the config API.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
