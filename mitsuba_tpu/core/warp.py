@@ -44,22 +44,34 @@ def square_to_uniform_disk_concentric_pdf(p):
 
 
 def uniform_disk_to_square_concentric(p):
-    """Inverse concentric map (used by projective sampling in the reference)."""
-    quad_x = jnp.abs(p[..., 0]) > jnp.abs(p[..., 1])
-    r = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=-1), 0.0))
-    phi = jnp.arctan2(p[..., 1], p[..., 0])
-    # Map phi into the branch structure of the forward warp.
-    phi_x = jnp.where(jnp.abs(phi) > jnp.pi / 2.0,
-                      phi - jnp.sign(phi) * jnp.pi, phi)
-    x1 = jnp.where(jnp.abs(phi) > jnp.pi / 2.0, -r, r)
-    y1 = x1 * phi_x / (jnp.pi / 4.0)
-    phi_y = phi - jnp.pi / 2.0
-    phi_y = jnp.where(phi_y < -jnp.pi, phi_y + 2 * jnp.pi, phi_y)
-    y2 = jnp.where(jnp.abs(phi_y) > jnp.pi / 2.0, -r, r)
-    x2 = -y2 * (jnp.abs(phi_y) - jnp.pi / 2.0) / (jnp.pi / 4.0) * jnp.sign(phi_y)
-    x = jnp.where(quad_x, x1, x2)
-    y = jnp.where(quad_x, y1, y2)
-    return jnp.stack([(x + 1.0) * 0.5, (y + 1.0) * 0.5], axis=-1)
+    """Inverse concentric map (used by projective sampling in the reference).
+
+    Forward (with a = 2u-1, b = 2v-1):
+      |a| > |b|:  r = a, phi = (pi/4) b/a
+      else:       r = b, phi = pi/2 - (pi/4) a/b
+    Inverting by the angular region of p:
+      |theta| <= pi/4         -> a =  rho, b =  rho * theta / (pi/4)
+      pi/4 < theta < 3pi/4    -> b =  rho, a =  rho * (pi/2 - theta) / (pi/4)
+      |theta| >= 3pi/4        -> a = -rho, b = -rho*(theta - sign pi)/(pi/4)
+      -3pi/4 < theta < -pi/4  -> b = -rho, a = -rho*(pi/2-(theta+pi))/(pi/4)
+    """
+    rho = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=-1), 0.0))
+    theta = jnp.arctan2(p[..., 1], p[..., 0])
+    q = jnp.pi / 4.0
+    r1 = jnp.abs(theta) <= q
+    r2 = (theta > q) & (theta < 3 * q)
+    r3 = jnp.abs(theta) >= 3 * q
+    a = jnp.where(r1, rho, 0.0)
+    b = jnp.where(r1, rho * theta / q, 0.0)
+    a = jnp.where(r2, rho * (jnp.pi / 2 - theta) / q, a)
+    b = jnp.where(r2, rho, b)
+    theta_w = theta - jnp.sign(theta) * jnp.pi
+    a = jnp.where(r3, -rho, a)
+    b = jnp.where(r3, -rho * theta_w / q, b)
+    r4 = ~(r1 | r2 | r3)
+    a = jnp.where(r4, -rho * (jnp.pi / 2 - (theta + jnp.pi)) / q, a)
+    b = jnp.where(r4, -rho, b)
+    return jnp.stack([(a + 1.0) * 0.5, (b + 1.0) * 0.5], axis=-1)
 
 
 # ---------------------------------------------------------------- sphere
