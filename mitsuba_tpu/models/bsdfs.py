@@ -1,0 +1,285 @@
+"""BSDF plugins (reference: include/mitsuba/render/bsdf.h:314-460 interface,
+src/bsdfs/{diffuse,dielectric,conductor,roughconductor,plastic}.cpp).
+
+Design: no class-pointer vcalls.  Each BSDF is a pytree dataclass of pure
+functions over LOCAL-frame SoA directions; the scene evaluates the (small,
+static) set of BSDF instances under lane masks — the TPU equivalent of
+Dr.Jit's recorded vcalls (SURVEY section 7 'no class-pointer vcalls').
+
+Conventions (identical to the reference):
+- all directions in the local shading frame, z = normal;
+- ``si.wi`` points away from the surface;
+- ``eval`` returns f(wi, wo) * |cos_theta_o| and is zero for delta lobes;
+- ``sample`` returns (BSDFSample, weight) with weight = eval / pdf
+  (delta lobes: weight = lobe value, pdf = discrete choice probability);
+- radiance transport: refraction weight is scaled by eta_ti^2.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static
+from ..core.math import Frame, reflect, mulsign
+from ..core.fresnel import fresnel_dielectric, fresnel_conductor, refract
+from ..core import warp
+from ..core.records import BSDFSample
+from . import microfacet as mf
+
+
+# BSDFFlags (subset of bsdf.h:13)
+class Flags:
+    Empty = 0
+    DiffuseReflection = 1 << 0
+    GlossyReflection = 1 << 1
+    DeltaReflection = 1 << 2
+    DeltaTransmission = 1 << 3
+    GlossyTransmission = 1 << 4
+    Reflection = DiffuseReflection | GlossyReflection | DeltaReflection
+    Transmission = DeltaTransmission | GlossyTransmission
+    Delta = DeltaReflection | DeltaTransmission
+    Smooth = DiffuseReflection | GlossyReflection | GlossyTransmission
+    All = Reflection | Transmission
+
+
+def _zero_sample(n, spectrum_width=3):
+    return (
+        BSDFSample(
+            wo=jnp.zeros((n, 3)),
+            pdf=jnp.zeros((n,)),
+            eta=jnp.ones((n,)),
+            delta=jnp.zeros((n,), bool),
+            sampled_type=jnp.zeros((n,), jnp.int32),
+        ),
+        jnp.zeros((n, spectrum_width)),
+    )
+
+
+@pytree
+class SmoothDiffuse:
+    """Lambertian reflection (src/bsdfs/diffuse.cpp:202 LoC)."""
+
+    reflectance: object  # texture
+    id: str = static("diffuse")
+
+    flags = Flags.DiffuseReflection
+
+    def sample(self, si, sample1, sample2, active):
+        cos_i = Frame.cos_theta(si.wi)
+        wo = warp.square_to_cosine_hemisphere(sample2)
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+        refl = self.reflectance.eval(si)
+        ok = active & (cos_i > 0.0) & (pdf > 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.full(pdf.shape, Flags.DiffuseReflection, jnp.int32),
+        )
+        weight = jnp.where(ok[..., None], refl, 0.0)
+        return bs, weight
+
+    def eval(self, si, wo, active):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        val = self.reflectance.eval(si) * (warp.INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+        return jnp.where(ok[..., None], val, 0.0)
+
+    def pdf(self, si, wo, active):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        return jnp.where(ok, warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class SmoothConductor:
+    """Perfect mirror with conductor Fresnel (src/bsdfs/conductor.cpp)."""
+
+    eta: jnp.ndarray  # (3,) real part of IOR per channel
+    k: jnp.ndarray    # (3,) imaginary part
+    specular_reflectance: object = None  # optional texture
+    id: str = static("conductor")
+
+    flags = Flags.DeltaReflection
+
+    def sample(self, si, sample1, sample2, active):
+        cos_i = Frame.cos_theta(si.wi)
+        ok = active & (cos_i > 0.0)
+        wo = reflect(si.wi)
+        f = fresnel_conductor(cos_i, self.eta, self.k)
+        if self.specular_reflectance is not None:
+            f = f * self.specular_reflectance.eval(si)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, 1.0, 0.0),
+            eta=jnp.ones_like(cos_i),
+            delta=jnp.ones(cos_i.shape, bool),
+            sampled_type=jnp.full(cos_i.shape, Flags.DeltaReflection, jnp.int32),
+        )
+        return bs, jnp.where(ok[..., None], f, 0.0)
+
+    def eval(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1] + (3,))
+
+    def pdf(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1])
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class SmoothDielectric:
+    """Smooth dielectric interface (src/bsdfs/dielectric.cpp:404 LoC) —
+    the lens-relevant BSDF."""
+
+    eta: jnp.ndarray  # () relative IOR int/ext
+    specular_reflectance: object = None
+    specular_transmittance: object = None
+    id: str = static("dielectric")
+
+    flags = Flags.DeltaReflection | Flags.DeltaTransmission
+
+    def sample(self, si, sample1, sample2, active):
+        cos_i = Frame.cos_theta(si.wi)
+        f, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_i, self.eta)
+        pick_reflect = sample1 <= f
+        wo_r = reflect(si.wi)
+        wo_t = refract(si.wi, cos_t, eta_ti)
+        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+        pdf = jnp.where(pick_reflect, f, 1.0 - f)
+        eta = jnp.where(pick_reflect, 1.0, eta_it)
+        # radiance transport: radiance scales by 1/eta_rel^2 across refraction
+        w = jnp.where(pick_reflect, 1.0, jnp.square(eta_ti))
+        weight = jnp.broadcast_to(w[..., None], w.shape + (3,))
+        if self.specular_reflectance is not None:
+            weight = jnp.where(
+                pick_reflect[..., None],
+                weight * self.specular_reflectance.eval(si),
+                weight,
+            )
+        if self.specular_transmittance is not None:
+            weight = jnp.where(
+                pick_reflect[..., None],
+                weight,
+                weight * self.specular_transmittance.eval(si),
+            )
+        ok = active & (pdf > 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=eta,
+            delta=jnp.ones(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_reflect, Flags.DeltaReflection, Flags.DeltaTransmission
+            ).astype(jnp.int32),
+        )
+        return bs, jnp.where(ok[..., None], weight, 0.0)
+
+    def eval(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1] + (3,))
+
+    def pdf(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1])
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class RoughConductor:
+    """GGX rough conductor with VNDF sampling
+    (src/bsdfs/roughconductor.cpp:552 LoC)."""
+
+    eta: jnp.ndarray    # (3,)
+    k: jnp.ndarray      # (3,)
+    alpha: jnp.ndarray  # () roughness (isotropic) — alpha_u = alpha_v
+    specular_reflectance: object = None
+    id: str = static("roughconductor")
+
+    flags = Flags.GlossyReflection
+
+    def _ax_ay(self):
+        a = jnp.maximum(self.alpha, 1e-4)
+        return a, a
+
+    def sample(self, si, sample1, sample2, active):
+        ax, ay = self._ax_ay()
+        cos_i = Frame.cos_theta(si.wi)
+        m = mf.sample_vndf(si.wi, sample2, ax, ay)
+        wo = 2.0 * jnp.sum(si.wi * m, axis=-1, keepdims=True) * m - si.wi
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        pdf_m = mf.vndf_pdf(si.wi, m, ax, ay)
+        dwh_dwo = 1.0 / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo * m, axis=-1)), 1e-20
+        )
+        pdf = pdf_m * dwh_dwo
+        # weight = f*cos/pdf simplifies to F * G2/G1(wi)
+        f_fres = fresnel_conductor(jnp.sum(si.wi * m, axis=-1), self.eta, self.k)
+        g2 = mf.smith_g2(si.wi, wo, m, ax, ay)
+        g1 = mf.smith_g1(si.wi, m, ax, ay)
+        weight = f_fres * jnp.where(
+            (g1 > 0.0), g2 / jnp.maximum(g1, 1e-20), 0.0
+        )[..., None]
+        if self.specular_reflectance is not None:
+            weight = weight * self.specular_reflectance.eval(si)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.full(pdf.shape, Flags.GlossyReflection, jnp.int32),
+        )
+        return bs, jnp.where(ok[..., None], weight, 0.0)
+
+    def eval(self, si, wo, active):
+        ax, ay = self._ax_ay()
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        m = si.wi + wo
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, axis=-1, keepdims=True), 1e-20))
+        m = m / norm
+        d = mf.ggx_D(m, ax, ay)
+        g2 = mf.smith_g2(si.wi, wo, m, ax, ay)
+        f_fres = fresnel_conductor(jnp.sum(si.wi * m, axis=-1), self.eta, self.k)
+        val = f_fres * (
+            d * g2 / jnp.maximum(4.0 * cos_i, 1e-20)
+        )[..., None]
+        if self.specular_reflectance is not None:
+            val = val * self.specular_reflectance.eval(si)
+        return jnp.where(ok[..., None], val, 0.0)
+
+    def pdf(self, si, wo, active):
+        ax, ay = self._ax_ay()
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        m = si.wi + wo
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, axis=-1, keepdims=True), 1e-20))
+        m = m / norm
+        pdf_m = mf.vndf_pdf(si.wi, m, ax, ay)
+        dwh_dwo = 1.0 / jnp.maximum(
+            4.0 * jnp.abs(jnp.sum(wo * m, axis=-1)), 1e-20
+        )
+        return jnp.where(ok, pdf_m * dwh_dwo, 0.0)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+# IOR presets for common conductors at RGB (approximate; reference ships
+# spectral .eta/.k data files — these are the sRGB-integrated equivalents).
+CONDUCTOR_IOR = {
+    "Au": (jnp.array([0.1431, 0.3749, 1.4424]), jnp.array([3.9831, 2.3857, 1.6032])),
+    "Ag": (jnp.array([0.1552, 0.1167, 0.1383]), jnp.array([4.8283, 3.1222, 2.1457])),
+    "Al": (jnp.array([1.6574, 0.8803, 0.5212]), jnp.array([9.2238, 6.2692, 4.8370])),
+    "Cu": (jnp.array([0.2004, 0.9240, 1.1022]), jnp.array([3.9129, 2.4528, 2.1421])),
+    "none": (jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 1.0, 1.0])),
+}

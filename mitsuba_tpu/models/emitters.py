@@ -1,0 +1,220 @@
+"""Emitter plugins (reference: src/emitters/{area,point,constant,
+directional,directionalarea}.cpp + Endpoint interface endpoint.h:95-314).
+
+Each emitter provides:
+- ``eval(si, active)``: emitted radiance toward ``si.wi`` (for BSDF-sampled
+  hits / MIS);
+- ``sample_direction(ref_p, sample1, sample2, geom)``: NEE sample toward the
+  emitter, solid-angle measure, returning (DirectionSample, Le/pdf);
+- ``pdf_direction(ref_p, ds, geom)``: solid-angle pdf of that strategy.
+
+Geometry-bound emitters (area) receive their mesh data through a ``geom``
+tuple (vertices, faces, face_distr) owned by the Scene — emitter records
+stay small parameter pytrees, and the scene applies lane masks over the
+static emitter set (vcall equivalent).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static
+from ..core import warp
+from ..core.math import dot, normalize, Frame, safe_div
+from ..core.records import DirectionSample
+
+
+@pytree
+class AreaEmitter:
+    """Diffuse area light attached to a shape (src/emitters/area.cpp)."""
+
+    radiance: object  # texture
+    shape_index: int = static(-1)
+    id: str = static("area")
+
+    is_delta = False
+    is_infinite = False
+
+    def eval(self, si, active):
+        # emits from the front side (local frame cos > 0)
+        front = Frame.cos_theta(si.wi) > 0.0
+        val = self.radiance.eval(si)
+        return jnp.where((active & front)[..., None], val, 0.0)
+
+    def sample_direction(self, ref_p, sample1, sample2, geom):
+        mesh, face_distr = geom
+        ps = mesh.sample_position(sample1, sample2, face_distr)
+        delta = ps.p - ref_p
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = delta / dist[..., None]
+        cos_emitter = -dot(d, ps.n)
+        # area pdf -> solid angle pdf
+        pdf = jnp.where(
+            cos_emitter > 1e-6,
+            ps.pdf * dist2 / jnp.maximum(cos_emitter, 1e-6),
+            0.0,
+        )
+        # radiance: evaluated at the sampled point (uv from barycentrics)
+        si_like = _FakeSI(uv=ps.uv)
+        le = self.radiance.eval(si_like)
+        weight = jnp.where(
+            (pdf > 0.0)[..., None], le / jnp.maximum(pdf, 1e-20)[..., None], 0.0
+        )
+        ds = DirectionSample(
+            p=ps.p,
+            n=ps.n,
+            uv=ps.uv,
+            d=d,
+            dist=dist,
+            pdf=pdf,
+            delta=jnp.zeros(pdf.shape, bool),
+            emitter_index=jnp.zeros(pdf.shape, jnp.int32),
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom):
+        mesh, face_distr = geom
+        cos_emitter = -dot(ds.d, ds.n)
+        area_pdf = safe_div(1.0, mesh.surface_area())
+        return jnp.where(
+            cos_emitter > 1e-6,
+            area_pdf * ds.dist**2 / jnp.maximum(cos_emitter, 1e-6),
+            0.0,
+        )
+
+
+@pytree
+class PointEmitter:
+    """Isotropic point light (src/emitters/point.cpp)."""
+
+    intensity: jnp.ndarray  # (3,)
+    position: jnp.ndarray   # (3,)
+    id: str = static("point")
+
+    is_delta = True
+    is_infinite = False
+
+    def eval(self, si, active):
+        return jnp.zeros(si.uv.shape[:-1] + (3,))
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        delta = self.position - ref_p
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = delta / dist[..., None]
+        n = ref_p.shape[0]
+        weight = self.intensity / dist2[..., None]
+        ds = DirectionSample(
+            p=jnp.broadcast_to(self.position, ref_p.shape),
+            n=-d,
+            uv=jnp.zeros((n, 2)),
+            d=d,
+            dist=dist,
+            pdf=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        return jnp.zeros(ds.pdf.shape)
+
+
+@pytree
+class ConstantEmitter:
+    """Uniform environment radiance (src/emitters/constant.cpp).
+
+    ``scene_radius``/``scene_center`` are set at scene build so sampled
+    points lie outside all geometry.
+    """
+
+    radiance: jnp.ndarray      # (3,)
+    scene_center: jnp.ndarray  # (3,)
+    scene_radius: jnp.ndarray  # ()
+    id: str = static("constant")
+
+    is_delta = False
+    is_infinite = True
+
+    def eval_env(self, d, active):
+        """Radiance for escaped rays with direction d."""
+        return jnp.where(
+            active[..., None],
+            jnp.broadcast_to(self.radiance, d.shape[:-1] + (3,)),
+            0.0,
+        )
+
+    def eval(self, si, active):
+        return self.eval_env(-si.wi_world() if hasattr(si, "wi_world") else si.uv, active)
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        d = warp.square_to_uniform_sphere(sample2)
+        r = 2.0 * self.scene_radius
+        p = ref_p + d * r
+        n = ref_p.shape[0]
+        pdf = jnp.full((n,), warp.INV_FOUR_PI)
+        weight = jnp.broadcast_to(
+            self.radiance / warp.INV_FOUR_PI, (n, 3)
+        )
+        ds = DirectionSample(
+            p=p,
+            n=-d,
+            uv=jnp.zeros((n, 2)),
+            d=d,
+            dist=jnp.full((n,), r),
+            pdf=pdf,
+            delta=jnp.zeros((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        return jnp.full(ds.pdf.shape, warp.INV_FOUR_PI)
+
+
+@pytree
+class DirectionalEmitter:
+    """Distant collimated emitter (src/emitters/directional.cpp)."""
+
+    irradiance: jnp.ndarray     # (3,)
+    direction: jnp.ndarray      # (3,) direction the light TRAVELS
+    scene_center: jnp.ndarray
+    scene_radius: jnp.ndarray
+    id: str = static("directional")
+
+    is_delta = True
+    is_infinite = True
+
+    def eval(self, si, active):
+        return jnp.zeros(si.uv.shape[:-1] + (3,))
+
+    def eval_env(self, d, active):
+        return jnp.zeros(d.shape[:-1] + (3,))
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        d = -normalize(self.direction)
+        n = ref_p.shape[0]
+        r = 2.0 * self.scene_radius
+        db = jnp.broadcast_to(d, (n, 3))
+        ds = DirectionSample(
+            p=ref_p + db * r,
+            n=-db,
+            uv=jnp.zeros((n, 2)),
+            d=db,
+            dist=jnp.full((n,), r),
+            pdf=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        weight = jnp.broadcast_to(self.irradiance, (n, 3))
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        return jnp.zeros(ds.pdf.shape)
+
+
+class _FakeSI:
+    """Minimal SI stand-in for texture eval at sampled emitter points."""
+
+    def __init__(self, uv):
+        self.uv = uv
