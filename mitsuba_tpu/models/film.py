@@ -1,0 +1,149 @@
+"""Film: reconstruction filters, ImageBlock splatting, develop.
+
+Reference: src/render/imageblock.cpp (778 LoC — ``ImageBlock::put`` splats
+weighted samples through a reconstruction filter with atomic
+``scatter_reduce``), src/films/hdrfilm.cpp (``develop`` at hdrfilm.cpp:304 =
+weight-channel division), and the rfilter plugins src/rfilters/{box,tent,
+gaussian,mitchell,catmullrom,lanczos}.cpp.
+
+TPU design: no atomics exist, so splatting is a deterministic XLA
+``scatter-add`` (``image.at[idx].add``) over a flat (H*W, C+1) buffer — one
+weight channel appended, exactly like the reference's ImageBlock.  The
+filter footprint is a *static* K x K tap grid (K = ceil(2*radius)), so the
+scatter has fixed shape and no data-dependent control flow.  Under
+shard_map each chip splats into its own partial image and the partials are
+``psum``-reduced (parallel/: replaces the reference's atomic accumulation).
+
+The adjoint of ``splat`` under jax.grad is a gather — which is exactly the
+reference's differentiable ``ImageBlock::read`` used for adjoint splatting
+in PRB (src/python/python/ad/integrators/common.py:702-758); we get it for
+free from XLA.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static
+
+
+@pytree
+class ReconstructionFilter:
+    """Radially-evaluated separable reconstruction filter.
+
+    kind: 'box' | 'tent' | 'gaussian' (gaussian matches the reference's
+    default: truncated gaussian with stddev 0.5, radius 4*stddev = 2).
+    """
+
+    kind: str = static("gaussian")
+    radius: float = static(2.0)
+    stddev: float = static(0.5)
+
+    @staticmethod
+    def box():
+        return ReconstructionFilter(kind="box", radius=0.5)
+
+    @staticmethod
+    def tent():
+        return ReconstructionFilter(kind="tent", radius=1.0)
+
+    @staticmethod
+    def gaussian(stddev: float = 0.5):
+        return ReconstructionFilter(
+            kind="gaussian", radius=4.0 * stddev, stddev=stddev
+        )
+
+    @property
+    def n_taps(self) -> int:
+        """Static per-axis tap count covering the support."""
+        import math
+
+        return max(1, int(math.ceil(2.0 * self.radius)))
+
+    def eval_1d(self, x):
+        """Filter value at (signed) offset x from the sample position."""
+        ax = jnp.abs(x)
+        if self.kind == "box":
+            # <= so that the single tap at |x| = 0.5 boundary still counts
+            return jnp.where(ax <= self.radius, 1.0, 0.0)
+        if self.kind == "tent":
+            return jnp.maximum(0.0, 1.0 - ax / self.radius)
+        if self.kind == "gaussian":
+            alpha = -1.0 / (2.0 * self.stddev**2)
+            val = jnp.exp(alpha * ax * ax) - jnp.exp(
+                alpha * self.radius * self.radius
+            )
+            return jnp.maximum(0.0, val)
+        raise ValueError(f"unknown rfilter kind {self.kind!r}")
+
+
+def splat(pos, values, height: int, width: int, rfilter: ReconstructionFilter,
+          active=None):
+    """Splat per-lane sample ``values`` at continuous film positions.
+
+    pos: (N, 2) in pixel units — x in [0, W), y in [0, H), pixel centers at
+    integer + 0.5.  values: (N, C).  Returns (H, W, C+1): C data channels +
+    the accumulated filter-weight channel (imageblock.cpp put()).
+    """
+    n, c = values.shape
+    sample_w = jnp.ones((n, 1), values.dtype)
+    if active is not None:
+        values = jnp.where(active[:, None], values, 0.0)
+        sample_w = jnp.where(active[:, None], sample_w, 0.0)
+    k = rfilter.n_taps
+    # First pixel whose center (i + 0.5) may lie within the filter radius.
+    lo_x = jnp.ceil(pos[:, 0] - rfilter.radius - 0.5).astype(jnp.int32)
+    lo_y = jnp.ceil(pos[:, 1] - rfilter.radius - 0.5).astype(jnp.int32)
+
+    # Static K-tap separable weights per axis.
+    offs = jnp.arange(k, dtype=jnp.int32)
+    xs = lo_x[:, None] + offs[None, :]                    # (N, K)
+    ys = lo_y[:, None] + offs[None, :]
+    wx = rfilter.eval_1d(xs.astype(jnp.float32) + 0.5 - pos[:, 0:1])
+    wy = rfilter.eval_1d(ys.astype(jnp.float32) + 0.5 - pos[:, 1:2])
+    in_x = (xs >= 0) & (xs < width)
+    in_y = (ys >= 0) & (ys < height)
+    wx = jnp.where(in_x, wx, 0.0)
+    wy = jnp.where(in_y, wy, 0.0)
+
+    # (N, K, K) weights; flat scatter indices, clipped (weights already 0).
+    w = wy[:, :, None] * wx[:, None, :]
+    idx = (
+        jnp.clip(ys, 0, height - 1)[:, :, None] * width
+        + jnp.clip(xs, 0, width - 1)[:, None, :]
+    ).reshape(n * k * k)
+
+    data = jnp.concatenate([values, sample_w], axis=-1)
+    contrib = (w[..., None] * data[:, None, None, :]).reshape(n * k * k, c + 1)
+
+    img = jnp.zeros((height * width, c + 1), values.dtype)
+    img = img.at[idx].add(contrib)
+    return img.reshape(height, width, c + 1)
+
+
+def develop(image, eps: float = 1e-12):
+    """Weight-division develop (hdrfilm.cpp:304): (H, W, C+1) -> (H, W, C)."""
+    w = image[..., -1:]
+    return jnp.where(w > eps, image[..., :-1] / jnp.maximum(w, eps), 0.0)
+
+
+@pytree
+class Film:
+    """hdrfilm equivalent: size + reconstruction filter."""
+
+    width: int = static(256)
+    height: int = static(256)
+    rfilter: ReconstructionFilter = static(None)
+
+    def __post_init__(self):
+        if self.rfilter is None:
+            object.__setattr__(self, "rfilter", ReconstructionFilter.gaussian())
+
+    @property
+    def size(self):
+        return (self.width, self.height)
+
+    def put(self, pos, values, active=None):
+        return splat(pos, values, self.height, self.width, self.rfilter, active)
+
+    def develop(self, image):
+        return develop(image)

@@ -1,0 +1,4 @@
+from .common import render, sample_rays, mis_weight  # noqa: F401
+from .path import PathIntegrator  # noqa: F401
+from .direct import DirectIntegrator  # noqa: F401
+from .depth import DepthIntegrator  # noqa: F401

@@ -1,0 +1,110 @@
+"""Integrator common machinery: sampler-dimension layout, MIS weight,
+primary-ray generation, and the render orchestration loop.
+
+Reference: src/render/integrator.cpp:120-367 (SamplingIntegrator::render —
+wavefront setup :247, per-lane pixel arithmetic :293-310, render_sample
+:419, film put/develop :339) and the MIS helper
+src/python/python/ad/integrators/common.py:1318.
+
+TPU design: the wavefront is W*H*spp lanes of SoA state; the per-lane
+sample sequence is the stateless counter RNG (core/rng.py) indexed by
+(seed, lane, dim) — dimension slots below are the fixed per-bounce layout
+that makes PRB replay exact by construction.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import rng
+from ...core.records import Ray
+
+# ------------------------------------------------------- dimension layout
+# Camera-level dims:
+DIM_POS = 0          # 2D film position jitter
+DIM_APERTURE = 1     # 2D aperture sample
+DIM_WAVELENGTH = 2   # 1D spectral sample
+DIM_BOUNCE_BASE = 8  # first per-bounce slot
+DIMS_PER_BOUNCE = 8
+# per-bounce slots:
+SLOT_EM_SELECT = 0   # 1D emitter selection / reuse
+SLOT_EM_POS = 1      # 2D emitter position
+SLOT_BSDF_LOBE = 2   # 1D BSDF lobe selection
+SLOT_BSDF_DIR = 3    # 2D BSDF direction
+SLOT_RR = 4          # 1D russian roulette
+
+
+def bounce_dim(depth, slot):
+    return DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE + slot
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic (beta=2), ad/integrators/common.py:1318."""
+    a2 = pdf_a * pdf_a
+    w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-32)
+    return jnp.where(pdf_a > 0.0, w, 0.0)
+
+
+def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
+                pass_index: int = 0):
+    """Generate the primary-ray wavefront for one spp pass.
+
+    Mirrors integrator.cpp:293-310 (idx -> pixel position arithmetic) +
+    sensor sample_ray dispatch.  Returns (ray, weight, film_pos, lane).
+    ``lane`` is the global RNG lane id = pixel * spp + sample — invariant
+    to pass splitting and sharding, so results are bitwise independent of
+    how the wavefront is partitioned.
+    """
+    sensor = scene.sensor
+    w, h = sensor.film.width, sensor.film.height
+    if spp_pass is None:
+        spp_pass = spp
+    n = w * h * spp_pass
+    i = jnp.arange(n, dtype=jnp.int32)
+    pixel = i // spp_pass
+    lane = pixel * spp + pass_index * spp_pass + (i % spp_pass)
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+
+    jitter = rng.sample_2d(seed, lane, jnp.int32(DIM_POS))
+    film_pos = jnp.stack([px, py], axis=-1) + jitter
+    pos_unit = film_pos / jnp.asarray([w, h], jnp.float32)
+
+    aperture = rng.sample_2d(seed, lane, jnp.int32(DIM_APERTURE))
+    wav = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH))
+    time = jnp.zeros((n,))
+    ray, weight = sensor.sample_ray(time, wav, pos_unit, aperture)
+    return ray, weight, film_pos, lane
+
+
+def render(scene, integrator, seed: int = 0, spp: int = 16,
+           spp_per_pass: int | None = None):
+    """Full primal render: wavefront -> integrator.sample -> splat -> develop.
+
+    Multi-pass over spp (integrator.cpp:249-265 wavefront splitting) with
+    image-space accumulation before the develop division.
+    """
+    sensor = scene.sensor
+    film = sensor.film
+    if spp_per_pass is None or spp_per_pass >= spp:
+        passes = [(0, spp)]
+    else:
+        assert spp % spp_per_pass == 0
+        passes = [(p, spp_per_pass) for p in range(spp // spp_per_pass)]
+
+    image = None
+    for pass_index, spp_pass in passes:
+        img = _render_pass(scene, integrator, jnp.uint32(seed), spp,
+                           spp_pass, pass_index)
+        image = img if image is None else image + img
+    return film.develop(image)
+
+
+def _render_pass(scene, integrator, seed, spp, spp_pass, pass_index):
+    ray, weight, film_pos, lane = sample_rays(
+        scene, seed, spp, spp_pass, pass_index
+    )
+    active = jnp.ones((ray.o.shape[0],), bool)
+    L = integrator.sample(scene, ray, lane, seed, active)
+    # spp normalization happens in develop() via the filter-weight channel
+    return scene.sensor.film.put(film_pos, L * weight, active)

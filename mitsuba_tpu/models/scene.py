@@ -1,0 +1,413 @@
+"""Scene: geometry aggregation, ray queries, emitter sampling, BSDF dispatch.
+
+Reference: src/render/scene.cpp (ctor scene.cpp:22-96; ray_intersect/
+ray_test scene.cpp:181-210; sample_emitter :227; sample_emitter_direction
+:299 with shadow ray_test :331; pdf_emitter_direction :355) and
+include/mitsuba/render/scene.h.
+
+TPU design decisions (SURVEY §7):
+- All shapes are triangle meshes, concatenated into ONE global
+  vertex/face buffer at trace time (cheap, differentiable — gradients flow
+  back to each mesh's ``vertices`` leaf).  Static per-face shape ids map
+  hits back to shapes.
+- Plugin dispatch (the reference's vectorized vcalls, scene.cpp:281,320)
+  is a masked sweep over the *static* set of BSDF/emitter instances: every
+  instance is evaluated on all lanes under its selection mask and results
+  are merged with ``where``.  For the small per-scene plugin counts this
+  is the right TPU trade (no gather/scatter of function pointers).
+- Traversal is detached (stop_gradient on the geometry); the surface
+  interaction is recomputed differentiably afterwards
+  (ops/intersect.compute_surface_interaction — reference shape.h:526,571).
+- Emitter *sampling* distributions (face-area CDFs, emitter selection) are
+  detached, matching the reference's detached-sampling convention; pdf and
+  radiance evaluation remain differentiable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static
+from ..core.distr import DiscreteDistribution
+from ..core.math import dot, normalize
+from ..core.records import DirectionSample, Ray, SurfaceInteraction
+from ..ops import bvh as bvh_mod
+from ..ops.intersect import (
+    compute_surface_interaction,
+    intersect_brute,
+    ray_test_brute,
+)
+from .shapes import Mesh
+
+# Scenes below this many triangles use tiled brute-force intersection —
+# perfectly regular and faster than traversal on TPU at small scale.
+BRUTE_FORCE_MAX_TRIS = 4096
+
+
+@pytree
+class Scene:
+    meshes: tuple                 # tuple[Mesh, ...] — geometry leaves
+    bsdfs: tuple                  # heterogeneous BSDF pytrees
+    emitters: tuple               # heterogeneous emitter pytrees
+    sensor: object
+    accel: object                 # BVH or None
+    face_distrs: tuple            # per-emitter DiscreteDistribution or None
+    emitter_distr: DiscreteDistribution
+    scene_center: jnp.ndarray     # (3,)
+    scene_radius: jnp.ndarray     # ()
+    # static metadata
+    shape_bsdf: tuple = static(())      # per-shape bsdf index
+    shape_emitter: tuple = static(())   # per-shape emitter index (-1)
+    emitter_shape: tuple = static(())   # per-emitter shape index (-1)
+    env_index: int = static(-1)         # infinite-emitter index (-1: none)
+    use_bvh: bool = static(False)
+
+    # ---------------------------------------------------------- geometry
+
+    def geometry(self):
+        """Concatenated (vertices, faces, normals, face_shape, face_smooth,
+        uvs).  Face indices are rebased; per-mesh static vertex counts make
+        the offsets static."""
+        vs, fs, ns, uvs, fshape, fsmooth = [], [], [], [], [], []
+        off = 0
+        for i, m in enumerate(self.meshes):
+            nv = m.vertices.shape[0]
+            nf = m.faces.shape[0]
+            vs.append(m.vertices)
+            fs.append(m.faces + off)
+            smooth = m.normals is not None
+            ns.append(m.normals if smooth else m.vertices)  # placeholder rows
+            uvs.append(
+                m.uvs if m.uvs is not None
+                else jnp.zeros((nv, 2), jnp.float32)
+            )
+            fshape.append(jnp.full((nf,), i, jnp.int32))
+            fsmooth.append(jnp.full((nf,), smooth, bool))
+            off += nv
+        return (
+            jnp.concatenate(vs),
+            jnp.concatenate(fs),
+            jnp.concatenate(ns),
+            jnp.concatenate(uvs),
+            jnp.concatenate(fshape),
+            jnp.concatenate(fsmooth),
+        )
+
+    # -------------------------------------------------------- ray queries
+
+    def ray_intersect_preliminary(self, ray: Ray, active=None):
+        """Detached closest-hit traversal -> PreliminaryIntersection
+        (shape.h:222 ray_intersect_preliminary)."""
+        v, f, *_ = self.geometry()
+        vd = jax.lax.stop_gradient(v)
+        fshape = self._face_shape()
+        ray_d = jax.lax.stop_gradient(ray)
+        if self.use_bvh and self.accel is not None:
+            pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray_d, active)
+        else:
+            pi = intersect_brute(vd, f, ray_d, active)
+        return pi.replace(shape_index=jnp.where(
+            pi.is_valid(), fshape[pi.prim_index], -1
+        ))
+
+    def _face_shape(self):
+        fshape = []
+        for i, m in enumerate(self.meshes):
+            fshape.append(jnp.full((m.faces.shape[0],), i, jnp.int32))
+        return jnp.concatenate(fshape)
+
+    def compute_si(self, pi, ray: Ray) -> SurfaceInteraction:
+        """Differentiable SI recomputation from a detached preliminary
+        intersection (shape.h:526,571 / mesh.cpp:1376)."""
+        v, f, n, uv, fshape, fsmooth = self.geometry()
+        si = compute_surface_interaction(
+            v, f, fshape, ray, pi, vertex_normals=n, vertex_uvs=uv
+        )
+        # meshes without vertex normals shade with the geometric normal
+        smooth = fsmooth[pi.prim_index]
+        sh_n = jnp.where(smooth[:, None], si.sh_n, si.n)
+        from ..core.math import Frame
+
+        s, t, _ = Frame.from_normal(sh_n)
+        wi = Frame.to_local((s, t, sh_n), -ray.d)
+        return si.replace(sh_n=sh_n, sh_s=s, sh_t=t, wi=wi)
+
+    def ray_intersect(self, ray: Ray, active=None) -> SurfaceInteraction:
+        """Closest-hit query + differentiable SI recomputation
+        (scene.cpp:181 → shape compute_surface_interaction)."""
+        return self.compute_si(self.ray_intersect_preliminary(ray, active), ray)
+
+    def ray_test(self, ray: Ray, active=None):
+        """Any-hit (shadow) query (scene.cpp:203)."""
+        v, f, *_ = self.geometry()
+        vd = jax.lax.stop_gradient(v)
+        if self.use_bvh and self.accel is not None:
+            pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray, active,
+                                       any_hit=True)
+            hit = jnp.isfinite(pi.t)
+        else:
+            hit = ray_test_brute(vd, f, ray, active)
+        if active is not None:
+            hit = hit & active
+        return hit
+
+    # ------------------------------------------------------ BSDF dispatch
+
+    def lane_bsdf_index(self, si):
+        table = jnp.asarray(np.asarray(self.shape_bsdf, np.int32))
+        return jnp.where(
+            si.shape_index >= 0,
+            table[jnp.maximum(si.shape_index, 0)],
+            -1,
+        )
+
+    def bsdf_sample(self, si, sample1, sample2, active):
+        """Masked-sweep vcall over the static BSDF set (scene.cpp:320)."""
+        bidx = self.lane_bsdf_index(si)
+        out_bs, out_w = None, None
+        for i, b in enumerate(self.bsdfs):
+            m = active & (bidx == i)
+            bs, w = b.sample(si, sample1, sample2, m)
+            if out_bs is None:
+                out_bs, out_w = bs, w
+            else:
+                out_bs = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        m.reshape(m.shape + (1,) * (new.ndim - m.ndim)),
+                        new, old),
+                    bs, out_bs,
+                )
+                out_w = jnp.where(m[:, None], w, out_w)
+        # lanes whose mask never fired: zero pdf/weight
+        out_w = jnp.where(active[:, None], out_w, 0.0)
+        out_bs = out_bs.replace(pdf=jnp.where(active, out_bs.pdf, 0.0))
+        return out_bs, out_w
+
+    def bsdf_eval_pdf(self, si, wo, active):
+        """Fused eval+pdf sweep (bsdf.h:415 eval_pdf)."""
+        bidx = self.lane_bsdf_index(si)
+        val = jnp.zeros(wo.shape[:-1] + (3,))
+        pdf = jnp.zeros(wo.shape[:-1])
+        for i, b in enumerate(self.bsdfs):
+            m = active & (bidx == i)
+            v, p = b.eval_pdf(si, wo, m)
+            val = jnp.where(m[:, None], v, val)
+            pdf = jnp.where(m, p, pdf)
+        return val, pdf
+
+    # --------------------------------------------------- emitter sampling
+
+    def _emitter_geom(self, ei: int):
+        s = self.emitter_shape[ei]
+        if s < 0:
+            return None
+        return (self.meshes[s], self.face_distrs[ei])
+
+    def sample_emitter_direction(self, si, sample1, sample2, active,
+                                 test_visibility: bool = True):
+        """NEE sample (scene.cpp:299): pick an emitter from the discrete
+        distribution, sample a direction toward it, optionally trace a
+        shadow ray.  Returns (DirectionSample, weight = Le/pdf)."""
+        n = sample1.shape[0]
+        idx, u_re, sel_pmf = self.emitter_distr.sample_reuse_pmf(sample1)
+
+        ds = None
+        weight = jnp.zeros((n, 3))
+        for i, e in enumerate(self.emitters):
+            m = active & (idx == i)
+            ds_i, w_i = e.sample_direction(
+                si.p, u_re, sample2, self._emitter_geom(i)
+            )
+            ds_i = ds_i.replace(
+                emitter_index=jnp.full((n,), i, jnp.int32)
+            )
+            if ds is None:
+                ds, weight = ds_i, w_i
+            else:
+                ds = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        m.reshape(m.shape + (1,) * (new.ndim - m.ndim)),
+                        new, old),
+                    ds_i, ds,
+                )
+                weight = jnp.where(m[:, None], w_i, weight)
+
+        # fold the emitter-selection pmf into pdf and weight
+        ds = ds.replace(pdf=ds.pdf * sel_pmf)
+        weight = weight / jnp.maximum(sel_pmf, 1e-20)[:, None]
+        ok = active & (ds.pdf > 0.0)
+
+        if test_visibility:
+            shadow_ray = si.spawn_ray_to(ds.p)
+            occluded = self.ray_test(shadow_ray, ok)
+            ok = ok & ~occluded
+        weight = jnp.where(ok[:, None], weight, 0.0)
+        ds = ds.replace(pdf=jnp.where(active, ds.pdf, 0.0))
+        return ds, weight, ok
+
+    def pdf_emitter_direction(self, ref_p, ds, active):
+        """Solid-angle pdf of NEE having produced ds (scene.cpp:355);
+        includes the emitter-selection pmf.  Delta emitters return 0."""
+        pdf = jnp.zeros(ds.pdf.shape)
+        for i, e in enumerate(self.emitters):
+            m = active & (ds.emitter_index == i)
+            p = e.pdf_direction(ref_p, ds, self._emitter_geom(i))
+            pdf = jnp.where(m, p, pdf)
+        sel = self.emitter_distr.eval_pmf_normalized(
+            jnp.clip(ds.emitter_index, 0, max(len(self.emitters) - 1, 0))
+        )
+        return pdf * sel
+
+    # --------------------------------------------------- emitter evaluation
+
+    def eval_emitter_hit(self, si, ref_p, active):
+        """Radiance + NEE pdf for a BSDF-sampled ray that hit an emissive
+        shape (the MIS partner term, path.cpp:158-174).
+
+        Returns (Le (N,3), pdf_sa (N,)) — pdf includes selection pmf.
+        """
+        table = jnp.asarray(np.asarray(self.shape_emitter, np.int32))
+        eidx = jnp.where(
+            si.shape_index >= 0, table[jnp.maximum(si.shape_index, 0)], -1
+        )
+        le = jnp.zeros(si.p.shape[:-1] + (3,))
+        pdf = jnp.zeros(si.p.shape[:-1])
+        d = normalize(si.p - ref_p)
+        ds = DirectionSample(
+            p=si.p, n=si.n, uv=si.uv, d=d,
+            dist=jnp.sqrt(jnp.maximum(
+                jnp.sum((si.p - ref_p) ** 2, axis=-1), 1e-20)),
+            pdf=jnp.zeros(si.t.shape),
+            delta=jnp.zeros(si.t.shape, bool),
+            emitter_index=jnp.maximum(eidx, 0),
+        )
+        for i, e in enumerate(self.emitters):
+            if getattr(e, "is_infinite", False):
+                continue
+            m = active & (eidx == i)
+            le = jnp.where(m[:, None], e.eval(si, m), le)
+            p = e.pdf_direction(ref_p, ds, self._emitter_geom(i))
+            sel = self.emitter_distr.eval_pmf_normalized(i)
+            pdf = jnp.where(m, p * sel, pdf)
+        return le, pdf
+
+    def eval_env(self, ray: Ray, ref_p, active):
+        """Radiance + NEE pdf for escaped rays (environment emitters)."""
+        le = jnp.zeros(ray.d.shape[:-1] + (3,))
+        pdf = jnp.zeros(ray.d.shape[:-1])
+        if self.env_index < 0:
+            return le, pdf
+        e = self.emitters[self.env_index]
+        le = jnp.where(active[:, None], e.eval_env(ray.d, active), le)
+        n = ray.d.shape[0]
+        ds = DirectionSample(
+            p=ref_p + ray.d * (2.0 * self.scene_radius),
+            n=-ray.d,
+            uv=jnp.zeros((n, 2)),
+            d=ray.d,
+            dist=jnp.full((n,), 2.0) * self.scene_radius,
+            pdf=jnp.zeros((n,)),
+            delta=jnp.zeros((n,), bool),
+            emitter_index=jnp.full((n,), self.env_index, jnp.int32),
+        )
+        p = e.pdf_direction(ref_p, ds, None)
+        sel = self.emitter_distr.eval_pmf_normalized(self.env_index)
+        pdf = jnp.where(active, p * sel, 0.0)
+        return le, pdf
+
+    @property
+    def environment(self):
+        return self.emitters[self.env_index] if self.env_index >= 0 else None
+
+
+# ------------------------------------------------------------------ build
+
+def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None):
+    """Assemble a Scene (reference Scene ctor, scene.cpp:22-96).
+
+    - ``meshes``: list[Mesh]; each mesh's static ``bsdf_index`` /
+      ``emitter_index`` wire it to the plugin lists.
+    - emitters with ``is_infinite`` get scene center/radius injected.
+    - BVH build runs host-side (scene.cpp:70-73 accel_init analogue).
+    """
+    meshes = tuple(meshes)
+    bsdfs = tuple(bsdfs)
+    emitters = tuple(emitters)
+
+    shape_bsdf = tuple(int(m.bsdf_index) for m in meshes)
+    shape_emitter = tuple(int(m.emitter_index) for m in meshes)
+    emitter_shape = []
+    for ei in range(len(emitters)):
+        owner = -1
+        for si_, m in enumerate(meshes):
+            if m.emitter_index == ei:
+                owner = si_
+                break
+        emitter_shape.append(owner)
+    emitter_shape = tuple(emitter_shape)
+
+    # scene bounding sphere (host)
+    if meshes:
+        all_v = np.concatenate([np.asarray(m.vertices) for m in meshes])
+        center = all_v.mean(axis=0)
+        radius = float(np.max(np.linalg.norm(all_v - center, axis=1)))
+        radius = max(radius, 1e-3)
+    else:
+        center, radius = np.zeros(3, np.float32), 1.0
+
+    env_index = -1
+    ems = []
+    for i, e in enumerate(emitters):
+        if getattr(e, "is_infinite", False):
+            env_index = i
+            e = e.replace(
+                scene_center=jnp.asarray(center, jnp.float32),
+                scene_radius=jnp.asarray(radius * 1.01, jnp.float32),
+            )
+        ems.append(e)
+    emitters = tuple(ems)
+
+    # detached per-emitter face-area distributions (area lights)
+    face_distrs = []
+    for i, e in enumerate(emitters):
+        s = emitter_shape[i]
+        if s >= 0:
+            areas = jax.lax.stop_gradient(meshes[s].face_areas())
+            face_distrs.append(DiscreteDistribution.create(areas))
+        else:
+            face_distrs.append(None)
+    face_distrs = tuple(face_distrs)
+
+    # uniform emitter selection (scene.cpp:227 default)
+    n_em = max(len(emitters), 1)
+    emitter_distr = DiscreteDistribution.create(jnp.ones((n_em,)))
+
+    total_tris = sum(int(m.faces.shape[0]) for m in meshes)
+    if use_bvh is None:
+        use_bvh = total_tris > BRUTE_FORCE_MAX_TRIS
+    accel = None
+    if use_bvh:
+        offsets = np.cumsum([0] + [int(m.vertices.shape[0]) for m in meshes])
+        faces_np = np.concatenate([
+            np.asarray(m.faces) + offsets[i] for i, m in enumerate(meshes)
+        ])
+        verts_np = np.concatenate([np.asarray(m.vertices) for m in meshes])
+        accel = bvh_mod.build_bvh(verts_np, faces_np)
+
+    return Scene(
+        meshes=meshes,
+        bsdfs=bsdfs,
+        emitters=emitters,
+        sensor=sensor,
+        accel=accel,
+        face_distrs=face_distrs,
+        emitter_distr=emitter_distr,
+        scene_center=jnp.asarray(center, jnp.float32),
+        scene_radius=jnp.asarray(radius, jnp.float32),
+        shape_bsdf=shape_bsdf,
+        shape_emitter=shape_emitter,
+        emitter_shape=emitter_shape,
+        env_index=env_index,
+        use_bvh=bool(use_bvh),
+    )

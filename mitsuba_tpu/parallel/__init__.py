@@ -1,0 +1,1 @@
+from .wavefront import make_mesh, render_sharded  # noqa: F401

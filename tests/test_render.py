@@ -1,0 +1,140 @@
+"""End-to-end rendering correctness tests.
+
+Strategy (SURVEY §4 — no reference binary exists in this environment, so
+golden images are replaced by *analytic* ground truths and cross-estimator
+consistency, which are stronger than image diffs):
+- white-furnace test: diffuse sphere (albedo rho) in a constant environment
+  of radiance 1 must render exactly rho on the sphere and 1 off it;
+- direct illumination against an independent numpy quadrature of the
+  area-light integral at a known surface point;
+- direct integrator vs path(max_depth=2): two different MIS estimators of
+  the same integral must agree;
+- point-light analytic: L = rho/pi * I * cos(theta) / d^2.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.core import transform as tf
+from mitsuba_tpu.models.bsdfs import SmoothDiffuse
+from mitsuba_tpu.models.emitters import ConstantEmitter, PointEmitter
+from mitsuba_tpu.models.film import Film, ReconstructionFilter
+from mitsuba_tpu.models.integrators import (
+    DirectIntegrator,
+    PathIntegrator,
+    render,
+)
+from mitsuba_tpu.models.scene import make_scene
+from mitsuba_tpu.models.sensors import PerspectiveCamera
+from mitsuba_tpu.models.shapes import Mesh, rectangle, sphere_mesh
+from mitsuba_tpu.models.textures import ConstantTexture
+from mitsuba_tpu.utils.scenes import cornell_box
+
+
+def _camera(origin, target, fov=30.0, size=32):
+    film = Film(width=size, height=size, rfilter=ReconstructionFilter.box())
+    return PerspectiveCamera(
+        to_world=jnp.asarray(tf.look_at(origin, target, [0, 1, 0])),
+        film=film,
+        fov=fov,
+    )
+
+
+def test_furnace_diffuse():
+    """rho-albedo sphere in unit furnace renders rho (MIS must sum to 1)."""
+    rho = 0.5
+    sph = Mesh.make(*sphere_mesh(3), bsdf_index=0)
+    bsdf = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), rho)))
+    env = ConstantEmitter(
+        radiance=jnp.ones((3,)),
+        scene_center=jnp.zeros(3),
+        scene_radius=jnp.asarray(1.0),
+    )
+    scene = make_scene([sph], [bsdf], [env], _camera([0, 0, 4], [0, 0, 0]))
+    img = np.asarray(
+        render(scene, PathIntegrator(max_depth=4, rr_depth=16), seed=0, spp=64)
+    )
+    assert abs(img[12:20, 12:20, 0].mean() - rho) < 0.01
+    assert abs(img[1, 1, 0] - 1.0) < 1e-5  # escaped rays see the env exactly
+
+
+def test_direct_vs_quadrature():
+    """Rendered direct lighting matches numpy quadrature of the light
+    integral at back-wall point (0, 0.41, -1) of the Cornell box."""
+    rng = np.random.default_rng(0)
+    m = 200_000
+    xs = rng.uniform(-0.23, 0.23, m)
+    zs = rng.uniform(-0.19, 0.19, m) + 0.01
+    p = np.array([0.0, 0.41, -1.0])
+    d = np.stack([xs - p[0], np.full(m, 0.99) - p[1], zs - p[2]], axis=-1)
+    dist2 = (d * d).sum(-1)
+    dn = d / np.sqrt(dist2)[:, None]
+    cos_s = dn[:, 2]
+    cos_l = dn[:, 1]  # dot(-dn, light normal (0,-1,0))
+    area = 0.46 * 0.38
+    e_r = (
+        18.387 * area * np.maximum(cos_s, 0) * np.maximum(cos_l, 0) / dist2
+    ).mean()
+    expected_r = 0.885809 / np.pi * e_r
+
+    scene = cornell_box(width=64, height=64)
+    img = np.asarray(
+        render(scene, PathIntegrator(max_depth=2, rr_depth=16), seed=0, spp=256)
+    )
+    # back wall y=0.41 -> film row ~24 at 64x64 (fov 39.3077, camera z=3.9)
+    got = img[24:26, 31:33, 0].mean()
+    assert abs(got - expected_r) < 0.015, (got, expected_r)
+
+
+def test_direct_integrator_matches_path_depth2():
+    scene = cornell_box(width=32, height=32)
+    a = np.asarray(
+        render(scene, PathIntegrator(max_depth=2, rr_depth=16), seed=0, spp=256)
+    )
+    b = np.asarray(render(scene, DirectIntegrator(), seed=1, spp=256))
+    # agree within MC noise on the smooth interior
+    diff = np.abs(a - b)[4:28, 4:28]
+    assert diff.mean() < 0.01, diff.mean()
+
+
+def test_point_light_analytic():
+    """Floor at y=0 lit by a point light: exact closed form."""
+    floor = Mesh.make(
+        *rectangle(np.asarray(
+            tf.compose(tf.scale(10.0), tf.rotate([1, 0, 0], -90)),
+            np.float32)),
+        bsdf_index=0,
+    )
+    rho = 0.6
+    bsdf = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), rho)))
+    light = PointEmitter(
+        intensity=jnp.ones((3,)) * 4.0, position=jnp.asarray([0.0, 2.0, 0.0])
+    )
+    cam = _camera([0, 3, 3], [0, 0, 0], fov=40.0, size=33)
+    scene = make_scene([floor], [bsdf], [light], cam)
+    img = np.asarray(
+        render(scene, PathIntegrator(max_depth=2, rr_depth=16), seed=0, spp=16)
+    )
+    # center pixel looks at the origin; light directly overhead at h=2:
+    # L = rho/pi * I * cos/d^2 = rho/pi * 4 * 1/4
+    expected = rho / np.pi
+    got = img[16, 16, 0]
+    # box-filtered pixel sees ~the origin; small fov -> flat gradient
+    assert abs(got - expected) < 0.01, (got, expected)
+
+
+def test_render_nonnegative_finite():
+    scene = cornell_box(width=32, height=32)
+    img = np.asarray(render(scene, PathIntegrator(max_depth=4), seed=3, spp=32))
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+
+
+def test_spp_pass_splitting_invariant():
+    """Multi-pass rendering must be bitwise-identical in expectation and
+    exactly equal given the lane-indexed stateless RNG."""
+    scene = cornell_box(width=16, height=16)
+    integ = PathIntegrator(max_depth=3)
+    a = np.asarray(render(scene, integ, seed=0, spp=8))
+    b = np.asarray(render(scene, integ, seed=0, spp=8, spp_per_pass=4))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
