@@ -14,8 +14,22 @@ Layout (maps SURVEY.md section 2's inventory):
   parallel/  device-mesh sharding of the wavefront, psum film/grad reduction
   utils/     scene loading, parameter traversal, optimizers, chi2 harness
   lens/      [FORK] realistic lens camera + lens-design toolkit
+
+Top-level convenience API (the mi.* surface):
+  load_dict, render, prb_render, traverse, SceneParameters, cornell_box
 """
 
 __version__ = "0.1.0"
 
 from . import core  # noqa: F401
+from .models.integrators import (  # noqa: F401
+    DepthIntegrator,
+    DirectIntegrator,
+    PathIntegrator,
+    PRBIntegrator,
+    prb_render,
+    render,
+)
+from .utils.load import load_dict  # noqa: F401
+from .utils.params import SceneParameters, traverse, update  # noqa: F401
+from .utils.scenes import cornell_box, cornell_box_dict  # noqa: F401

@@ -82,6 +82,14 @@ class AreaEmitter:
             0.0,
         )
 
+    def eval_direction(self, ref_p, ds, geom, active):
+        """Attached radiance along a detached DirectionSample — the PRB
+        re-evaluation partner of sample_direction (endpoint.h eval;
+        ad/integrators/prb.py:149-162 resume_grad emitter re-eval)."""
+        front = -dot(ds.d, ds.n) > 1e-6
+        le = self.radiance.eval(_FakeSI(uv=ds.uv))
+        return jnp.where((active & front)[..., None], le, 0.0)
+
 
 @pytree
 class PointEmitter:
@@ -118,6 +126,11 @@ class PointEmitter:
 
     def pdf_direction(self, ref_p, ds, geom=None):
         return jnp.zeros(ds.pdf.shape)
+
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        d2 = jnp.maximum(ds.dist * ds.dist, 1e-12)
+        w = self.intensity / d2[..., None]
+        return jnp.where(active[..., None], w, 0.0) if active is not None else w
 
 
 @pytree
@@ -171,6 +184,10 @@ class ConstantEmitter:
     def pdf_direction(self, ref_p, ds, geom=None):
         return jnp.full(ds.pdf.shape, warp.INV_FOUR_PI)
 
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        le = jnp.broadcast_to(self.radiance, ds.d.shape[:-1] + (3,))
+        return jnp.where(active[..., None], le, 0.0) if active is not None else le
+
 
 @pytree
 class DirectionalEmitter:
@@ -211,6 +228,10 @@ class DirectionalEmitter:
 
     def pdf_direction(self, ref_p, ds, geom=None):
         return jnp.zeros(ds.pdf.shape)
+
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        le = jnp.broadcast_to(self.irradiance, ds.d.shape[:-1] + (3,))
+        return jnp.where(active[..., None], le, 0.0) if active is not None else le
 
 
 class _FakeSI:

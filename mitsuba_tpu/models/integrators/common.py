@@ -67,6 +67,9 @@ def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
     py = (pixel // w).astype(jnp.float32)
 
     jitter = rng.sample_2d(seed, lane, jnp.int32(DIM_POS))
+    sampler = getattr(sensor, "sampler", None)
+    if sampler is not None:
+        jitter = sampler.film_jitter(jitter, lane % spp)
     film_pos = jnp.stack([px, py], axis=-1) + jitter
     pos_unit = film_pos / jnp.asarray([w, h], jnp.float32)
 
@@ -77,15 +80,23 @@ def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
     return ray, weight, film_pos, lane
 
 
-def render(scene, integrator, seed: int = 0, spp: int = 16,
+def render(scene, integrator=None, seed: int = 0, spp: int | None = None,
            spp_per_pass: int | None = None):
     """Full primal render: wavefront -> integrator.sample -> splat -> develop.
 
+    ``integrator``/``spp`` default to the scene's own integrator and the
+    sensor sampler's sample_count (mi.render() semantics, util.py:410).
     Multi-pass over spp (integrator.cpp:249-265 wavefront splitting) with
     image-space accumulation before the develop division.
     """
+    if integrator is None:
+        integrator = scene.integrator
+        assert integrator is not None, "scene has no integrator; pass one"
     sensor = scene.sensor
     film = sensor.film
+    if spp is None:
+        sampler = getattr(sensor, "sampler", None)
+        spp = sampler.sample_count if sampler is not None else 16
     if spp_per_pass is None or spp_per_pass >= spp:
         passes = [(0, spp)]
     else:

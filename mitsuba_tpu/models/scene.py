@@ -62,6 +62,7 @@ class Scene:
     emitter_shape: tuple = static(())   # per-emitter shape index (-1)
     env_index: int = static(-1)         # infinite-emitter index (-1: none)
     use_bvh: bool = static(False)
+    integrator: object = static(None)   # default integrator (scene dicts)
 
     # ---------------------------------------------------------- geometry
 
@@ -246,6 +247,18 @@ class Scene:
         ds = ds.replace(pdf=jnp.where(active, ds.pdf, 0.0))
         return ds, weight, ok
 
+    def eval_emitter_direction(self, si, ds, active):
+        """Attached radiance along a detached NEE sample
+        (Scene::eval_emitter_direction; PRB re-evaluates the emitter
+        differentiably while keeping the sample + pdf detached,
+        prb.py:149-162)."""
+        le = jnp.zeros(ds.d.shape[:-1] + (3,))
+        for i, e in enumerate(self.emitters):
+            m = active & (ds.emitter_index == i)
+            v = e.eval_direction(si.p, ds, self._emitter_geom(i), m)
+            le = jnp.where(m[:, None], v, le)
+        return le
+
     def pdf_emitter_direction(self, ref_p, ds, active):
         """Solid-angle pdf of NEE having produced ds (scene.cpp:355);
         includes the emitter-selection pmf.  Delta emitters return 0."""
@@ -323,7 +336,8 @@ class Scene:
 
 # ------------------------------------------------------------------ build
 
-def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None):
+def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
+               integrator=None):
     """Assemble a Scene (reference Scene ctor, scene.cpp:22-96).
 
     - ``meshes``: list[Mesh]; each mesh's static ``bsdf_index`` /
@@ -410,4 +424,5 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None):
         emitter_shape=emitter_shape,
         env_index=env_index,
         use_bvh=bool(use_bvh),
+        integrator=integrator,
     )

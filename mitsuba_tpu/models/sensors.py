@@ -60,6 +60,7 @@ class PerspectiveCamera:
     fov_axis: str = static("x")
     near_clip: float = static(1e-2)
     far_clip: float = static(1e4)
+    sampler: object = static(None)
     id: str = static("perspective")
 
     needs_aperture_sample = False
@@ -67,6 +68,10 @@ class PerspectiveCamera:
     def __post_init__(self):
         if self.film is None:
             object.__setattr__(self, "film", Film())
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
 
     def _dir_camera(self, position_sample):
         """Unnormalized camera-space direction for film sample in [0,1)^2."""
@@ -106,6 +111,7 @@ class ThinLensCamera:
     fov_axis: str = static("x")
     near_clip: float = static(1e-2)
     far_clip: float = static(1e4)
+    sampler: object = static(None)
     id: str = static("thinlens")
 
     needs_aperture_sample = True
@@ -113,6 +119,10 @@ class ThinLensCamera:
     def __post_init__(self):
         if self.film is None:
             object.__setattr__(self, "film", Film())
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
 
     def sample_ray(self, time, wavelength_sample, position_sample,
                    aperture_sample):

@@ -103,6 +103,72 @@ def cornell_box(width: int = 256, height: int = 256, rfilter=None,
     return make_scene(meshes, bsdfs, [light_emitter], sensor, use_bvh=use_bvh)
 
 
+def cornell_box_dict(width: int = 256, height: int = 256, spp: int = 64):
+    """The reference's scene dictionary verbatim (util.py:565), consumable
+    by load_dict — exercises the dict-loader path end to end."""
+    _t = lambda *ms: np.asarray(tf.compose(*ms), np.float32)
+    rgb = lambda v: {"type": "rgb", "value": v}
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 8},
+        "sensor": {
+            "type": "perspective",
+            "fov_axis": "smaller",
+            "near_clip": 0.001,
+            "far_clip": 100.0,
+            "fov": 39.3077,
+            "to_world": _t(tf.look_at([0, 0, 3.90], [0, 0, 0], [0, 1, 0])),
+            "sampler": {"type": "independent", "sample_count": spp},
+            "film": {"type": "hdrfilm", "width": width, "height": height,
+                     "rfilter": {"type": "gaussian"}},
+        },
+        "white": {"type": "diffuse",
+                  "reflectance": rgb([0.885809, 0.698859, 0.666422])},
+        "green": {"type": "diffuse",
+                  "reflectance": rgb([0.105421, 0.37798, 0.076425])},
+        "red": {"type": "diffuse",
+                "reflectance": rgb([0.570068, 0.0430135, 0.0443706])},
+        "light": {
+            "type": "rectangle",
+            "to_world": _t(tf.translate([0.0, 0.99, 0.01]),
+                           tf.rotate([1, 0, 0], 90),
+                           tf.scale([0.23, 0.19, 0.19])),
+            "bsdf": {"type": "ref", "id": "white"},
+            "emitter": {"type": "area",
+                        "radiance": rgb([18.387, 13.9873, 6.75357])},
+        },
+        "floor": {"type": "rectangle",
+                  "to_world": _t(tf.translate([0.0, -1.0, 0.0]),
+                                 tf.rotate([1, 0, 0], -90)),
+                  "bsdf": {"type": "ref", "id": "white"}},
+        "ceiling": {"type": "rectangle",
+                    "to_world": _t(tf.translate([0.0, 1.0, 0.0]),
+                                   tf.rotate([1, 0, 0], 90)),
+                    "bsdf": {"type": "ref", "id": "white"}},
+        "back": {"type": "rectangle",
+                 "to_world": _t(tf.translate([0.0, 0.0, -1.0])),
+                 "bsdf": {"type": "ref", "id": "white"}},
+        "green-wall": {"type": "rectangle",
+                       "to_world": _t(tf.translate([1.0, 0.0, 0.0]),
+                                      tf.rotate([0, 1, 0], -90)),
+                       "bsdf": {"type": "ref", "id": "green"}},
+        "red-wall": {"type": "rectangle",
+                     "to_world": _t(tf.translate([-1.0, 0.0, 0.0]),
+                                    tf.rotate([0, 1, 0], 90)),
+                     "bsdf": {"type": "ref", "id": "red"}},
+        "small-box": {"type": "cube",
+                      "to_world": _t(tf.translate([0.335, -0.7, 0.38]),
+                                     tf.rotate([0, 1, 0], -17),
+                                     tf.scale(0.3)),
+                      "bsdf": {"type": "ref", "id": "white"}},
+        "large-box": {"type": "cube",
+                      "to_world": _t(tf.translate([-0.33, -0.4, -0.28]),
+                                     tf.rotate([0, 1, 0], 18.25),
+                                     tf.scale([0.3, 0.61, 0.3])),
+                      "bsdf": {"type": "ref", "id": "white"}},
+    }
+
+
 def single_emitter_plane(width: int = 64, height: int = 64):
     """A diffuse floor lit by an area light — small analytic sanity scene."""
     white = SmoothDiffuse(reflectance=ConstantTexture(jnp.asarray([0.5, 0.5, 0.5])))
