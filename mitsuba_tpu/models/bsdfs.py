@@ -192,6 +192,65 @@ class SmoothDielectric:
 
 
 @pytree
+class DispersiveDielectric:
+    """[FORK] Smooth dielectric whose interior IOR is a differentiable
+    Cauchy model A + B/lambda^2 (src/bsdfs/dispersive_dielectric.cpp:205,
+    235-249).  Used on lens meshes in the lens-design workflow; requires
+    wavelength-carrying rays (spectral camera) — falls back to the nominal
+    589.3nm IOR for non-spectral rays, like the reference's scalar variants.
+    """
+
+    cauchy_A: jnp.ndarray  # ()
+    cauchy_B: jnp.ndarray  # () in um^2
+    ext_ior: jnp.ndarray   # ()
+    id: str = static("dispersive_dielectric")
+
+    flags = Flags.DeltaReflection | Flags.DeltaTransmission
+
+    def _eta(self, si):
+        if si.wavelengths.shape[-1] == 0:
+            lam_um = jnp.full(si.t.shape, 0.5893)
+        else:
+            lam_um = 0.001 * si.wavelengths[..., 0]
+        int_ior = self.cauchy_A + self.cauchy_B / jnp.square(lam_um)
+        return int_ior / self.ext_ior
+
+    def sample(self, si, sample1, sample2, active):
+        eta = self._eta(si)
+        cos_i = Frame.cos_theta(si.wi)
+        f, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_i, eta)
+        pick_reflect = sample1 <= f
+        wo = jnp.where(
+            pick_reflect[..., None], reflect(si.wi),
+            refract(si.wi, cos_t, eta_ti),
+        )
+        pdf = jnp.where(pick_reflect, f, 1.0 - f)
+        bs_eta = jnp.where(pick_reflect, 1.0, eta_it)
+        w = jnp.where(pick_reflect, 1.0, jnp.square(eta_ti))
+        ok = active & (pdf > 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=bs_eta,
+            delta=jnp.ones(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_reflect, Flags.DeltaReflection, Flags.DeltaTransmission
+            ).astype(jnp.int32),
+        )
+        weight = jnp.broadcast_to(w[..., None], w.shape + (3,))
+        return bs, jnp.where(ok[..., None], weight, 0.0)
+
+    def eval(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1] + (3,))
+
+    def pdf(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1])
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
 class RoughConductor:
     """GGX rough conductor with VNDF sampling
     (src/bsdfs/roughconductor.cpp:552 LoC)."""

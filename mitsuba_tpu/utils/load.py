@@ -155,6 +155,14 @@ def _make_bsdf(d):
         int_ior = _ior(d.get("int_ior"), 1.5046)
         ext_ior = _ior(d.get("ext_ior"), 1.000277)
         return SmoothDielectric(eta=jnp.asarray(int_ior / ext_ior))
+    if t == "dispersive_dielectric":
+        from ..models.bsdfs import DispersiveDielectric
+
+        return DispersiveDielectric(
+            cauchy_A=jnp.asarray(float(d.get("cauchy_A", 1.5046))),
+            cauchy_B=jnp.asarray(float(d.get("cauchy_B", 0.00420))),
+            ext_ior=jnp.asarray(_ior(d.get("ext_ior"), 1.000277)),
+        )
     raise ValueError(f"unsupported bsdf plugin {t!r}")
 
 
