@@ -90,6 +90,84 @@ class AreaEmitter:
         le = self.radiance.eval(_FakeSI(uv=ds.uv))
         return jnp.where((active & front)[..., None], le, 0.0)
 
+    def sample_position(self, time, sample2, geom):
+        """(PositionSample, weight=1/pdf) — Endpoint::sample_position."""
+        mesh, face_distr = geom
+        ps = mesh.sample_position_reuse(sample2, face_distr)
+        w = jnp.where(ps.pdf > 0.0, 1.0 / jnp.maximum(ps.pdf, 1e-20), 0.0)
+        return ps, w
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom):
+        """Emitter ray for particle tracing (area.cpp sample_ray):
+        area-uniform position x cosine-weighted direction;
+        weight = Le * pi / pdf_pos."""
+        mesh, face_distr = geom
+        ps = mesh.sample_position_reuse(position_sample, face_distr)
+        d_local = warp.square_to_cosine_hemisphere(direction_sample)
+        s, t, n = Frame.from_normal(ps.n)
+        d = Frame.to_world((s, t, n), d_local)
+        le = self.radiance.eval(_FakeSI(uv=ps.uv))
+        weight = le * (jnp.pi / jnp.maximum(ps.pdf, 1e-20))[..., None]
+        from ..core.records import Ray
+
+        ray = Ray.make(ps.p + 1e-5 * ps.n, d, time=time)
+        return ray, weight, ps
+
+
+@pytree
+class DirectionalAreaEmitter:
+    """[FORK-workload] Collimated surface emitter: radiates only along the
+    surface normal (src/emitters/directionalarea.cpp:198 — the field
+    source in the lens-design workflow, design_problem.py:57-69).
+    Delta in direction: cannot be hit or NEE-sampled; only particle
+    tracing (sample_ray) emits from it."""
+
+    radiance: object  # texture
+    shape_index: int = static(-1)
+    id: str = static("directionalarea")
+
+    is_delta = True
+    is_infinite = False
+
+    def eval(self, si, active):
+        return jnp.zeros(si.uv.shape[:-1] + (3,))
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        n = ref_p.shape[0]
+        ds = DirectionSample(
+            p=jnp.zeros((n, 3)), n=jnp.zeros((n, 3)), uv=jnp.zeros((n, 2)),
+            d=jnp.zeros((n, 3)), dist=jnp.zeros((n,)),
+            pdf=jnp.zeros((n,)), delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, jnp.zeros((n, 3))
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        return jnp.zeros(ds.pdf.shape)
+
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        return jnp.zeros(ds.d.shape[:-1] + (3,))
+
+    def sample_position(self, time, sample2, geom):
+        mesh, face_distr = geom
+        ps = mesh.sample_position_reuse(sample2, face_distr)
+        w = jnp.where(ps.pdf > 0.0, 1.0 / jnp.maximum(ps.pdf, 1e-20), 0.0)
+        return ps, w
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom):
+        """Collimated: direction == surface normal
+        (directionalarea.cpp sample_ray); weight = Le / pdf_pos."""
+        mesh, face_distr = geom
+        ps = mesh.sample_position_reuse(position_sample, face_distr)
+        le = self.radiance.eval(_FakeSI(uv=ps.uv))
+        weight = le / jnp.maximum(ps.pdf, 1e-20)[..., None]
+        from ..core.records import Ray
+
+        ray = Ray.make(ps.p + 1e-5 * ps.n, ps.n, time=time)
+        return ray, weight, ps
+
 
 @pytree
 class PointEmitter:
@@ -131,6 +209,24 @@ class PointEmitter:
         d2 = jnp.maximum(ds.dist * ds.dist, 1e-12)
         w = self.intensity / d2[..., None]
         return jnp.where(active[..., None], w, 0.0) if active is not None else w
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom=None):
+        """Uniform-sphere emission; weight = 4*pi*I (point.cpp)."""
+        n = direction_sample.shape[0]
+        d = warp.square_to_uniform_sphere(direction_sample)
+        from ..core.records import PositionSample, Ray
+
+        p = jnp.broadcast_to(self.position, (n, 3))
+        ray = Ray.make(p, d, time=time)
+        weight = jnp.broadcast_to(
+            4.0 * jnp.pi * self.intensity, (n, 3)
+        )
+        ps = PositionSample(
+            p=p, n=d, uv=jnp.zeros((n, 2)), pdf=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+        )
+        return ray, weight, ps
 
 
 @pytree
@@ -188,6 +284,31 @@ class ConstantEmitter:
         le = jnp.broadcast_to(self.radiance, ds.d.shape[:-1] + (3,))
         return jnp.where(active[..., None], le, 0.0) if active is not None else le
 
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom=None):
+        """Inward ray from the bounding sphere (constant.cpp sample_ray):
+        uniform sphere position x cosine-weighted inward direction."""
+        n = direction_sample.shape[0]
+        r = 1.01 * self.scene_radius
+        n_out = warp.square_to_uniform_sphere(position_sample)
+        p = self.scene_center + r * n_out
+        d_local = warp.square_to_cosine_hemisphere(direction_sample)
+        s, t, nn = Frame.from_normal(-n_out)
+        d = Frame.to_world((s, t, nn), d_local)
+        from ..core.records import PositionSample, Ray
+
+        ray = Ray.make(p, d, time=time)
+        # weight = Le * area * pi / (pdf_pos=1/area * pdf_dir=cos/pi)... the
+        # standard result: 4*pi^2*r^2*Le (constant.cpp)
+        area_w = 4.0 * jnp.pi**2 * r * r
+        weight = jnp.broadcast_to(self.radiance * area_w, (n, 3))
+        ps = PositionSample(
+            p=p, n=-n_out, uv=jnp.zeros((n, 2)),
+            pdf=jnp.full((n,), 1.0 / (4.0 * jnp.pi * r * r)),
+            delta=jnp.zeros((n,), bool),
+        )
+        return ray, weight, ps
+
 
 @pytree
 class DirectionalEmitter:
@@ -232,6 +353,31 @@ class DirectionalEmitter:
     def eval_direction(self, ref_p, ds, geom=None, active=None):
         le = jnp.broadcast_to(self.irradiance, ds.d.shape[:-1] + (3,))
         return jnp.where(active[..., None], le, 0.0) if active is not None else le
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom=None):
+        """Collimated ray from the scene's bounding disk
+        (directional.cpp sample_ray)."""
+        n = direction_sample.shape[0]
+        d = normalize(self.direction)
+        db = jnp.broadcast_to(d, (n, 3))
+        r = 1.01 * self.scene_radius
+        p_disk = warp.square_to_uniform_disk_concentric(position_sample) * r
+        s, t, nn = Frame.from_normal(db)
+        offset = s * p_disk[..., 0:1] + t * p_disk[..., 1:2]
+        p = self.scene_center - db * r + offset
+        from ..core.records import PositionSample, Ray
+
+        ray = Ray.make(p, db, time=time)
+        weight = jnp.broadcast_to(
+            self.irradiance * (jnp.pi * r * r), (n, 3)
+        )
+        ps = PositionSample(
+            p=p, n=db, uv=jnp.zeros((n, 2)),
+            pdf=jnp.full((n,), 1.0 / (jnp.pi * r * r)),
+            delta=jnp.zeros((n,), bool),
+        )
+        return ray, weight, ps
 
 
 class _FakeSI:

@@ -77,12 +77,16 @@ class ReconstructionFilter:
 
 
 def splat(pos, values, height: int, width: int, rfilter: ReconstructionFilter,
-          active=None):
+          active=None, normalize: bool = False):
     """Splat per-lane sample ``values`` at continuous film positions.
 
     pos: (N, 2) in pixel units — x in [0, W), y in [0, H), pixel centers at
     integer + 0.5.  values: (N, C).  Returns (H, W, C+1): C data channels +
     the accumulated filter-weight channel (imageblock.cpp put()).
+
+    ``normalize``: divide each sample's tap weights by their sum
+    (ImageBlock normalize mode — used by adjoint/particle tracing where
+    develop() does NOT divide by the weight channel, integrator.cpp:609).
     """
     n, c = values.shape
     sample_w = jnp.ones((n, 1), values.dtype)
@@ -107,6 +111,9 @@ def splat(pos, values, height: int, width: int, rfilter: ReconstructionFilter,
 
     # (N, K, K) weights; flat scatter indices, clipped (weights already 0).
     w = wy[:, :, None] * wx[:, None, :]
+    if normalize:
+        total = jnp.sum(w, axis=(1, 2), keepdims=True)
+        w = w / jnp.maximum(total, 1e-12)
     idx = (
         jnp.clip(ys, 0, height - 1)[:, :, None] * width
         + jnp.clip(xs, 0, width - 1)[:, None, :]
@@ -142,8 +149,9 @@ class Film:
     def size(self):
         return (self.width, self.height)
 
-    def put(self, pos, values, active=None):
-        return splat(pos, values, self.height, self.width, self.rfilter, active)
+    def put(self, pos, values, active=None, normalize=False):
+        return splat(pos, values, self.height, self.width, self.rfilter,
+                     active, normalize)
 
     def develop(self, image):
         return develop(image)

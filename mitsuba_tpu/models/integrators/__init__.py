@@ -3,3 +3,5 @@ from .path import PathIntegrator  # noqa: F401
 from .direct import DirectIntegrator  # noqa: F401
 from .depth import DepthIntegrator  # noqa: F401
 from .prb import PRBIntegrator, prb_render  # noqa: F401
+from .prb_basic import PRBBasicIntegrator  # noqa: F401
+from .ptracer import ParticleTracerIntegrator, render_ptracer  # noqa: F401

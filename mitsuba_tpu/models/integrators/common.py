@@ -92,6 +92,11 @@ def render(scene, integrator=None, seed: int = 0, spp: int | None = None,
     if integrator is None:
         integrator = scene.integrator
         assert integrator is not None, "scene has no integrator; pass one"
+    # adjoint (light-tracing) integrators use their own render loop
+    if getattr(integrator, "id", "") == "ptracer":
+        from .ptracer import render_ptracer
+
+        return render_ptracer(scene, integrator, seed=seed, spp=spp)
     sensor = scene.sensor
     film = sensor.film
     if spp is None:

@@ -272,6 +272,37 @@ class Scene:
         )
         return pdf * sel
 
+    def sample_emitter_ray(self, time, wavelength_sample, direction_sample,
+                           position_sample, active):
+        """Emit a particle-tracing ray from a randomly chosen emitter
+        (Scene::sample_emitter_ray; ptracer.cpp prepare_ray).
+
+        Returns (ray, weight = Le-related / (pdf * sel_pmf), PositionSample,
+        emitter_index per lane)."""
+        n = time.shape[0]
+        idx, u_re, sel_pmf = self.emitter_distr.sample_reuse_pmf(
+            wavelength_sample
+        )
+        ray = weight = ps = None
+        for i, e in enumerate(self.emitters):
+            m = active & (idx == i)
+            r_i, w_i, ps_i = e.sample_ray(
+                time, u_re, direction_sample, position_sample,
+                self._emitter_geom(i),
+            )
+            if ray is None:
+                ray, weight, ps = r_i, w_i, ps_i
+            else:
+                merge = lambda new, old: jnp.where(
+                    m.reshape(m.shape + (1,) * (new.ndim - m.ndim)), new, old
+                )
+                ray = jax.tree_util.tree_map(merge, r_i, ray)
+                ps = jax.tree_util.tree_map(merge, ps_i, ps)
+                weight = jnp.where(m[:, None], w_i, weight)
+        weight = weight / jnp.maximum(sel_pmf, 1e-20)[:, None]
+        weight = jnp.where(active[:, None], weight, 0.0)
+        return ray, weight, ps, idx
+
     # --------------------------------------------------- emitter evaluation
 
     def eval_emitter_hit(self, si, ref_p, active):

@@ -84,6 +84,51 @@ class PerspectiveCamera:
         y = (1.0 - 2.0 * v) * tx / aspect
         return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
+    def sample_direction(self, ref_p, sample2, active=None):
+        """NEE toward the pinhole (perspective.cpp:283-321): delta position
+        at the camera origin; importance = 1/(A_img * cos^3) / dist^2."""
+        from ..core.records import DirectionSample
+
+        n = ref_p.shape[0]
+        if active is None:
+            active = jnp.ones((n,), bool)
+        w, h = self.film.width, self.film.height
+        tx = _fov_to_tan_x(self.fov, self.fov_axis, w, h)
+        aspect = w / h
+        inv_w = tf.inverse(self.to_world)
+        local = tf.apply_point(inv_w, ref_p)
+        ok = active & (local[..., 2] >= self.near_clip) & (
+            local[..., 2] <= self.far_clip
+        )
+        z = jnp.where(jnp.abs(local[..., 2]) > 1e-12, local[..., 2], 1.0)
+        u = 0.5 - 0.5 * local[..., 0] / (z * tx)
+        v = 0.5 - 0.5 * local[..., 1] * aspect / (z * tx)
+        ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(local * local, axis=-1), 1e-20))
+        ct = local[..., 2] / dist
+        # image-plane rect at z=1: [-tx,tx] x [-tx/aspect, tx/aspect]
+        normalization = 1.0 / (4.0 * tx * tx / aspect)
+        importance = jnp.where(
+            ok & (ct > 0), normalization / jnp.maximum(ct, 1e-9) ** 3, 0.0
+        )
+        cam_p = jnp.broadcast_to(self.to_world[:3, 3], (n, 3))
+        d = (cam_p - ref_p) / dist[..., None]
+        ds = DirectionSample(
+            p=cam_p,
+            n=tf.apply_vector(self.to_world,
+                              jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                               (n, 3))),
+            uv=jnp.stack([u * w, v * h], axis=-1),
+            d=d,
+            dist=dist,
+            pdf=jnp.where(ok, 1.0, 0.0),
+            delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        weight = (importance / (dist * dist))[..., None] * jnp.ones((n, 3))
+        return ds, weight
+
     def sample_ray(self, time, wavelength_sample, position_sample,
                    aperture_sample):
         """Returns (Ray, importance weight (N,3))."""

@@ -85,6 +85,26 @@ class Mesh:
             p=p, n=n, uv=b, pdf=pdf, delta=jnp.zeros(p.shape[:-1], bool)
         )
 
+    def sample_position_reuse(self, sample2, face_distr: DiscreteDistribution):
+        """Position sample from ONE 2D sample: the face index consumes
+        sample2.x and the remainder is re-used for the barycentrics
+        (Shape::sample_position semantics via sample_reuse, shape.h:348)."""
+        fidx, u_re, _pmf = face_distr.sample_reuse_pmf(sample2[..., 0])
+        s2 = jnp.stack([u_re, sample2[..., 1]], axis=-1)
+        f = self.faces[fidx]
+        p0, p1, p2 = (self.vertices[f[:, 0]], self.vertices[f[:, 1]],
+                      self.vertices[f[:, 2]])
+        b = warp.square_to_uniform_triangle(s2)
+        p = (p0 * (1.0 - b[..., 0] - b[..., 1])[:, None]
+             + p1 * b[..., 0:1] + p2 * b[..., 1:2])
+        cr = cross(p1 - p0, p2 - p0)
+        n = normalize(cr)
+        area = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(cr**2, axis=-1), 0.0))
+        pdf = _pmf / jnp.maximum(area, 1e-20)
+        return PositionSample(
+            p=p, n=n, uv=b, pdf=pdf, delta=jnp.zeros(p.shape[:-1], bool)
+        )
+
 
 # --------------------------------------------------------------------------
 # Mesh generators (host-side numpy; reference plugins rectangle.cpp etc.)

@@ -77,8 +77,8 @@ def _spectrum(val, default=None):
         if t in ("rgb", "srgb"):
             return jnp.asarray(np.broadcast_to(
                 np.asarray(val["value"], np.float32), (3,)))
-        if t == "uniform":
-            return jnp.full((3,), float(val["value"]))
+        if t in ("uniform", "spectrum", "d65"):
+            return jnp.full((3,), float(val.get("value", 1.0)))
         raise ValueError(f"unsupported spectrum type {t!r}")
     if isinstance(val, (int, float)):
         return jnp.full((3,), float(val))
@@ -276,6 +276,21 @@ def _make_integrator(d):
     if t == "prb":
         return PRBIntegrator(max_depth=int(d.get("max_depth", 6)),
                              rr_depth=int(d.get("rr_depth", 5)))
+    if t == "prb_basic":
+        from ..models.integrators import PRBBasicIntegrator
+
+        return PRBBasicIntegrator(
+            max_depth=int(d.get("max_depth", 6)),
+            hide_emitters=bool(d.get("hide_emitters", False)),
+        )
+    if t == "ptracer":
+        from ..models.integrators import ParticleTracerIntegrator
+
+        return ParticleTracerIntegrator(
+            max_depth=int(d.get("max_depth", 8)),
+            rr_depth=int(d.get("rr_depth", 5)),
+            hide_emitters=bool(d.get("hide_emitters", False)),
+        )
     raise ValueError(f"unsupported integrator plugin {t!r}")
 
 
@@ -325,11 +340,20 @@ def load_dict(scene_dict: dict, use_bvh=None):
             em_idx = -1
             if "emitter" in val:
                 e = val["emitter"]
-                assert e["type"] == "area", e["type"]
                 em_idx = len(emitters)
-                emitters.append(AreaEmitter(
-                    radiance=_texture(e.get("radiance"), [1.0, 1.0, 1.0])
-                ))
+                if e["type"] == "area":
+                    emitters.append(AreaEmitter(
+                        radiance=_texture(e.get("radiance"), [1.0, 1.0, 1.0])
+                    ))
+                elif e["type"] == "directionalarea":
+                    from ..models.emitters import DirectionalAreaEmitter
+
+                    emitters.append(DirectionalAreaEmitter(
+                        radiance=_texture(e.get("radiance"), [1.0, 1.0, 1.0])
+                    ))
+                else:
+                    raise ValueError(
+                        f"unsupported shape emitter {e['type']!r}")
             b_idx = bsdf_index_of(val.get("bsdf"))
             val = dict(val, id=val.get("id", key))
             meshes.append(_make_shape_mesh(val, b_idx, em_idx))
