@@ -22,7 +22,7 @@ def cross(a, b):
 
 
 def norm(v, keepdims=False):
-    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 0.0))
+    return safe_sqrt(dot(v, v, keepdims=keepdims))
 
 
 def normalize(v):
@@ -34,7 +34,13 @@ def rsqrt_safe(x, eps=1e-20):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a NaN-free gradient.
+
+    d/dx sqrt(max(x, 0)) is 0*inf = NaN for x <= 0 under reverse AD; the
+    double-where makes the masked branch's gradient exactly zero (the
+    standard JAX safe-function idiom — dr::safe_sqrt equivalent)."""
+    valid = x > 0.0
+    return jnp.where(valid, jnp.sqrt(jnp.where(valid, x, 1.0)), 0.0)
 
 
 def safe_rcp(x, eps=1e-20):

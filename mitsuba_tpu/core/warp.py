@@ -55,7 +55,7 @@ def uniform_disk_to_square_concentric(p):
       |theta| >= 3pi/4        -> a = -rho, b = -rho*(theta - sign pi)/(pi/4)
       -3pi/4 < theta < -pi/4  -> b = -rho, a = -rho*(pi/2-(theta+pi))/(pi/4)
     """
-    rho = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=-1), 0.0))
+    rho = jnp.sqrt(jnp.maximum(jnp.sum(p * p, axis=-1), 1e-30))
     theta = jnp.arctan2(p[..., 1], p[..., 0])
     q = jnp.pi / 4.0
     r1 = jnp.abs(theta) <= q

@@ -14,3 +14,7 @@ from .camera import (  # noqa: F401
     make_lens_camera,
     thick_lens_approximation,
 )
+from .surfaces import ConicSurface, EvenAsphericSurface  # noqa: F401
+from .lens_system import LensMaterial, LensSystem  # noqa: F401
+from .losses import rms_loss, rms_loss_and_center  # noqa: F401
+from .design import DesignProblem, FieldSource  # noqa: F401

@@ -275,7 +275,8 @@ class RealisticLensCamera:
 
         normalization = 1.0 / (4.0 * hx * hy)
         ct_film = -out.d[..., 2]
-        inv_ct = 1.0 / jnp.where(jnp.abs(ct_film) > 1e-9, ct_film, 1.0)
+        ok = ok & (jnp.abs(ct_film) > 1e-6)
+        inv_ct = 1.0 / jnp.where(ok, ct_film, 1.0)
         value = jnp.where(
             ok, normalization * inv_ct**4 * self.rear_z**2, 0.0
         )

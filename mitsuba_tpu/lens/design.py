@@ -1,0 +1,301 @@
+"""Lens-design optimization: field sources + the DesignProblem driver.
+
+Reference: notebooks/scripts/lens_design/design_problem.py [FORK] —
+``FieldSource`` (collimated disk + directionalarea emitter per field
+angle, small perspective sensor dynamically positioned behind the lens
+via the geometric tracer, design_problem.py:12-267); ``DesignProblem``
+(two scenes: a prb_basic geometric-tracer scene and a ptracer render
+scene :364-420; Adam loop: render per sensor -> RMS spot loss ->
+backward -> step -> re-mesh lens geometry :495-586);
+``ConstrainedEFLProblem`` (fixed-EFL optimization :656).
+
+TPU design: one jitted loss function closes the whole chain — parameter
+pytree -> surfaces/materials -> differentiable re-mesh -> differentiable
+ptracer render (lax.scan) -> RMS loss — so jax.grad replaces the
+reference's dr.backward through the Dr.Jit graph.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import transform as tf
+from ..core.records import Ray
+from ..models.bsdfs import SmoothDiffuse
+from ..models.emitters import DirectionalAreaEmitter
+from ..models.film import Film, ReconstructionFilter
+from ..models.integrators import (
+    ParticleTracerIntegrator,
+    PRBBasicIntegrator,
+    render,
+)
+from ..models.scene import make_scene
+from ..models.sensors import PerspectiveCamera
+from ..models.shapes import Mesh, disk_mesh, rectangle
+from ..models.textures import ConstantTexture
+from ..utils.optimizers import Adam
+from .lens_system import LensSystem
+from .losses import rms_loss
+
+_F32 = lambda x: np.asarray(x, np.float32)
+
+
+class FieldSource:
+    """One collimated field-angle source + its spot-observing sensor
+    (design_problem.py:12-267)."""
+
+    def __init__(self, name, origin, target, radius, resolution=(64, 64),
+                 fov=45.0, init_camera_z=0.9, radiance=0.05):
+        self.name = name
+        self.origin = np.asarray(origin, np.float32)
+        self.target = np.asarray(target, np.float32)
+        self.radius = float(radius)
+        self.resolution = resolution
+        self.fov = fov
+        self.init_camera_z = init_camera_z
+        self.radiance = radiance
+        self.camera_pos = None
+
+    def central_ray(self):
+        d = self.target - self.origin
+        d = d / np.linalg.norm(d)
+        return Ray.make(jnp.asarray(self.origin[None]),
+                        jnp.asarray(d[None]))
+
+    def source_mesh_emitter(self, emitter_index):
+        """Disk + directionalarea emitter aimed at ``target``
+        (design_problem.py:57-69)."""
+        look = tf.look_at(self.origin, self.target, [0, 1, 0])
+        m = np.asarray(tf.compose(look, tf.scale(self.radius)), np.float32)
+        mesh = Mesh.make(
+            *disk_mesh(n_seg=32, to_world=m),
+            bsdf_index=0,  # black
+            emitter_index=emitter_index,
+            id=f"source_{self.name}",
+        )
+        em = DirectionalAreaEmitter(
+            radiance=ConstantTexture(jnp.full((3,), self.radiance))
+        )
+        return mesh, em
+
+    def make_sensor(self, geo_tracer, lens_system):
+        """Position the spot camera using the central geometric ray
+        (design_problem.py:192-247 get_sensor_dict)."""
+        _, _, valid, film_p = geo_tracer(self.central_ray())
+        if not bool(valid[0]):
+            raise AssertionError(
+                f"source {self.name}: central ray was not transmitted")
+        film_p = np.asarray(film_p[0])
+        near_clip = min(0.005, float(lens_system.rear_z) * 0.1)
+        z_cam = max(self.init_camera_z * float(lens_system.rear_z),
+                    1.1 * near_clip)
+        self.camera_pos = np.array([film_p[0], film_p[1], z_cam], np.float32)
+        to_world = tf.look_at(
+            self.camera_pos,
+            [self.camera_pos[0], self.camera_pos[1], -1.0],
+            [0, 1, 0],
+        )
+        film = Film(width=self.resolution[0], height=self.resolution[1],
+                    rfilter=ReconstructionFilter.tent())
+        return PerspectiveCamera(
+            to_world=jnp.asarray(to_world), film=film, fov=self.fov,
+            near_clip=near_clip, far_clip=z_cam + 1.0,
+        )
+
+
+class DesignProblem:
+    """End-to-end lens optimization (design_problem.py:280-654)."""
+
+    def __init__(self, lens_system: LensSystem, resolution=(64, 64),
+                 spp=256, learning_rate=2e-3, iters=50,
+                 film_diagonal=35.0, num_sources=1, max_field_angle=5.0,
+                 init_camera_z=0.9, loss_scale=1e4, seed=0,
+                 sensor_fov=45.0):
+        self.lens_system = lens_system
+        self.resolution = resolution
+        self.spp = spp
+        self.lr = learning_rate
+        self.iters = iters
+        self.film_diagonal = film_diagonal
+        self.num_sources = num_sources
+        self.max_field_angle = max_field_angle
+        self.init_camera_z = init_camera_z
+        self.loss_scale = loss_scale
+        self.seed = seed
+        self.sensor_fov = sensor_fov
+        self.loss_history = []
+
+    # ------------------------------------------------------------ scene
+
+    def _film_plane_mesh(self):
+        """White screen at z=0 (design_problem.py:382-396)."""
+        m = np.asarray(
+            tf.compose(tf.scale([self.film_diagonal, self.film_diagonal, 1.0])),
+            np.float32,
+        )
+        return Mesh.make(*rectangle(m), bsdf_index=1, id="film_plane")
+
+    def _sources(self):
+        """Evenly spaced field angles aiming at the front vertex
+        (FieldSource.createSourceArray)."""
+        ls = self.lens_system
+        front_z = float(ls.front_z)
+        dist = 2.0 * front_z
+        srcs = []
+        angles = (
+            [0.0] if self.num_sources == 1
+            else list(np.linspace(0.0, self.max_field_angle,
+                                  self.num_sources))
+        )
+        for k, ang in enumerate(angles):
+            th = np.deg2rad(ang)
+            origin = np.array(
+                [-dist * np.sin(th), 0.0, front_z + dist * np.cos(th)],
+                np.float32,
+            )
+            target = np.array([0.0, 0.0, front_z], np.float32)
+            srcs.append(FieldSource(
+                name=str(k), origin=origin, target=target,
+                radius=0.5 * ls.front_radial_extent,
+                resolution=self.resolution,
+                fov=self.sensor_fov,
+                init_camera_z=self.init_camera_z,
+            ))
+        return srcs
+
+    def build(self):
+        """Construct lens meshes, the geo tracer, sources and sensors."""
+        ls = self.lens_system
+        black = SmoothDiffuse(reflectance=ConstantTexture(jnp.zeros(3)))
+        white = SmoothDiffuse(reflectance=ConstantTexture(jnp.ones(3)))
+
+        lens_meshes, lens_bsdfs, templates = ls.build_elements(bsdf_offset=2)
+        self.templates = templates
+        self.n_base_meshes = 1  # film plane before lens meshes
+        base_bsdfs = [black, white]
+
+        film_plane = self._film_plane_mesh()
+
+        # geometric-tracer scene (prb_basic; design_problem.py:416)
+        geo_meshes = [film_plane] + lens_meshes
+        dummy_cam = PerspectiveCamera(to_world=jnp.eye(4))
+        geo_scene = make_scene(geo_meshes, base_bsdfs + lens_bsdfs, [],
+                               dummy_cam, use_bvh=False)
+        trace_depth = ls.size() + 1
+        geo_integ = PRBBasicIntegrator(max_depth=trace_depth + 2)
+        geo_tracer = lambda ray: geo_integ.trace(geo_scene, ray, trace_depth)
+        self.geo_scene = geo_scene
+        self.geo_tracer = geo_tracer
+
+        # render scene: film plane + lenses + sources; one scene per sensor
+        self.sources = self._sources()
+        emitters = []
+        src_meshes = []
+        for s in self.sources:
+            mesh, em = s.source_mesh_emitter(len(emitters))
+            src_meshes.append(mesh)
+            emitters.append(em)
+        self.sensors = [s.make_sensor(geo_tracer, ls) for s in self.sources]
+
+        meshes = [film_plane] + lens_meshes + src_meshes
+        self.base_scene = make_scene(
+            meshes, base_bsdfs + lens_bsdfs, emitters, self.sensors[0],
+            use_bvh=False,
+            integrator=ParticleTracerIntegrator(
+                max_depth=ls.size() + 2, rr_depth=64),
+        )
+        return self
+
+    # ------------------------------------------------------- optimization
+
+    def params(self):
+        """Differentiable parameter pytree: per-surface shape params +
+        per-material glass params (LensSystem.add_to_optimizer)."""
+        p = {}
+        for i, s in enumerate(self.lens_system.surfaces):
+            for k, v in s.params.items():
+                p[f"lens{i}_{k}"] = v
+        for m in self.lens_system.materials:
+            if not m.is_air:
+                p[f"mat_{m.name}_ior"] = m.ior
+                p[f"mat_{m.name}_V_d"] = m.V_d
+        return p
+
+    def apply_params(self, p):
+        """Parameter pytree -> new LensSystem (functional update)."""
+        ls = self.lens_system
+        surfaces = []
+        for i, s in enumerate(ls.surfaces):
+            upd = {k: p[f"lens{i}_{k}"] for k in s.params
+                   if f"lens{i}_{k}" in p}
+            surfaces.append(s.with_params(upd))
+        materials = []
+        for m in ls.materials:
+            if m.is_air or f"mat_{m.name}_ior" not in p:
+                materials.append(m)
+            else:
+                materials.append(m.replace(
+                    ior=p[f"mat_{m.name}_ior"], V_d=p[f"mat_{m.name}_V_d"]
+                ))
+        return ls.replace(surfaces=tuple(surfaces),
+                          materials=tuple(materials))
+
+    def scene_for(self, p, sensor_index):
+        """Differentiable scene reconstruction from params."""
+        ls = self.apply_params(p)
+        scene = self.base_scene
+        meshes = ls.remesh(list(scene.meshes), self.templates,
+                           mesh_offset=self.n_base_meshes)
+        bsdfs = ls.update_bsdfs(list(scene.bsdfs), bsdf_offset=2)
+        return scene.replace(
+            meshes=tuple(meshes), bsdfs=tuple(bsdfs),
+            sensor=self.sensors[sensor_index],
+        ), ls
+
+    def loss(self, p, seed):
+        total = 0.0
+        for si in range(len(self.sensors)):
+            scene, _ = self.scene_for(p, si)
+            img = render(scene, seed=seed, spp=self.spp)
+            total = total + self.loss_scale * rms_loss(img)
+        return total / len(self.sensors)
+
+    def optimize(self, fixed_efl=None, verbose=False, lr_overrides=None):
+        """Adam loop (design_problem.py:495-586).  ``fixed_efl``: hold the
+        effective focal length by solving the rear surface per step
+        (ConstrainedEFLProblem, :656).  ``lr_overrides``: per-parameter
+        learning rates (Optimizer.set_learning_rate)."""
+        p = self.params()
+        if fixed_efl is not None:
+            p.pop("lens0_c", None)
+            p.pop("lens0_z0", None)
+
+        def loss_fn(p, seed):
+            if fixed_efl is not None:
+                ls = self.apply_params(p)
+                rear = ls.rear_surface_params_for_EFL(fixed_efl)
+                p = dict(p)
+                p["lens0_c"] = rear["c"]
+                p["lens0_z0"] = rear["z0"]
+            return self.loss(p, seed)
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        opt = Adam(lr=self.lr)
+        if lr_overrides:
+            opt.set_learning_rate(lr_overrides)
+        state = opt.init(p)
+        for it in range(self.iters):
+            val, g = grad_fn(p, self.seed + it)
+            p, state = opt.step(p, g, state)
+            self.loss_history.append(float(val))
+            if verbose:
+                print(f"iter {it:3d}: loss = {float(val):.5f}")
+        if fixed_efl is not None:
+            ls = self.apply_params(p)
+            rear = ls.rear_surface_params_for_EFL(fixed_efl)
+            p["lens0_c"] = rear["c"]
+            p["lens0_z0"] = rear["z0"]
+        self.final_params = p
+        self.lens_system = self.apply_params(p)
+        return p

@@ -76,7 +76,7 @@ class SpheroidLens:
         perp2 = dot(p_local, p_local) - center_proj**2
         disc = self.curvature_radius**2 - perp2
         valid = disc >= 0.0
-        sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sqrt_disc = jnp.sqrt(jnp.where(valid, disc, 1.0)) * valid
         near_t = center_proj - sqrt_disc
         far_t = center_proj + sqrt_disc
         valid &= far_t >= 0.0
@@ -200,7 +200,7 @@ class AsphericalLens:
 
     def _sag_grad_unitless(self, r2_):
         """d z_/d r_ (realisticlens.cpp _eval_asph_grad)."""
-        r_ = jnp.sqrt(jnp.maximum(r2_, 0.0))
+        r_ = jnp.sqrt(jnp.maximum(r2_, 1e-20))
         cr = self.c_unitless * r_
         sqr_term = 1.0 - (1.0 + self.kappa) * cr**2
         dz = cr / jnp.sqrt(jnp.maximum(sqr_term, 1e-12))
@@ -239,7 +239,7 @@ class AsphericalLens:
         lin = jnp.abs(A) < 1e-12
         disc = B * B - 4.0 * A * C
         valid = lin | (disc >= 0.0)
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = jnp.sqrt(jnp.where(disc >= 0.0, disc, 1.0)) * (disc >= 0.0)
         q = -0.5 * (B + jnp.sign(B) * sq)
         t0q = q / jnp.where(jnp.abs(A) > 1e-20, A, 1.0)
         t1q = C / jnp.where(jnp.abs(q) > 1e-20, q, 1.0)

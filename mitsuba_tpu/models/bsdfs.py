@@ -191,18 +191,29 @@ class SmoothDielectric:
         return self.eval(si, wo, active), self.pdf(si, wo, active)
 
 
+def cauchy_from_abbe(ior_d, V_d):
+    """(n_d, Abbe V_d) -> Cauchy (A, B[um^2])
+    (dispersive_dielectric.cpp:425-431 eval_ior)."""
+    denom = 1.0 / 0.48613**2 - 1.0 / 0.65627**2
+    B = jnp.where(V_d > 1e-7, (ior_d - 1.0) / (V_d * denom), 0.0)
+    A = ior_d - B / 0.5893**2
+    return A, B
+
+
 @pytree
 class DispersiveDielectric:
-    """[FORK] Smooth dielectric whose interior IOR is a differentiable
-    Cauchy model A + B/lambda^2 (src/bsdfs/dispersive_dielectric.cpp:205,
-    235-249).  Used on lens meshes in the lens-design workflow; requires
-    wavelength-carrying rays (spectral camera) — falls back to the nominal
-    589.3nm IOR for non-spectral rays, like the reference's scalar variants.
+    """[FORK] Smooth dielectric whose interior AND exterior IORs follow
+    differentiable Cauchy models parameterized by (n_d, Abbe number), the
+    reference's exposed params (src/bsdfs/dispersive_dielectric.cpp:205,
+    235-249: int_ior_d/int_V_d/ext_ior_d/ext_V_d).  Used on lens meshes in
+    the lens-design workflow; falls back to the nominal 589.3nm IOR for
+    non-spectral rays, like the reference's scalar variants.
     """
 
-    cauchy_A: jnp.ndarray  # ()
-    cauchy_B: jnp.ndarray  # () in um^2
-    ext_ior: jnp.ndarray   # ()
+    int_ior_d: jnp.ndarray  # () n_d of the interior glass
+    int_V_d: jnp.ndarray    # () Abbe number (0 = non-dispersive)
+    ext_ior_d: jnp.ndarray  # ()
+    ext_V_d: jnp.ndarray    # ()
     id: str = static("dispersive_dielectric")
 
     flags = Flags.DeltaReflection | Flags.DeltaTransmission
@@ -212,8 +223,10 @@ class DispersiveDielectric:
             lam_um = jnp.full(si.t.shape, 0.5893)
         else:
             lam_um = 0.001 * si.wavelengths[..., 0]
-        int_ior = self.cauchy_A + self.cauchy_B / jnp.square(lam_um)
-        return int_ior / self.ext_ior
+        ia, ib = cauchy_from_abbe(self.int_ior_d, self.int_V_d)
+        ea, eb = cauchy_from_abbe(self.ext_ior_d, self.ext_V_d)
+        inv_l2 = 1.0 / jnp.square(lam_um)
+        return (ia + ib * inv_l2) / (ea + eb * inv_l2)
 
     def sample(self, si, sample1, sample2, active):
         eta = self._eta(si)

@@ -93,6 +93,11 @@ def splat(pos, values, height: int, width: int, rfilter: ReconstructionFilter,
     if active is not None:
         values = jnp.where(active[:, None], values, 0.0)
         sample_w = jnp.where(active[:, None], sample_w, 0.0)
+    # sanitize positions: inactive lanes may carry inf/NaN film positions
+    # (e.g. failed sensor connections); NaN*0 would poison the scatter-add
+    bound = float(max(width, height)) + rfilter.radius + 2.0
+    pos = jnp.clip(jnp.nan_to_num(pos, nan=-bound, posinf=bound,
+                                  neginf=-bound), -bound, bound)
     k = rfilter.n_taps
     # First pixel whose center (i + 0.5) may lie within the filter radius.
     lo_x = jnp.ceil(pos[:, 0] - rfilter.radius - 0.5).astype(jnp.int32)
@@ -111,6 +116,8 @@ def splat(pos, values, height: int, width: int, rfilter: ReconstructionFilter,
 
     # (N, K, K) weights; flat scatter indices, clipped (weights already 0).
     w = wy[:, :, None] * wx[:, None, :]
+    if active is not None:
+        w = w * active[:, None, None]
     if normalize:
         total = jnp.sum(w, axis=(1, 2), keepdims=True)
         w = w / jnp.maximum(total, 1e-12)

@@ -188,8 +188,11 @@ class ParticleTracerIntegrator:
             )
 
         # ---- random walk (trace_light_ray, ptracer.cpp:204-278) ----
+        # NOTE: a fixed-trip-count lax.scan (not while_loop) so that the
+        # whole light-tracing estimator is reverse-differentiable — the
+        # lens-design workflow backpropagates through this render
+        # (design_problem.py:547 dr.backward through the ptracer).
         state = dict(
-            depth=jnp.int32(1),
             ray=ray,
             beta=throughput,
             eta=jnp.ones((n,)),
@@ -197,11 +200,7 @@ class ParticleTracerIntegrator:
             img=img,
         )
 
-        def cond(s):
-            return (s["depth"] < self.max_depth) & jnp.any(s["active"])
-
-        def body(s):
-            depth = s["depth"]
+        def body(s, depth):
             act = s["active"]
             si = scene.ray_intersect(s["ray"], act)
             act = act & si.is_valid()
@@ -225,8 +224,10 @@ class ParticleTracerIntegrator:
             new_ray = si.spawn_ray(si.to_world(bs.wo))
             act = act & (bs.pdf > 0.0) & jnp.any(beta > 0.0, axis=-1)
 
-            # russian roulette (ptracer.cpp:266-276)
-            beta_max = jnp.max(beta, axis=-1) * eta * eta
+            # russian roulette (ptracer.cpp:266-276); probabilities detached
+            beta_max = jax.lax.stop_gradient(
+                jnp.max(beta, axis=-1) * eta * eta
+            )
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_active = depth + 1 >= self.rr_depth
             u = rng.sample_1d(seed, lane, _bdim(depth, SLOT_RR))
@@ -237,10 +238,12 @@ class ParticleTracerIntegrator:
             )
             act = act & survive
 
-            return dict(depth=depth + 1, ray=new_ray, beta=beta, eta=eta,
-                        active=act, img=img2)
+            return dict(ray=new_ray, beta=beta, eta=eta, active=act,
+                        img=img2), None
 
-        out = jax.lax.while_loop(cond, body, state)
+        out, _ = jax.lax.scan(
+            body, state, jnp.arange(1, self.max_depth, dtype=jnp.int32)
+        )
         return out["img"]
 
 

@@ -109,9 +109,11 @@ class PerspectiveCamera:
         ct = local[..., 2] / dist
         # image-plane rect at z=1: [-tx,tx] x [-tx/aspect, tx/aspect]
         normalization = 1.0 / (4.0 * tx * tx / aspect)
-        importance = jnp.where(
-            ok & (ct > 0), normalization / jnp.maximum(ct, 1e-9) ** 3, 0.0
-        )
+        # double-where: evaluating 1/ct^3 on invalid lanes would produce
+        # inf/NaN adjoints (ct^6 underflows in f32)
+        ok_ct = ok & (ct > 1e-6)
+        ct_safe = jnp.where(ok_ct, ct, 1.0)
+        importance = jnp.where(ok_ct, normalization / ct_safe**3, 0.0)
         cam_p = jnp.broadcast_to(self.to_world[:3, 3], (n, 3))
         d = (cam_p - ref_p) / dist[..., None]
         ds = DirectionSample(

@@ -58,7 +58,7 @@ class Mesh:
         e1 = tri[:, 1] - tri[:, 0]
         e2 = tri[:, 2] - tri[:, 0]
         return 0.5 * jnp.sqrt(
-            jnp.maximum(jnp.sum(cross(e1, e2) ** 2, axis=-1), 0.0)
+            jnp.maximum(jnp.sum(cross(e1, e2) ** 2, axis=-1), 1e-30)
         )
 
     def surface_area(self):
@@ -77,7 +77,7 @@ class Mesh:
         )
         n = normalize(cross(p1 - p0, p2 - p0))
         area = 0.5 * jnp.sqrt(
-            jnp.maximum(jnp.sum(cross(p1 - p0, p2 - p0) ** 2, axis=-1), 0.0)
+            jnp.maximum(jnp.sum(cross(p1 - p0, p2 - p0) ** 2, axis=-1), 1e-30)
         )
         # pdf over the whole mesh surface (area measure)
         pdf = face_pmf / jnp.maximum(area, 1e-20)
@@ -99,7 +99,7 @@ class Mesh:
              + p1 * b[..., 0:1] + p2 * b[..., 1:2])
         cr = cross(p1 - p0, p2 - p0)
         n = normalize(cr)
-        area = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(cr**2, axis=-1), 0.0))
+        area = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(cr**2, axis=-1), 1e-30))
         pdf = _pmf / jnp.maximum(area, 1e-20)
         return PositionSample(
             p=p, n=n, uv=b, pdf=pdf, delta=jnp.zeros(p.shape[:-1], bool)

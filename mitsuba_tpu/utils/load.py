@@ -52,7 +52,8 @@ IOR_NAMES = {
 
 BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "thindielectric", "roughdielectric", "plastic", "roughplastic",
-              "twosided", "mask", "null", "dispersive_dielectric"}
+              "twosided", "mask", "null", "dispersive_dielectric",
+              "dispersive"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "obj", "ply", "mesh"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
                  "directionalarea"}
@@ -155,13 +156,14 @@ def _make_bsdf(d):
         int_ior = _ior(d.get("int_ior"), 1.5046)
         ext_ior = _ior(d.get("ext_ior"), 1.000277)
         return SmoothDielectric(eta=jnp.asarray(int_ior / ext_ior))
-    if t == "dispersive_dielectric":
+    if t in ("dispersive_dielectric", "dispersive"):
         from ..models.bsdfs import DispersiveDielectric
 
         return DispersiveDielectric(
-            cauchy_A=jnp.asarray(float(d.get("cauchy_A", 1.5046))),
-            cauchy_B=jnp.asarray(float(d.get("cauchy_B", 0.00420))),
-            ext_ior=jnp.asarray(_ior(d.get("ext_ior"), 1.000277)),
+            int_ior_d=jnp.asarray(float(d.get("int_ior", 1.5046))),
+            int_V_d=jnp.asarray(float(d.get("int_V_d", 64.17))),
+            ext_ior_d=jnp.asarray(float(d.get("ext_ior", 1.000277))),
+            ext_V_d=jnp.asarray(float(d.get("ext_V_d", 0.0))),
         )
     raise ValueError(f"unsupported bsdf plugin {t!r}")
 

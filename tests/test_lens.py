@@ -191,8 +191,8 @@ def test_dispersive_dielectric_bsdf():
     from mitsuba_tpu.core.records import SurfaceInteraction
 
     b = DispersiveDielectric(
-        cauchy_A=jnp.asarray(1.5046), cauchy_B=jnp.asarray(0.0042),
-        ext_ior=jnp.asarray(1.0),
+        int_ior_d=jnp.asarray(1.5168), int_V_d=jnp.asarray(64.17),
+        ext_ior_d=jnp.asarray(1.0), ext_V_d=jnp.asarray(0.0),
     )
     n = 64
     wi = jnp.broadcast_to(

@@ -1,0 +1,105 @@
+"""[FORK] lens-design toolkit tests (BASELINE config 5 scaled down).
+
+Mirrors the reference notebooks' validation: paraxial vs exact tracing
+(design_problem.py:430 __test_geo_tracer), fixed-EFL constraint solve,
+and gradient-driven spot-size reduction (doublet experiment shape).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.lens import (
+    ConicSurface,
+    DesignProblem,
+    LensMaterial,
+    LensSystem,
+    rms_loss,
+)
+
+
+def _singlet(z0=22.0, R=24.0, n_rings=8, n_sectors=16):
+    glass = LensMaterial.create("nbk7", ior=1.5168, V_d=64.17)
+    surfs = [ConicSurface.create(8.0, -1.0 / R, 0.0, z0),
+             ConicSurface.create(8.0, +1.0 / R, 0.0, z0 + 4.0)]
+    return LensSystem.create(surfs, [glass], n_rings=n_rings,
+                             n_sectors=n_sectors)
+
+
+def test_paraxial_efl_matches_lensmaker():
+    ls = _singlet()
+    efl = float(ls.compute_EFL())
+    # thick-lens formula: 1/f = (n-1)[1/R1 - 1/R2 + (n-1)d/(n R1 R2)]
+    n, R, d = 1.5168, 24.0, 4.0
+    inv_f = (n - 1) * (2.0 / R - (n - 1) * d / (n * R * R))
+    assert abs(efl - 1.0 / inv_f) < 0.05, (efl, 1.0 / inv_f)
+
+
+def test_paraxial_vs_exact_trace():
+    """Paraxial front->film trace vs the geometric mesh tracer for
+    near-axis rays (design_problem.py:430)."""
+    ls = _singlet(n_rings=16, n_sectors=32)
+    dp = DesignProblem(ls, resolution=(8, 8), spp=4, iters=1)
+    dp.build()
+    z_init = float(ls.front_z) * 1.2
+    r = 0.02
+    from mitsuba_tpu.core.records import Ray
+
+    ray = Ray.make(jnp.asarray([[r, 0.0, z_init]]),
+                   jnp.asarray([[0.0, 0.0, -1.0]]))
+    _, _, valid, p = dp.geo_tracer(ray)
+    assert bool(valid[0])
+    y_exact = float(p[0, 0])
+    yu = ls.trace_paraxial_front2film(jnp.asarray([r, 0.0]))
+    # mesh discretization limits the agreement; the sign + magnitude match
+    assert abs(y_exact - float(yu[0])) < 5e-3, (y_exact, float(yu[0]))
+
+
+def test_fixed_efl_constraint_solve():
+    """rear_surface_params_for_EFL must make compute_EFL() == target."""
+    ls = _singlet()
+    target = 21.0
+    rear = ls.rear_surface_params_for_EFL(target)
+    s0 = ls.surfaces[0].with_params(rear)
+    ls2 = ls.replace(surfaces=(s0,) + ls.surfaces[1:])
+    assert abs(float(ls2.compute_EFL()) - target) < 1e-2
+
+
+def test_pupils_finite():
+    ls = _singlet()
+    z_ex, z_en, r_ex, r_en = ls.compute_pupils()
+    for v in (z_ex, z_en, r_ex, r_en):
+        assert np.isfinite(float(v))
+
+
+@pytest.mark.slow
+def test_design_gradient_matches_fd():
+    # defocused start + zoomed-in sensor -> non-degenerate loss landscape
+    ls = _singlet(z0=20.0)
+    dp = DesignProblem(ls, resolution=(24, 24), spp=128, iters=1,
+                       sensor_fov=10.0)
+    dp.build()
+    p = dp.params()
+    g = jax.grad(dp.loss)(p, 0)
+    eps = 2e-3
+    pp = dict(p, lens0_c=p["lens0_c"] + eps)
+    pm = dict(p, lens0_c=p["lens0_c"] - eps)
+    fd = (float(dp.loss(pp, 0)) - float(dp.loss(pm, 0))) / (2 * eps)
+    ad = float(g["lens0_c"])
+    assert abs(ad - fd) < 0.1 * abs(fd) + 1e-3, (ad, fd)
+
+
+@pytest.mark.slow
+def test_defocus_recovery():
+    """Start 2mm defocused; optimizing z0 must shrink the RMS spot."""
+    ls = _singlet(z0=20.0)
+    dp = DesignProblem(ls, resolution=(24, 24), spp=96,
+                       learning_rate=2e-3, iters=25, num_sources=1,
+                       sensor_fov=10.0)
+    dp.build()
+    # axial position moves mm-scale; shape/material params stay gentle
+    dp.optimize(lr_overrides={"lens0_z0": 0.12, "lens1_z0": 0.12})
+    h = dp.loss_history
+    start = np.mean(h[:3])
+    end = np.mean(h[-3:])
+    assert end < 0.55 * start, (start, end)
