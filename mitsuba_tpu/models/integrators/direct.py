@@ -39,7 +39,8 @@ class DirectIntegrator:
         weight_bs = 1.0 / max(self.bsdf_samples, 1)
 
         L = jnp.zeros((n, 3))
-        si = scene.ray_intersect(ray, active)
+        ctx = scene.trace_ctx()
+        si = scene.ray_intersect(ray, active, ctx)
 
         # directly visible emitters / environment
         if not self.hide_emitters:
@@ -55,7 +56,7 @@ class DirectIntegrator:
         for k in range(self.emitter_samples):
             s1 = rng.sample_1d(seed, lane, bounce_dim(k, SLOT_EM_SELECT))
             s2 = rng.sample_2d(seed, lane, bounce_dim(k, SLOT_EM_POS))
-            ds, em_weight, ok = scene.sample_emitter_direction(si, s1, s2, act)
+            ds, em_weight, ok = scene.sample_emitter_direction(si, s1, s2, act, ctx=ctx)
             wo = si.to_local(ds.d)
             bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(si, wo, ok)
             mis = jnp.where(
@@ -74,7 +75,7 @@ class DirectIntegrator:
             bs, bsdf_w = scene.bsdf_sample(si, s1, s2, act)
             ray2 = si.spawn_ray(si.to_world(bs.wo))
             ok = act & (bs.pdf > 0.0)
-            si2 = scene.ray_intersect(ray2, ok)
+            si2 = scene.ray_intersect(ray2, ok, ctx)
             hit2 = ok & si2.is_valid()
             le2, pdf_em2 = scene.eval_emitter_hit(si2, si.p, hit2)
             le_env2, pdf_env2 = scene.eval_env(ray2, si.p, ok & ~si2.is_valid())

@@ -41,6 +41,7 @@ class PathIntegrator:
         """Per-lane radiance estimate L (N, 3)."""
         n = ray.o.shape[0]
         nee_enabled = len(scene.emitters) > 0
+        ctx = scene.trace_ctx()  # loop-invariant packed geometry
 
         state = dict(
             depth=jnp.int32(0),
@@ -63,7 +64,7 @@ class PathIntegrator:
             L, beta, eta = s["L"], s["beta"], s["eta"]
             act = s["active"]
 
-            si = scene.ray_intersect(ray, act)
+            si = scene.ray_intersect(ray, act, ctx)
 
             # ---- environment radiance for escaped rays (w/ MIS) ----
             escaped = act & ~si.is_valid()
@@ -92,7 +93,7 @@ class PathIntegrator:
                 s1 = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_EM_SELECT))
                 s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
                 ds, em_weight, ok = scene.sample_emitter_direction(
-                    si, s1, s2, act_next
+                    si, s1, s2, act_next, ctx=ctx
                 )
                 wo_em = si.to_local(ds.d)
                 bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(si, wo_em, ok)

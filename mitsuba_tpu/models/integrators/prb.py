@@ -102,6 +102,7 @@ class PRBIntegrator:
         """
         n = ray.o.shape[0]
         scene_det = jax.lax.stop_gradient(scene)
+        ctx_det = scene_det.trace_ctx()
         floats, rebuild, _ = _float_partition(scene)
         nee_enabled = len(scene.emitters) > 0
 
@@ -131,8 +132,8 @@ class PRBIntegrator:
             )
 
             # ---------- detached replay (identical to the primal walk)
-            pi = scene_det.ray_intersect_preliminary(ray, act)
-            si_d = scene_det.compute_si(pi, ray)
+            pi = scene_det.ray_intersect_preliminary(ray, act, ctx_det)
+            si_d = scene_det.compute_si(pi, ray, ctx_det)
             valid = si_d.is_valid()
             escaped = act & ~valid
             act_hit = act & valid
@@ -150,7 +151,7 @@ class PRBIntegrator:
                 s1 = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_EM_SELECT))
                 s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
                 ds, _, ok = scene_det.sample_emitter_direction(
-                    si_d, s1, s2, act_next
+                    si_d, s1, s2, act_next, ctx=ctx_det
                 )
                 wo_em_d = si_d.to_local(ds.d)
                 _, bsdf_pdf_nee = scene_det.bsdf_eval_pdf(si_d, wo_em_d, ok)

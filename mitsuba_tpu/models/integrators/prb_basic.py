@@ -28,6 +28,7 @@ class PRBBasicIntegrator:
         """Primal estimator: BSDF-sampling-only path tracing
         (prb_basic.py sample, Primal mode)."""
         n = ray.o.shape[0]
+        ctx = scene.trace_ctx()
         state = dict(
             depth=jnp.int32(0),
             ray=ray,
@@ -42,7 +43,7 @@ class PRBBasicIntegrator:
 
         def body(s):
             depth, act = s["depth"], s["active"]
-            si = scene.ray_intersect(s["ray"], act)
+            si = scene.ray_intersect(s["ray"], act, ctx)
             escaped = act & ~si.is_valid()
             L = s["L"]
             if scene.env_index >= 0 and not self.hide_emitters:
@@ -77,6 +78,7 @@ class PRBBasicIntegrator:
         w.r.t. the lens mesh vertices via compute_surface_interaction.
         """
         n = ray.o.shape[0]
+        ctx = scene.trace_ctx()
         state = dict(
             depth=jnp.int32(0),
             ray=ray,
@@ -93,7 +95,7 @@ class PRBBasicIntegrator:
 
         def body(s):
             act = s["active"]
-            si = scene.ray_intersect(s["ray"], act)
+            si = scene.ray_intersect(s["ray"], act, ctx)
             valid = si.is_valid()
             act_next = act & valid
             one = jnp.ones((n,))

@@ -64,7 +64,7 @@ class ParticleTracerIntegrator:
 
     def _connect_sensor(self, scene, sensor, si_p, si_n, si_frame, si_wi,
                         bsdf_idx, on_surface, weight, sample2, active,
-                        img, film):
+                        img, film, ctx=None):
         """ptracer.cpp:298-372 connect_sensor.
 
         si_frame: (s, t, n) shading frame at the vertex; si_wi: local
@@ -82,7 +82,7 @@ class ParticleTracerIntegrator:
             1.0, jnp.max(jnp.abs(si_p), axis=-1, keepdims=True)
         ) * si_n
         shadow = Ray.make(o, d, maxt=dist * (1.0 - 1e-3))
-        ok = ok & ~scene.ray_test(shadow, ok)
+        ok = ok & ~scene.ray_test(shadow, ok, ctx)
 
         local_d = Frame.to_local(si_frame, d)
         surface_weight = jnp.ones(si_p.shape[:-1] + (3,))
@@ -145,6 +145,7 @@ class ParticleTracerIntegrator:
         """One light path per lane; returns the accumulated film tensor."""
         n = lane.shape[0]
         film = sensor.film
+        ctx = scene.trace_ctx()
         time = jnp.zeros((n,))
 
         sel = rng.sample_1d(seed, lane, jnp.int32(DIM_EM_SELECT))
@@ -184,7 +185,7 @@ class ParticleTracerIntegrator:
                 jnp.full((n,), -1, jnp.int32),
                 jnp.ones((n,), bool),  # on a surface, no bsdf
                 conn_w, s2, active0 & ~deltas & (jnp.any(conn_w != 0, -1)),
-                img, film,
+                img, film, ctx,
             )
 
         # ---- random walk (trace_light_ray, ptracer.cpp:204-278) ----
@@ -202,7 +203,7 @@ class ParticleTracerIntegrator:
 
         def body(s, depth):
             act = s["active"]
-            si = scene.ray_intersect(s["ray"], act)
+            si = scene.ray_intersect(s["ray"], act, ctx)
             act = act & si.is_valid()
             bidx = scene.lane_bsdf_index(si)
 
@@ -211,6 +212,7 @@ class ParticleTracerIntegrator:
             img2 = self._connect_sensor(
                 scene, sensor, si.p, si.n, si.sh_frame, si.wi, bidx,
                 jnp.ones((n,), bool), s["beta"], s2, act, s["img"], film,
+                ctx,
             )
 
             # continue the walk: importance-mode BSDF sampling

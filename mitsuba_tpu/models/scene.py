@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from ..core.pytree import pytree, static
 from ..core.distr import DiscreteDistribution
 from ..core.math import dot, normalize
-from ..core.records import DirectionSample, Ray, SurfaceInteraction
+from ..core.records import (DirectionSample, PreliminaryIntersection, Ray,
+                            SurfaceInteraction)
 from ..ops import bvh as bvh_mod
 from ..ops.intersect import (
     compute_surface_interaction,
@@ -95,21 +96,74 @@ class Scene:
             jnp.concatenate(fsmooth),
         )
 
+    # -------------------------------------------------------- trace context
+
+    def trace_ctx(self):
+        """Precomputed trace-invariant geometry (the hot-loop cache).
+
+        Packs all per-face shading data into ONE (F, 26) matrix so the
+        per-bounce differentiable SI rebuild costs a single gather instead
+        of ~10 (TPU gathers are the dominant per-bounce cost).  Integrators
+        compute this once before their bounce loop; XLA keeps it loop-
+        invariant.  Layout: p0 p1 p2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6)
+        | shape_id smooth (2)."""
+        v, f, n, uv, fshape, fsmooth = self.geometry()
+        p = v[f]                       # (F, 3, 3)
+        nv = n[f]                      # (F, 3, 3)
+        uvv = uv[f]                    # (F, 3, 2)
+        F = f.shape[0]
+        tri_data = jnp.concatenate(
+            [
+                p.reshape(F, 9),
+                nv.reshape(F, 9),
+                uvv.reshape(F, 6),
+                fshape.astype(jnp.float32)[:, None],
+                fsmooth.astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )
+        vd = jax.lax.stop_gradient(v)
+        ctx = dict(
+            verts_detached=vd,
+            faces=f,
+            tri_data=tri_data,
+            fshape=fshape,
+        )
+        if jax.default_backend() == "tpu" and not self.use_bvh:
+            from ..ops.pallas.intersect_pallas import pack_triangles
+
+            ctx["tris_packed"] = pack_triangles(vd, f)
+        return ctx
+
     # -------------------------------------------------------- ray queries
 
-    def ray_intersect_preliminary(self, ray: Ray, active=None):
+    def ray_intersect_preliminary(self, ray: Ray, active=None, ctx=None):
         """Detached closest-hit traversal -> PreliminaryIntersection
         (shape.h:222 ray_intersect_preliminary)."""
-        v, f, *_ = self.geometry()
-        vd = jax.lax.stop_gradient(v)
-        fshape = self._face_shape()
+        if ctx is None:
+            ctx = self.trace_ctx()
+        vd, f = ctx["verts_detached"], ctx["faces"]
         ray_d = jax.lax.stop_gradient(ray)
-        if self.use_bvh and self.accel is not None:
+        if "tris_packed" in ctx:
+            from ..ops.pallas.intersect_pallas import intersect_packed
+
+            t, prim, u, v_ = intersect_packed(
+                ctx["tris_packed"], ray_d.o, ray_d.d, ray_d.maxt
+            )
+            if active is not None:
+                t = jnp.where(active, t, jnp.inf)
+            pi = PreliminaryIntersection(
+                t=t,
+                prim_index=jnp.maximum(prim, 0),
+                prim_uv=jnp.stack([u, v_], axis=-1),
+                shape_index=jnp.where(jnp.isfinite(t), 0, -1),
+            )
+        elif self.use_bvh and self.accel is not None:
             pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray_d, active)
         else:
             pi = intersect_brute(vd, f, ray_d, active)
         return pi.replace(shape_index=jnp.where(
-            pi.is_valid(), fshape[pi.prim_index], -1
+            pi.is_valid(), ctx["fshape"][pi.prim_index], -1
         ))
 
     def _face_shape(self):
@@ -118,32 +172,67 @@ class Scene:
             fshape.append(jnp.full((m.faces.shape[0],), i, jnp.int32))
         return jnp.concatenate(fshape)
 
-    def compute_si(self, pi, ray: Ray) -> SurfaceInteraction:
+    def compute_si(self, pi, ray: Ray, ctx=None) -> SurfaceInteraction:
         """Differentiable SI recomputation from a detached preliminary
-        intersection (shape.h:526,571 / mesh.cpp:1376)."""
-        v, f, n, uv, fshape, fsmooth = self.geometry()
-        si = compute_surface_interaction(
-            v, f, fshape, ray, pi, vertex_normals=n, vertex_uvs=uv
+        intersection (shape.h:526,571 / mesh.cpp:1376) — one packed gather."""
+        if ctx is None:
+            ctx = self.trace_ctx()
+        valid = pi.is_valid()
+        prim = jnp.where(valid, pi.prim_index, 0)
+        td = ctx["tri_data"][prim]          # (N, 26) single gather
+        p0, p1, p2 = td[:, 0:3], td[:, 3:6], td[:, 6:9]
+        n0, n1, n2 = td[:, 9:12], td[:, 12:15], td[:, 15:18]
+        uv0, uv1, uv2 = td[:, 18:20], td[:, 20:22], td[:, 22:24]
+        smooth = td[:, 25] > 0.5
+
+        from ..ops.intersect import ray_triangle
+        from ..core.math import Frame, cross, normalize
+
+        t, u, v_, _hit = ray_triangle(ray.o, ray.d, p0, p1, p2)
+        ok = jnp.isfinite(t)
+        t = jnp.where(ok, t, pi.t)
+        u = jnp.clip(jnp.where(ok, u, pi.prim_uv[..., 0]), 0.0, 1.0)
+        v_ = jnp.clip(jnp.where(ok, v_, pi.prim_uv[..., 1]), 0.0, 1.0)
+        b0 = 1.0 - u - v_
+        p = p0 * b0[:, None] + p1 * u[:, None] + p2 * v_[:, None]
+        ng = normalize(cross(p1 - p0, p2 - p0))
+        ns = normalize(n0 * b0[:, None] + n1 * u[:, None] + n2 * v_[:, None])
+        sh_n = jnp.where(smooth[:, None], ns, ng)
+        uv = uv0 * b0[:, None] + uv1 * u[:, None] + uv2 * v_[:, None]
+        s, tt, _ = Frame.from_normal(sh_n)
+        wi = Frame.to_local((s, tt, sh_n), -ray.d)
+        return SurfaceInteraction(
+            t=jnp.where(valid, t, jnp.inf),
+            p=p, n=ng, sh_n=sh_n, sh_s=s, sh_t=tt, uv=uv, wi=wi,
+            shape_index=jnp.where(valid, pi.shape_index, -1),
+            prim_index=prim,
+            wavelengths=ray.wavelengths,
+            time=ray.time,
         )
-        # meshes without vertex normals shade with the geometric normal
-        smooth = fsmooth[pi.prim_index]
-        sh_n = jnp.where(smooth[:, None], si.sh_n, si.n)
-        from ..core.math import Frame
 
-        s, t, _ = Frame.from_normal(sh_n)
-        wi = Frame.to_local((s, t, sh_n), -ray.d)
-        return si.replace(sh_n=sh_n, sh_s=s, sh_t=t, wi=wi)
-
-    def ray_intersect(self, ray: Ray, active=None) -> SurfaceInteraction:
+    def ray_intersect(self, ray: Ray, active=None, ctx=None):
         """Closest-hit query + differentiable SI recomputation
         (scene.cpp:181 → shape compute_surface_interaction)."""
-        return self.compute_si(self.ray_intersect_preliminary(ray, active), ray)
+        if ctx is None:
+            ctx = self.trace_ctx()
+        return self.compute_si(
+            self.ray_intersect_preliminary(ray, active, ctx), ray, ctx
+        )
 
-    def ray_test(self, ray: Ray, active=None):
+    def ray_test(self, ray: Ray, active=None, ctx=None):
         """Any-hit (shadow) query (scene.cpp:203)."""
-        v, f, *_ = self.geometry()
-        vd = jax.lax.stop_gradient(v)
-        if self.use_bvh and self.accel is not None:
+        if ctx is None:
+            ctx = self.trace_ctx()
+        vd, f = ctx["verts_detached"], ctx["faces"]
+        if "tris_packed" in ctx:
+            from ..ops.pallas.intersect_pallas import intersect_packed
+
+            ray_d = jax.lax.stop_gradient(ray)
+            t, *_ = intersect_packed(
+                ctx["tris_packed"], ray_d.o, ray_d.d, ray_d.maxt
+            )
+            hit = jnp.isfinite(t)
+        elif self.use_bvh and self.accel is not None:
             pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray, active,
                                        any_hit=True)
             hit = jnp.isfinite(pi.t)
@@ -206,7 +295,7 @@ class Scene:
         return (self.meshes[s], self.face_distrs[ei])
 
     def sample_emitter_direction(self, si, sample1, sample2, active,
-                                 test_visibility: bool = True):
+                                 test_visibility: bool = True, ctx=None):
         """NEE sample (scene.cpp:299): pick an emitter from the discrete
         distribution, sample a direction toward it, optionally trace a
         shadow ray.  Returns (DirectionSample, weight = Le/pdf)."""
@@ -241,7 +330,7 @@ class Scene:
 
         if test_visibility:
             shadow_ray = si.spawn_ray_to(ds.p)
-            occluded = self.ray_test(shadow_ray, ok)
+            occluded = self.ray_test(shadow_ray, ok, ctx)
             ok = ok & ~occluded
         weight = jnp.where(ok[:, None], weight, 0.0)
         ds = ds.replace(pdf=jnp.where(active, ds.pdf, 0.0))
