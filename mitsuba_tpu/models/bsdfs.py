@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static
-from ..core.math import Frame, reflect, mulsign
+from ..core.math import Frame, dot, reflect, mulsign
 from ..core.fresnel import fresnel_dielectric, fresnel_conductor, refract
 from ..core import warp
 from ..core.records import BSDFSample
@@ -355,3 +355,574 @@ CONDUCTOR_IOR = {
     "Cu": (jnp.array([0.2004, 0.9240, 1.1022]), jnp.array([3.9129, 2.4528, 2.1421])),
     "none": (jnp.array([0.0, 0.0, 0.0]), jnp.array([1.0, 1.0, 1.0])),
 }
+
+
+@pytree
+class ThinDielectric:
+    """Thin dielectric slab (src/bsdfs/thindielectric.cpp:238): both faces
+    accounted for; transmission passes straight through (offsetting
+    refractions cancel); total reflectance R' = 2R/(1+R)."""
+
+    eta: jnp.ndarray  # () relative IOR
+    id: str = static("thindielectric")
+
+    flags = Flags.DeltaReflection | Flags.DeltaTransmission
+
+    def sample(self, si, sample1, sample2, active):
+        cos_i = Frame.cos_theta(si.wi)
+        r, _, _, _ = fresnel_dielectric(jnp.abs(cos_i), self.eta)
+        # account for internal bounces (thindielectric.cpp)
+        r = jnp.where(r < 1.0, 2.0 * r / (1.0 + r), 1.0)
+        pick_reflect = sample1 <= r
+        wo = jnp.where(pick_reflect[..., None], reflect(si.wi), -si.wi)
+        pdf = jnp.where(pick_reflect, r, 1.0 - r)
+        ok = active & (pdf > 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            delta=jnp.ones(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_reflect, Flags.DeltaReflection, Flags.DeltaTransmission
+            ).astype(jnp.int32),
+        )
+        weight = jnp.broadcast_to(
+            jnp.where(ok, 1.0, 0.0)[..., None], pdf.shape + (3,)
+        )
+        return bs, weight
+
+    def eval(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1] + (3,))
+
+    def pdf(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1])
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class RoughDielectric:
+    """GGX rough dielectric with visible-normal sampling
+    (src/bsdfs/roughdielectric.cpp:644)."""
+
+    eta: jnp.ndarray    # () relative IOR interior/exterior
+    alpha: jnp.ndarray  # () isotropic roughness
+    specular_reflectance: object = None
+    specular_transmittance: object = None
+    id: str = static("roughdielectric")
+
+    flags = Flags.GlossyReflection | Flags.GlossyTransmission
+
+    def _ax(self):
+        return jnp.maximum(self.alpha, 1e-4)
+
+    def sample(self, si, sample1, sample2, active):
+        from . import microfacet as mf
+
+        ax = self._ax()
+        cos_i = Frame.cos_theta(si.wi)
+        # flip so the VNDF sampler sees an upper-hemisphere direction
+        wi_f = mulsign(si.wi, cos_i[..., None])
+        m = mf.sample_vndf(wi_f, sample2, ax, ax)
+        # orient m toward the incident side
+        m_o = mulsign(m, cos_i[..., None])
+        cos_im = dot(si.wi, m_o)
+        f, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_im, self.eta)
+        pick_reflect = sample1 <= f
+
+        wo_r = 2.0 * cos_im[..., None] * m_o - si.wi
+        wo_t = refract_about(si.wi, m_o, cos_t, eta_ti)
+        wo = jnp.where(pick_reflect[..., None], wo_r, wo_t)
+
+        # weight = G2/G1 (VNDF) x lobe selection cancels fresnel
+        g1 = mf.smith_g1(wi_f, m, ax, ax)
+        wo_f = mulsign(wo, Frame.cos_theta(wo)[..., None])
+        g2 = g1 * mf.smith_g1(wo_f, m, ax, ax)
+        w = jnp.where(g1 > 0.0, g2 / jnp.maximum(g1, 1e-20), 0.0)
+        # radiance transport factor for refraction
+        w = jnp.where(pick_reflect, w, w * jnp.square(eta_ti))
+        weight = jnp.broadcast_to(w[..., None], w.shape + (3,))
+        if self.specular_reflectance is not None:
+            weight = jnp.where(pick_reflect[..., None],
+                               weight * self.specular_reflectance.eval(si),
+                               weight)
+        if self.specular_transmittance is not None:
+            weight = jnp.where(pick_reflect[..., None], weight,
+                               weight * self.specular_transmittance.eval(si))
+
+        # pdf: VNDF pdf x jacobian of the chosen mapping x lobe prob
+        # (refraction jacobian: |wo.m| * eta_it^2 / (wi.m + eta_it wo.m)^2)
+        pdf_m = mf.vndf_pdf(wi_f, m, ax, ax)
+        cos_om = dot(wo, m_o)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(cos_om), 1e-20)
+        denom = cos_im + eta_it * cos_om
+        jac_t = jnp.abs(cos_om) * jnp.square(eta_it) / jnp.maximum(
+            jnp.square(denom), 1e-20
+        )
+        pdf = pdf_m * jnp.where(pick_reflect, f * jac_r, (1.0 - f) * jac_t)
+
+        # validity: reflected stays on incident side; refracted crosses
+        # (TIR lanes have cos_t == 0 and must pick the reflection lobe)
+        same_side = Frame.cos_theta(wo) * cos_i > 0.0
+        valid_lobe = jnp.where(pick_reflect, same_side,
+                               ~same_side & (cos_t != 0.0))
+        ok = active & (pdf > 0.0) & valid_lobe
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.where(pick_reflect, 1.0, eta_it),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_reflect, Flags.GlossyReflection, Flags.GlossyTransmission
+            ).astype(jnp.int32),
+        )
+        return bs, jnp.where(ok[..., None], weight, 0.0)
+
+    def eval(self, si, wo, active):
+        v, _ = self._eval_pdf_impl(si, wo, active)
+        return v
+
+    def pdf(self, si, wo, active):
+        _, p = self._eval_pdf_impl(si, wo, active)
+        return p
+
+    def eval_pdf(self, si, wo, active):
+        return self._eval_pdf_impl(si, wo, active)
+
+    def _eval_pdf_impl(self, si, wo, active):
+        from . import microfacet as mf
+
+        ax = self._ax()
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        reflect_cfg = cos_i * cos_o > 0.0
+        eta_path = jnp.where(cos_i > 0.0, self.eta, 1.0 / self.eta)
+        # half vector: reflection m ~ wi+wo; refraction m ~ wi + eta*wo
+        m_r = si.wi + wo
+        m_t = si.wi + wo * eta_path[..., None]
+        m = jnp.where(reflect_cfg[..., None], m_r, m_t)
+        norm2 = jnp.sum(m * m, axis=-1, keepdims=True)
+        m = m * jnp.where(norm2 > 1e-20, 1.0 / jnp.sqrt(
+            jnp.maximum(norm2, 1e-20)), 0.0)
+        m = mulsign(m, m[..., 2:3])  # canonical upper hemisphere
+        m_o = mulsign(m, cos_i[..., None])
+
+        cos_im = dot(si.wi, m_o)
+        cos_om = dot(wo, m_o)
+        f, _, eta_it, eta_ti = fresnel_dielectric(cos_im, self.eta)
+        wi_f = mulsign(si.wi, cos_i[..., None])
+        wo_f = mulsign(wo, cos_o[..., None])
+        d = mf.ggx_D(m, ax, ax)
+        g2 = mf.smith_g1(wi_f, m, ax, ax) * mf.smith_g1(wo_f, m, ax, ax)
+
+        # reflection lobe value (x |cos_o|)
+        val_r = f * d * g2 / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-20)
+        # transmission lobe
+        denom = cos_im + eta_it * cos_om
+        val_t = (
+            (1.0 - f) * d * g2
+            * jnp.abs(cos_im * cos_om)
+            * jnp.square(eta_it)
+            / jnp.maximum(jnp.abs(cos_i) * jnp.square(denom), 1e-20)
+        ) * jnp.square(eta_ti)  # radiance transport factor
+        val = jnp.where(reflect_cfg, val_r, jnp.abs(val_t))
+
+        pdf_m = mf.vndf_pdf(wi_f, m, ax, ax)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(cos_om), 1e-20)
+        jac_t = jnp.abs(cos_om) * jnp.square(eta_it) / jnp.maximum(
+            jnp.square(denom), 1e-20
+        )
+        pdf = pdf_m * jnp.where(
+            reflect_cfg, f * jac_r, (1.0 - f) * jac_t
+        )
+        ok = active & (jnp.abs(cos_i) > 1e-6) & (norm2[..., 0] > 1e-20)
+        ok_t = reflect_cfg | (cos_im * cos_om < 0.0)
+        ok = ok & ok_t
+        val3 = jnp.broadcast_to(val[..., None], val.shape + (3,))
+        if self.specular_reflectance is not None:
+            val3 = jnp.where(reflect_cfg[..., None],
+                             val3 * self.specular_reflectance.eval(si), val3)
+        if self.specular_transmittance is not None:
+            val3 = jnp.where(reflect_cfg[..., None], val3,
+                             val3 * self.specular_transmittance.eval(si))
+        return (jnp.where(ok[..., None], val3, 0.0),
+                jnp.where(ok, pdf, 0.0))
+
+
+def refract_about(wi, m, cos_theta_t, eta_ti):
+    """Refract wi about microfacet normal m (fresnel.h refract)."""
+    dp = jnp.sum(wi * m, axis=-1, keepdims=True)
+    return m * (dp * eta_ti[..., None] + cos_theta_t[..., None]) \
+        - wi * eta_ti[..., None]
+
+
+@pytree
+class SmoothPlastic:
+    """Smooth plastic: dielectric coating over a diffuse base with an
+    internal-scattering correction (src/bsdfs/plastic.cpp:398)."""
+
+    diffuse_reflectance: object  # texture
+    eta: jnp.ndarray             # () relative IOR of the coating
+    nonlinear: bool = static(False)
+    id: str = static("plastic")
+
+    flags = Flags.DeltaReflection | Flags.DiffuseReflection
+
+    def _fdr(self):
+        """Average internal Fresnel reflectance (fresnel.h
+        fresnel_diffuse_reflectance fit, eta > 1 branch)."""
+        e = 1.0 / self.eta
+        return (-1.4399 * e**2 + 0.7099 * e + 0.6681 + 0.0636 / e) * 0.0 + \
+            _fdr_fit(self.eta)
+
+    def sample(self, si, sample1, sample2, active):
+        cos_i = Frame.cos_theta(si.wi)
+        f_i, _, _, _ = fresnel_dielectric(cos_i, self.eta)
+        prob_spec = f_i
+        pick_spec = sample1 < prob_spec
+        wo_spec = reflect(si.wi)
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
+        cos_o = Frame.cos_theta(wo)
+        f_o, _, _, _ = fresnel_dielectric(cos_o, self.eta)
+
+        refl = self.diffuse_reflectance.eval(si)
+        fdr = _fdr_fit(self.eta)
+        inv_eta2 = 1.0 / jnp.square(self.eta)
+        denom = 1.0 - (refl * fdr if self.nonlinear else fdr)
+        diff_val = (
+            refl / jnp.maximum(denom, 1e-6)
+            * (inv_eta2 * (1.0 - f_i) * (1.0 - f_o))[..., None]
+        )
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
+        pdf = jnp.where(pick_spec, prob_spec, pdf_diff)
+        # weight = value/pdf per branch
+        w_spec = jnp.broadcast_to(jnp.ones_like(cos_i)[..., None],
+                                  cos_i.shape + (3,))
+        w_diff = diff_val * jnp.where(
+            pdf_diff > 0.0,
+            warp.square_to_cosine_hemisphere_pdf(wo) / jnp.maximum(
+                pdf_diff, 1e-20),
+            0.0,
+        )[..., None]
+        weight = jnp.where(pick_spec[..., None], w_spec, w_diff)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0) & (pdf > 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            delta=pick_spec,
+            sampled_type=jnp.where(
+                pick_spec, Flags.DeltaReflection, Flags.DiffuseReflection
+            ).astype(jnp.int32),
+        )
+        return bs, jnp.where(ok[..., None], weight, 0.0)
+
+    def eval(self, si, wo, active):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        f_i, _, _, _ = fresnel_dielectric(cos_i, self.eta)
+        f_o, _, _, _ = fresnel_dielectric(cos_o, self.eta)
+        refl = self.diffuse_reflectance.eval(si)
+        fdr = _fdr_fit(self.eta)
+        denom = 1.0 - (refl * fdr if self.nonlinear else fdr)
+        val = (
+            refl / jnp.maximum(denom, 1e-6)
+            * (warp.INV_PI * jnp.maximum(cos_o, 0.0)
+               * (1.0 - f_i) * (1.0 - f_o)
+               / jnp.square(self.eta))[..., None]
+        )
+        return jnp.where(ok[..., None], val, 0.0)
+
+    def pdf(self, si, wo, active):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        f_i, _, _, _ = fresnel_dielectric(cos_i, self.eta)
+        return jnp.where(
+            ok,
+            warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - f_i),
+            0.0,
+        )
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+def _fdr_fit(eta):
+    """Average Fresnel diffuse reflectance (fresnel.h:
+    fresnel_diffuse_reflectance polynomial fits)."""
+    e = 1.0 / eta
+    lo = (-0.4399 + 0.7099 / eta - 0.3319 / eta**2 + 0.0636 / eta**3)
+    hi = (-1.4399 / (eta * eta) + 0.7099 / eta + 0.6681 + 0.0636 * eta)
+    return jnp.where(eta < 1.0, lo, hi)
+
+
+@pytree
+class RoughPlastic:
+    """GGX specular coat over diffuse (src/bsdfs/roughplastic.cpp:544)."""
+
+    diffuse_reflectance: object
+    eta: jnp.ndarray
+    alpha: jnp.ndarray
+    nonlinear: bool = static(False)
+    id: str = static("roughplastic")
+
+    flags = Flags.GlossyReflection | Flags.DiffuseReflection
+
+    def sample(self, si, sample1, sample2, active):
+        from . import microfacet as mf
+
+        ax = jnp.maximum(self.alpha, 1e-4)
+        cos_i = Frame.cos_theta(si.wi)
+        f_i, _, _, _ = fresnel_dielectric(cos_i, self.eta)
+        prob_spec = f_i
+        pick_spec = sample1 < prob_spec
+
+        m = mf.sample_vndf(si.wi, sample2, ax, ax)
+        wo_spec = 2.0 * dot(si.wi, m)[..., None] * m - si.wi
+        # reuse sample2 for the diffuse lobe (rescaled by the lobe choice)
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
+        val, pdf = self.eval_pdf(si, wo, active)
+        ok = active & (pdf > 0.0) & (Frame.cos_theta(wo) > 0.0) & (cos_i > 0.0)
+        weight = jnp.where(
+            ok[..., None], val / jnp.maximum(pdf, 1e-20)[..., None], 0.0
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_spec, Flags.GlossyReflection, Flags.DiffuseReflection
+            ).astype(jnp.int32),
+        )
+        return bs, weight
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]
+
+    def eval_pdf(self, si, wo, active):
+        from . import microfacet as mf
+
+        ax = jnp.maximum(self.alpha, 1e-4)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        m = si.wi + wo
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, -1, keepdims=True), 1e-20))
+        m = m / norm
+        cos_im = dot(si.wi, m)
+        f_m, _, _, _ = fresnel_dielectric(cos_im, self.eta)
+        d = mf.ggx_D(m, ax, ax)
+        g2 = mf.smith_g2(si.wi, wo, m, ax, ax)
+        spec = f_m * d * g2 / jnp.maximum(4.0 * cos_i, 1e-20)
+
+        f_i, _, _, _ = fresnel_dielectric(cos_i, self.eta)
+        f_o, _, _, _ = fresnel_dielectric(cos_o, self.eta)
+        refl = self.diffuse_reflectance.eval(si)
+        fdr = _fdr_fit(self.eta)
+        denom = 1.0 - (refl * fdr if self.nonlinear else fdr)
+        diff = (
+            refl / jnp.maximum(denom, 1e-6)
+            * (warp.INV_PI * jnp.maximum(cos_o, 0.0)
+               * (1.0 - f_i) * (1.0 - f_o) / jnp.square(self.eta))[..., None]
+        )
+        val = spec[..., None] + diff
+
+        pdf_m = mf.vndf_pdf(si.wi, m, ax, ax)
+        jac = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-20)
+        prob_spec = f_i
+        pdf = (prob_spec * pdf_m * jac
+               + (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo))
+        return (jnp.where(ok[..., None], val, 0.0), jnp.where(ok, pdf, 0.0))
+
+
+@pytree
+class NullBSDF:
+    """Perfect pass-through (src/bsdfs/null.cpp:96)."""
+
+    id: str = static("null")
+    flags = Flags.DeltaTransmission
+
+    def sample(self, si, sample1, sample2, active):
+        n = si.wi.shape[0]
+        bs = BSDFSample(
+            wo=-si.wi,
+            pdf=jnp.where(active, 1.0, 0.0),
+            eta=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+            sampled_type=jnp.full((n,), Flags.DeltaTransmission, jnp.int32),
+        )
+        return bs, jnp.where(active[..., None], jnp.ones((n, 3)), 0.0)
+
+    def eval(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1] + (3,))
+
+    def pdf(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1])
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class MaskBSDF:
+    """Opacity mask over a nested BSDF (src/bsdfs/mask.cpp:254)."""
+
+    nested: object
+    opacity: object  # texture
+    id: str = static("mask")
+
+    @property
+    def flags(self):
+        return self.nested.flags | Flags.DeltaTransmission
+
+    def sample(self, si, sample1, sample2, active):
+        op = jnp.mean(self.opacity.eval(si), axis=-1)
+        op = jnp.clip(op, 0.0, 1.0)
+        pick_nested = sample1 < op
+        # rescale the lobe-selection sample for the nested bsdf
+        s1 = jnp.where(pick_nested, sample1 / jnp.maximum(op, 1e-6),
+                       (sample1 - op) / jnp.maximum(1.0 - op, 1e-6))
+        bs_n, w_n = self.nested.sample(si, s1, sample2, active & pick_nested)
+        n = si.wi.shape[0]
+        bs = BSDFSample(
+            wo=jnp.where(pick_nested[..., None], bs_n.wo, -si.wi),
+            pdf=jnp.where(pick_nested, bs_n.pdf * op, 1.0 - op),
+            eta=jnp.where(pick_nested, bs_n.eta, 1.0),
+            delta=jnp.where(pick_nested, bs_n.delta, True),
+            sampled_type=jnp.where(
+                pick_nested, bs_n.sampled_type, Flags.DeltaTransmission
+            ).astype(jnp.int32),
+        )
+        weight = jnp.where(pick_nested[..., None], w_n, jnp.ones((n, 3)))
+        weight = jnp.where(active[..., None] & (bs.pdf > 0.0)[..., None],
+                           weight, 0.0)
+        return bs, weight
+
+    def eval(self, si, wo, active):
+        op = jnp.clip(jnp.mean(self.opacity.eval(si), axis=-1), 0.0, 1.0)
+        return self.nested.eval(si, wo, active) * op[..., None]
+
+    def pdf(self, si, wo, active):
+        op = jnp.clip(jnp.mean(self.opacity.eval(si), axis=-1), 0.0, 1.0)
+        return self.nested.pdf(si, wo, active) * op
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class TwoSided:
+    """Two-sided adapter: flips the frame for back-face hits
+    (src/bsdfs/twosided.cpp:301)."""
+
+    nested: object
+    id: str = static("twosided")
+
+    @property
+    def flags(self):
+        return self.nested.flags
+
+    def _flip(self, si):
+        wi = si.wi * jnp.asarray([1.0, 1.0, -1.0])
+        return si.replace(wi=wi)
+
+    def sample(self, si, sample1, sample2, active):
+        back = Frame.cos_theta(si.wi) < 0.0
+        bs_f, w_f = self.nested.sample(si, sample1, sample2, active & ~back)
+        si_b = self._flip(si)
+        bs_b, w_b = self.nested.sample(si_b, sample1, sample2, active & back)
+        wo_b = bs_b.wo * jnp.asarray([1.0, 1.0, -1.0])
+        bs = BSDFSample(
+            wo=jnp.where(back[..., None], wo_b, bs_f.wo),
+            pdf=jnp.where(back, bs_b.pdf, bs_f.pdf),
+            eta=jnp.where(back, bs_b.eta, bs_f.eta),
+            delta=jnp.where(back, bs_b.delta, bs_f.delta),
+            sampled_type=jnp.where(back, bs_b.sampled_type,
+                                   bs_f.sampled_type),
+        )
+        return bs, jnp.where(back[..., None], w_b, w_f)
+
+    def eval(self, si, wo, active):
+        back = Frame.cos_theta(si.wi) < 0.0
+        v_f = self.nested.eval(si, wo, active & ~back)
+        si_b = self._flip(si)
+        wo_b = wo * jnp.asarray([1.0, 1.0, -1.0])
+        v_b = self.nested.eval(si_b, wo_b, active & back)
+        return jnp.where(back[..., None], v_b, v_f)
+
+    def pdf(self, si, wo, active):
+        back = Frame.cos_theta(si.wi) < 0.0
+        p_f = self.nested.pdf(si, wo, active & ~back)
+        si_b = self._flip(si)
+        wo_b = wo * jnp.asarray([1.0, 1.0, -1.0])
+        p_b = self.nested.pdf(si_b, wo_b, active & back)
+        return jnp.where(back, p_b, p_f)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class BlendBSDF:
+    """Texture-weighted blend of two BSDFs (src/bsdfs/blendbsdf.cpp:245)."""
+
+    bsdf0: object
+    bsdf1: object
+    weight: object  # texture; 0 -> bsdf0, 1 -> bsdf1
+    id: str = static("blendbsdf")
+
+    @property
+    def flags(self):
+        return self.bsdf0.flags | self.bsdf1.flags
+
+    def sample(self, si, sample1, sample2, active):
+        w = jnp.clip(jnp.mean(self.weight.eval(si), axis=-1), 0.0, 1.0)
+        pick1 = sample1 < w
+        s1 = jnp.where(pick1, sample1 / jnp.maximum(w, 1e-6),
+                       (sample1 - w) / jnp.maximum(1.0 - w, 1e-6))
+        bs0, w0 = self.bsdf0.sample(si, s1, sample2, active & ~pick1)
+        bs1, w1 = self.bsdf1.sample(si, s1, sample2, active & pick1)
+        wo = jnp.where(pick1[..., None], bs1.wo, bs0.wo)
+        val, pdf = self.eval_pdf(si, wo, active)
+        delta = jnp.where(pick1, bs1.delta, bs0.delta)
+        # delta lobes can't be re-evaluated: fall back to branch weights
+        pdf_sel = jnp.where(
+            delta, jnp.where(pick1, bs1.pdf * w, bs0.pdf * (1.0 - w)), pdf
+        )
+        weight = jnp.where(
+            delta[..., None],
+            jnp.where(pick1[..., None], w1, w0),
+            jnp.where((pdf > 0.0)[..., None],
+                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0),
+        )
+        ok = active & (pdf_sel > 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf_sel, 0.0),
+            eta=jnp.where(pick1, bs1.eta, bs0.eta),
+            delta=delta,
+            sampled_type=jnp.where(pick1, bs1.sampled_type, bs0.sampled_type),
+        )
+        return bs, jnp.where(ok[..., None], weight, 0.0)
+
+    def eval(self, si, wo, active):
+        w = jnp.clip(jnp.mean(self.weight.eval(si), axis=-1), 0.0, 1.0)
+        return (self.bsdf0.eval(si, wo, active) * (1.0 - w)[..., None]
+                + self.bsdf1.eval(si, wo, active) * w[..., None])
+
+    def pdf(self, si, wo, active):
+        w = jnp.clip(jnp.mean(self.weight.eval(si), axis=-1), 0.0, 1.0)
+        return (self.bsdf0.pdf(si, wo, active) * (1.0 - w)
+                + self.bsdf1.pdf(si, wo, active) * w)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)

@@ -385,3 +385,223 @@ class _FakeSI:
 
     def __init__(self, uv):
         self.uv = uv
+
+
+@pytree
+class EnvmapEmitter:
+    """Lat-long environment map with luminance importance sampling
+    (src/emitters/envmap.cpp:591, Hierarchical2D -> core/distr2d
+    Marginal2D here).
+
+    Direction convention (envmap.cpp): u = atan2(d.x, -d.z)/2pi,
+    v = acos(d.y)/pi — y-up lat-long.  ``data`` is a differentiable
+    (H, W, 3) leaf; the sampling table is detached.
+    """
+
+    data: jnp.ndarray          # (H, W, 3) radiance texels
+    distr: object              # Marginal2D over (H, W), sin-theta weighted
+    scale: jnp.ndarray         # () radiance scale
+    to_world: jnp.ndarray      # (4, 4) rotation
+    scene_center: jnp.ndarray
+    scene_radius: jnp.ndarray
+    id: str = static("envmap")
+
+    is_delta = False
+    is_infinite = True
+
+    @staticmethod
+    def create(data, scale=1.0, to_world=None):
+        import numpy as np
+        from ..core.distr2d import Marginal2D
+
+        data = jnp.asarray(data, jnp.float32)
+        h = data.shape[0]
+        lum = np.asarray(
+            0.2126 * data[..., 0] + 0.7152 * data[..., 1]
+            + 0.0722 * data[..., 2]
+        )
+        theta = (np.arange(h) + 0.5) / h * np.pi
+        table = lum * np.sin(theta)[:, None] + 1e-12
+        return EnvmapEmitter(
+            data=data,
+            distr=Marginal2D.create(table),
+            scale=jnp.asarray(scale, jnp.float32),
+            to_world=jnp.asarray(
+                to_world if to_world is not None else jnp.eye(4), jnp.float32
+            ),
+            scene_center=jnp.zeros(3),
+            scene_radius=jnp.asarray(1.0),
+        )
+
+    def _dir_to_uv(self, d_world):
+        from ..core import transform as tf
+
+        d = tf.apply_vector(jnp.linalg.inv(self.to_world), d_world)
+        u = jnp.arctan2(d[..., 0], -d[..., 2]) * (0.5 / jnp.pi)
+        u = u - jnp.floor(u)
+        v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+        return jnp.stack([u, v], axis=-1)
+
+    def _uv_to_dir(self, uv):
+        from ..core import transform as tf
+
+        phi = 2.0 * jnp.pi * uv[..., 0]
+        theta = jnp.pi * uv[..., 1]
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        d = jnp.stack([st * jnp.sin(phi), ct, -st * jnp.cos(phi)], axis=-1)
+        return tf.apply_vector(self.to_world, d), st
+
+    def _bilinear(self, uv):
+        h, w = self.data.shape[0], self.data.shape[1]
+        x = uv[..., 0] * w - 0.5
+        y = uv[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0i = jnp.mod(x0.astype(jnp.int32), w)
+        x1i = jnp.mod(x0i + 1, w)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        y1i = jnp.clip(y0i + 1, 0, h - 1)
+        d = self.data
+        return (d[y0i, x0i] * (1 - fx) * (1 - fy) + d[y0i, x1i] * fx * (1 - fy)
+                + d[y1i, x0i] * (1 - fx) * fy + d[y1i, x1i] * fx * fy)
+
+    def eval_env(self, d, active):
+        uv = self._dir_to_uv(d)
+        val = self._bilinear(uv) * self.scale
+        return jnp.where(active[..., None], val, 0.0)
+
+    def eval(self, si, active):
+        return jnp.zeros(si.uv.shape[:-1] + (3,))
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        uv, pdf_uv = self.distr.sample(sample2)
+        d, st = self._uv_to_dir(uv)
+        # uv-area pdf -> solid angle: dOmega = 2 pi^2 sin(theta) dA_uv
+        pdf = safe_div(pdf_uv, 2.0 * jnp.pi**2 * jnp.maximum(st, 1e-6))
+        le = self._bilinear(uv) * self.scale
+        weight = jnp.where(
+            (pdf > 0.0)[..., None], le / jnp.maximum(pdf, 1e-20)[..., None],
+            0.0,
+        )
+        n = ref_p.shape[0]
+        r = 2.0 * self.scene_radius
+        ds = DirectionSample(
+            p=ref_p + d * r, n=-d, uv=uv, d=d,
+            dist=jnp.full((n,), 1.0) * r, pdf=pdf,
+            delta=jnp.zeros((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        uv = self._dir_to_uv(ds.d)
+        st = jnp.sqrt(jnp.maximum(
+            1.0 - jnp.square(jnp.cos(jnp.pi * uv[..., 1])), 1e-12))
+        return safe_div(self.distr.pdf(uv),
+                        2.0 * jnp.pi**2 * jnp.maximum(st, 1e-6))
+
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        le = self._bilinear(self._dir_to_uv(ds.d)) * self.scale
+        return jnp.where(active[..., None], le, 0.0) if active is not None else le
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom=None):
+        """Importance-sampled inward ray from the bounding sphere."""
+        n = direction_sample.shape[0]
+        uv, pdf_uv = self.distr.sample(direction_sample)
+        d_out, st = self._uv_to_dir(uv)
+        d = -d_out  # travel direction: from the env toward the scene
+        r = 1.01 * self.scene_radius
+        # position: disk perpendicular to d
+        from ..core.records import PositionSample, Ray
+
+        p_disk = warp.square_to_uniform_disk_concentric(position_sample) * r
+        s, t, nn = Frame.from_normal(d)
+        p = self.scene_center - d * r + s * p_disk[..., 0:1] + t * p_disk[..., 1:2]
+        pdf_dir = safe_div(pdf_uv, 2.0 * jnp.pi**2 * jnp.maximum(st, 1e-6))
+        le = self._bilinear(uv) * self.scale
+        area = jnp.pi * r * r
+        weight = le * safe_div(area, jnp.maximum(pdf_dir, 1e-20))[..., None]
+        ray = Ray.make(p, d, time=time)
+        ps = PositionSample(
+            p=p, n=d, uv=uv, pdf=jnp.full((n,), 1.0 / area),
+            delta=jnp.zeros((n,), bool),
+        )
+        return ray, weight, ps
+
+
+@pytree
+class SpotEmitter:
+    """Spot light: delta position, smooth angular falloff
+    (src/emitters/spot.cpp:286)."""
+
+    intensity: jnp.ndarray      # (3,)
+    position: jnp.ndarray       # (3,)
+    direction: jnp.ndarray      # (3,) beam direction
+    cutoff_angle: float = static(20.0)   # degrees
+    beam_width: float = static(15.0)     # degrees (full intensity inside)
+    id: str = static("spot")
+
+    is_delta = True
+    is_infinite = False
+
+    def _falloff(self, d_to_ref):
+        """Angular falloff for light leaving toward d_to_ref."""
+        import numpy as np
+
+        cos_cut = float(np.cos(np.deg2rad(self.cutoff_angle)))
+        cos_beam = float(np.cos(np.deg2rad(self.beam_width)))
+        cd = dot(normalize(self.direction), d_to_ref)
+        t = safe_div(cd - cos_cut, cos_beam - cos_cut)
+        return jnp.clip(t, 0.0, 1.0)
+
+    def eval(self, si, active):
+        return jnp.zeros(si.uv.shape[:-1] + (3,))
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        delta = self.position - ref_p
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = delta / dist[..., None]
+        fall = self._falloff(-d)
+        weight = self.intensity * (fall / dist2)[..., None]
+        n = ref_p.shape[0]
+        ds = DirectionSample(
+            p=jnp.broadcast_to(self.position, ref_p.shape), n=-d,
+            uv=jnp.zeros((n, 2)), d=d, dist=dist,
+            pdf=jnp.ones((n,)), delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        return jnp.zeros(ds.pdf.shape)
+
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        d2 = jnp.maximum(ds.dist * ds.dist, 1e-12)
+        w = self.intensity * (self._falloff(-ds.d) / d2)[..., None]
+        return jnp.where(active[..., None], w, 0.0) if active is not None else w
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom=None):
+        """Uniform-cone emission within the cutoff."""
+        import numpy as np
+        from ..core.records import PositionSample, Ray
+
+        n = direction_sample.shape[0]
+        cos_cut = float(np.cos(np.deg2rad(self.cutoff_angle)))
+        d_local = warp.square_to_uniform_cone(direction_sample, cos_cut)
+        frame = Frame.from_normal(normalize(self.direction))
+        d = Frame.to_world(frame, d_local)
+        pdf_dir = warp.square_to_uniform_cone_pdf(d_local, cos_cut)
+        fall = self._falloff(d)
+        p = jnp.broadcast_to(self.position, (n, 3))
+        weight = self.intensity * safe_div(fall, pdf_dir)[..., None]
+        ray = Ray.make(p, d, time=time)
+        ps = PositionSample(
+            p=p, n=d, uv=jnp.zeros((n, 2)), pdf=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+        )
+        return ray, weight, ps

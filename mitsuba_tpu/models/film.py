@@ -37,6 +37,9 @@ class ReconstructionFilter:
     kind: str = static("gaussian")
     radius: float = static(2.0)
     stddev: float = static(0.5)
+    b: float = static(1.0 / 3.0)   # mitchell B
+    c: float = static(1.0 / 3.0)   # mitchell C
+    lobes: int = static(3)         # lanczos tau
 
     @staticmethod
     def box():
@@ -51,6 +54,22 @@ class ReconstructionFilter:
         return ReconstructionFilter(
             kind="gaussian", radius=4.0 * stddev, stddev=stddev
         )
+
+    @staticmethod
+    def mitchell(b: float = 1.0 / 3.0, c: float = 1.0 / 3.0):
+        """Mitchell-Netravali (src/rfilters/mitchell.cpp)."""
+        return ReconstructionFilter(kind="mitchell", radius=2.0, b=b, c=c)
+
+    @staticmethod
+    def catmullrom():
+        """Catmull-Rom = Mitchell with B=0, C=0.5 (catmullrom.cpp)."""
+        return ReconstructionFilter(kind="mitchell", radius=2.0, b=0.0, c=0.5)
+
+    @staticmethod
+    def lanczos(lobes: int = 3):
+        """Lanczos-windowed sinc (src/rfilters/lanczos.cpp)."""
+        return ReconstructionFilter(kind="lanczos", radius=float(lobes),
+                                    lobes=lobes)
 
     @property
     def n_taps(self) -> int:
@@ -73,6 +92,31 @@ class ReconstructionFilter:
                 alpha * self.radius * self.radius
             )
             return jnp.maximum(0.0, val)
+        if self.kind == "mitchell":
+            b, c = self.b, self.c
+            x2 = ax * ax
+            x3 = x2 * ax
+            inner = (
+                (12.0 - 9.0 * b - 6.0 * c) * x3
+                + (-18.0 + 12.0 * b + 6.0 * c) * x2
+                + (6.0 - 2.0 * b)
+            ) * (1.0 / 6.0)
+            outer = (
+                (-b - 6.0 * c) * x3 + (6.0 * b + 30.0 * c) * x2
+                + (-12.0 * b - 48.0 * c) * ax + (8.0 * b + 24.0 * c)
+            ) * (1.0 / 6.0)
+            val = jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+            return val
+        if self.kind == "lanczos":
+            t = self.lobes
+
+            def sinc(y):  # y >= 0 here
+                return jnp.where(
+                    y < 1e-6, 1.0,
+                    jnp.sin(jnp.pi * y) / jnp.maximum(jnp.pi * y, 1e-12),
+                )
+
+            return jnp.where(ax < t, sinc(ax) * sinc(ax / t), 0.0)
         raise ValueError(f"unknown rfilter kind {self.kind!r}")
 
 

@@ -201,3 +201,261 @@ class ThinLensCamera:
         ray = Ray.make(o, d, maxt=maxt, time=time)
         weight = jnp.ones(d.shape[:-1] + (3,))
         return ray, weight
+
+
+@pytree
+class OrthographicCamera:
+    """Orthographic projection (src/sensors/orthographic.cpp:206): parallel
+    rays along +z; the film spans scale_x x scale_y world units."""
+
+    to_world: jnp.ndarray
+    scale_x: jnp.ndarray = None   # () world width of the film
+    scale_y: jnp.ndarray = None   # ()
+    film: Film = static(None)
+    near_clip: float = static(1e-2)
+    far_clip: float = static(1e4)
+    sampler: object = static(None)
+    id: str = static("orthographic")
+
+    needs_aperture_sample = False
+
+    def __post_init__(self):
+        if self.film is None:
+            object.__setattr__(self, "film", Film())
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
+        if self.scale_x is None:
+            object.__setattr__(self, "scale_x", jnp.asarray(1.0))
+        if self.scale_y is None:
+            object.__setattr__(self, "scale_y", jnp.asarray(1.0))
+
+    def sample_ray(self, time, wavelength_sample, position_sample,
+                   aperture_sample):
+        u = position_sample[..., 0]
+        v = position_sample[..., 1]
+        o_cam = jnp.stack(
+            [(1.0 - 2.0 * u) * 0.5 * self.scale_x,
+             (1.0 - 2.0 * v) * 0.5 * self.scale_y,
+             jnp.zeros_like(u)],
+            axis=-1,
+        )
+        o = tf.apply_point(self.to_world, o_cam)
+        d = tf.apply_vector(
+            self.to_world,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o.shape),
+        )
+        o = o + d * self.near_clip
+        n = u.shape[0]
+        maxt = jnp.full((n,), self.far_clip - self.near_clip)
+        return Ray.make(o, d, maxt=maxt, time=time), jnp.ones((n, 3))
+
+
+@pytree
+class RadianceMeter:
+    """Single-direction radiance probe (src/sensors/radiancemeter.cpp:168):
+    all samples share one origin + direction; film is typically 1x1."""
+
+    to_world: jnp.ndarray
+    film: Film = static(None)
+    near_clip: float = static(1e-4)
+    far_clip: float = static(1e4)
+    sampler: object = static(None)
+    id: str = static("radiancemeter")
+
+    needs_aperture_sample = False
+
+    def __post_init__(self):
+        if self.film is None:
+            object.__setattr__(self, "film", Film(width=1, height=1))
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
+
+    def sample_ray(self, time, wavelength_sample, position_sample,
+                   aperture_sample):
+        n = position_sample.shape[0]
+        o = jnp.broadcast_to(self.to_world[:3, 3], (n, 3))
+        d = tf.apply_vector(
+            self.to_world,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)),
+        )
+        o = o + d * self.near_clip
+        maxt = jnp.full((n,), self.far_clip - self.near_clip)
+        return Ray.make(o, d, maxt=maxt, time=time), jnp.ones((n, 3))
+
+
+@pytree
+class IrradianceMeter:
+    """Surface irradiance probe (src/sensors/irradiancemeter.cpp:139):
+    cosine-weighted hemisphere rays from a disk of given radius."""
+
+    to_world: jnp.ndarray
+    radius: jnp.ndarray = None
+    film: Film = static(None)
+    near_clip: float = static(1e-4)
+    far_clip: float = static(1e4)
+    sampler: object = static(None)
+    id: str = static("irradiancemeter")
+
+    needs_aperture_sample = True
+
+    def __post_init__(self):
+        if self.film is None:
+            object.__setattr__(self, "film", Film(width=1, height=1))
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
+        if self.radius is None:
+            object.__setattr__(self, "radius", jnp.asarray(1.0))
+
+    def sample_ray(self, time, wavelength_sample, position_sample,
+                   aperture_sample):
+        from ..core import warp as _warp
+
+        n = position_sample.shape[0]
+        p_disk = _warp.square_to_uniform_disk_concentric(position_sample)
+        o_cam = jnp.concatenate(
+            [self.radius * p_disk, jnp.zeros((n, 1))], axis=-1
+        )
+        d_cam = _warp.square_to_cosine_hemisphere(aperture_sample)
+        o = tf.apply_point(self.to_world, o_cam)
+        d = tf.apply_vector(self.to_world, d_cam)
+        o = o + d * self.near_clip
+        maxt = jnp.full((n,), self.far_clip - self.near_clip)
+        # weight: E estimator = pi * mean(L) under cosine sampling
+        return (Ray.make(o, d, maxt=maxt, time=time),
+                jnp.full((n, 3), jnp.pi))
+
+
+@pytree
+class RadialWarpCamera:
+    """[FORK] Perspective camera with a differentiable radial direction
+    warp controlled by ``k_warp`` (src/sensors/radialwarp.cpp:132-161,
+    481 — a distortion-optimization toy).
+
+    The warp integrates dy/dt = -k_warp * y^2 over t in [0,1] with RK4
+    (radialwarp.cpp:460-478 solve_rk4) applied to the radial component of
+    the unnormalized camera-space direction."""
+
+    to_world: jnp.ndarray
+    k_warp: jnp.ndarray = None    # () differentiable distortion strength
+    film: Film = static(None)
+    fov: float = static(39.3077)
+    fov_axis: str = static("x")
+    near_clip: float = static(1e-2)
+    far_clip: float = static(1e4)
+    rk4_steps: int = static(64)
+    sampler: object = static(None)
+    id: str = static("radialwarp")
+
+    needs_aperture_sample = False
+
+    def __post_init__(self):
+        if self.film is None:
+            object.__setattr__(self, "film", Film())
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
+        if self.k_warp is None:
+            object.__setattr__(self, "k_warp", jnp.asarray(1.0))
+
+    def _solve_rk4(self, y0):
+        """Integrate y' = -k y^2 from t=0..1 (radialwarp.cpp:464).
+
+        lax.scan (fixed trip count) keeps this reverse-differentiable —
+        k_warp is an optimization variable (radialwarp.cpp:161)."""
+        import jax
+
+        dt = 1.0 / (self.rk4_steps + 1)
+        f = lambda y: -self.k_warp * y * y
+
+        def step(y, _):
+            k1 = f(y) * dt
+            k2 = f(y + 0.5 * k1) * dt
+            k3 = f(y + 0.5 * k2) * dt
+            k4 = f(y + k3) * dt
+            return y + (k1 + k4) / 6.0 + (k2 + k3) / 3.0, None
+
+        y, _ = jax.lax.scan(step, y0, None, length=self.rk4_steps + 1)
+        return y
+
+    def _warp_direction(self, d):
+        """Shrink the radial component by the ODE flow
+        (radialwarp.cpp:481 warp_direction)."""
+        rad = jnp.sqrt(jnp.maximum(
+            d[..., 0] ** 2 + d[..., 1] ** 2, 1e-20))
+        r_out = self._solve_rk4(rad)
+        scale = r_out / rad
+        d_out = jnp.stack(
+            [d[..., 0] * scale, d[..., 1] * scale, d[..., 2]], axis=-1
+        )
+        return normalize(d_out)
+
+    def sample_ray(self, time, wavelength_sample, position_sample,
+                   aperture_sample):
+        w, h = self.film.width, self.film.height
+        tx = _fov_to_tan_x(self.fov, self.fov_axis, w, h)
+        aspect = w / h
+        u = position_sample[..., 0]
+        v = position_sample[..., 1]
+        d_cam = normalize(jnp.stack(
+            [(1.0 - 2.0 * u) * tx, (1.0 - 2.0 * v) * tx / aspect,
+             jnp.ones_like(u)], axis=-1))
+        d_cam = self._warp_direction(d_cam)
+        d = tf.apply_vector(self.to_world, d_cam)
+        o = jnp.broadcast_to(self.to_world[:3, 3], d.shape)
+        inv_z = 1.0 / d_cam[..., 2]
+        o = o + d * (self.near_clip * inv_z)[..., None]
+        maxt = (self.far_clip - self.near_clip) * inv_z
+        return (Ray.make(o, d, maxt=maxt, time=time),
+                jnp.ones(d.shape[:-1] + (3,)))
+
+
+@pytree
+class BatchSensor:
+    """Tile multiple child sensors side-by-side on one film
+    (src/sensors/batch.cpp:280): the x position selects the child."""
+
+    sensors: tuple
+    film: Film = static(None)
+    sampler: object = static(None)
+    id: str = static("batch")
+
+    needs_aperture_sample = True
+
+    def __post_init__(self):
+        if self.film is None:
+            object.__setattr__(self, "film", Film())
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
+
+    def sample_ray(self, time, wavelength_sample, position_sample,
+                   aperture_sample):
+        import jax
+
+        k = len(self.sensors)
+        u = position_sample[..., 0] * k
+        idx = jnp.clip(u.astype(jnp.int32), 0, k - 1)
+        u_local = u - idx.astype(jnp.float32)
+        pos_local = jnp.stack([u_local, position_sample[..., 1]], axis=-1)
+        ray = weight = None
+        for i, s in enumerate(self.sensors):
+            r_i, w_i = s.sample_ray(time, wavelength_sample, pos_local,
+                                    aperture_sample)
+            m = idx == i
+            if ray is None:
+                ray, weight = r_i, w_i
+            else:
+                ray = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        m.reshape(m.shape + (1,) * (a.ndim - m.ndim)), a, b),
+                    r_i, ray)
+                weight = jnp.where(m[:, None], w_i, weight)
+        return ray, weight

@@ -52,13 +52,13 @@ IOR_NAMES = {
 
 BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "thindielectric", "roughdielectric", "plastic", "roughplastic",
-              "twosided", "mask", "null", "dispersive_dielectric",
-              "dispersive"}
+              "twosided", "mask", "null", "blendbsdf",
+              "dispersive_dielectric", "dispersive"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "obj", "ply", "mesh"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
                  "directionalarea"}
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
-                "realisticlens", "batch"}
+                "irradiancemeter", "radialwarp", "realisticlens", "batch"}
 INTEGRATOR_TYPES = {"path", "direct", "depth", "prb", "prb_basic", "aov",
                     "moment", "ptracer", "volpath"}
 
@@ -156,6 +156,63 @@ def _make_bsdf(d):
         int_ior = _ior(d.get("int_ior"), 1.5046)
         ext_ior = _ior(d.get("ext_ior"), 1.000277)
         return SmoothDielectric(eta=jnp.asarray(int_ior / ext_ior))
+    if t == "thindielectric":
+        from ..models.bsdfs import ThinDielectric
+
+        return ThinDielectric(eta=jnp.asarray(
+            _ior(d.get("int_ior"), 1.5046) / _ior(d.get("ext_ior"), 1.000277)))
+    if t == "roughdielectric":
+        from ..models.bsdfs import RoughDielectric
+
+        return RoughDielectric(
+            eta=jnp.asarray(_ior(d.get("int_ior"), 1.5046)
+                            / _ior(d.get("ext_ior"), 1.000277)),
+            alpha=jnp.asarray(float(d.get("alpha", 0.1))),
+        )
+    if t == "plastic":
+        from ..models.bsdfs import SmoothPlastic
+
+        return SmoothPlastic(
+            diffuse_reflectance=_texture(d.get("diffuse_reflectance"),
+                                         [0.5, 0.5, 0.5]),
+            eta=jnp.asarray(_ior(d.get("int_ior"), 1.49)
+                            / _ior(d.get("ext_ior"), 1.000277)),
+            nonlinear=bool(d.get("nonlinear", False)),
+        )
+    if t == "roughplastic":
+        from ..models.bsdfs import RoughPlastic
+
+        return RoughPlastic(
+            diffuse_reflectance=_texture(d.get("diffuse_reflectance"),
+                                         [0.5, 0.5, 0.5]),
+            eta=jnp.asarray(_ior(d.get("int_ior"), 1.49)
+                            / _ior(d.get("ext_ior"), 1.000277)),
+            alpha=jnp.asarray(float(d.get("alpha", 0.1))),
+            nonlinear=bool(d.get("nonlinear", False)),
+        )
+    if t == "null":
+        from ..models.bsdfs import NullBSDF
+
+        return NullBSDF()
+    if t == "mask":
+        from ..models.bsdfs import MaskBSDF
+
+        return MaskBSDF(nested=_make_bsdf(d["bsdf"]),
+                        opacity=_texture(d.get("opacity"), [0.5, 0.5, 0.5]))
+    if t == "twosided":
+        from ..models.bsdfs import TwoSided
+
+        return TwoSided(nested=_make_bsdf(d["bsdf"]))
+    if t == "blendbsdf":
+        from ..models.bsdfs import BlendBSDF
+
+        children = d.get("bsdfs")
+        if children is None:
+            children = [d["bsdf0"], d["bsdf1"]]
+        return BlendBSDF(
+            bsdf0=_make_bsdf(children[0]), bsdf1=_make_bsdf(children[1]),
+            weight=_texture(d.get("weight"), [0.5, 0.5, 0.5]),
+        )
     if t in ("dispersive_dielectric", "dispersive"):
         from ..models.bsdfs import DispersiveDielectric
 
@@ -214,6 +271,9 @@ def _make_film(d):
         "gaussian": ReconstructionFilter.gaussian(),
         "box": ReconstructionFilter.box(),
         "tent": ReconstructionFilter.tent(),
+        "mitchell": ReconstructionFilter.mitchell(),
+        "catmullrom": ReconstructionFilter.catmullrom(),
+        "lanczos": ReconstructionFilter.lanczos(),
     }[rf]
     return Film(width=int(d.get("width", 256)), height=int(d.get("height", 256)),
                 rfilter=rfilter)
@@ -227,6 +287,18 @@ def _make_sampler(d):
         return IndependentSampler(sample_count=n)
     if t == "stratified":
         return StratifiedSampler(sample_count=n)
+    if t == "multijitter":
+        from ..models.samplers import MultijitterSampler
+
+        return MultijitterSampler(sample_count=n)
+    if t == "ldsampler":
+        from ..models.samplers import LDSampler
+
+        return LDSampler(sample_count=n)
+    if t == "orthogonal":
+        from ..models.samplers import OrthogonalSampler
+
+        return OrthogonalSampler(sample_count=n)
     raise ValueError(f"unsupported sampler plugin {t!r}")
 
 
@@ -257,6 +329,44 @@ def _make_sensor(d):
         from ..lens.camera import make_realistic_lens_camera
 
         return make_realistic_lens_camera(d, film, sampler)
+    if t == "orthographic":
+        from ..models.sensors import OrthographicCamera
+
+        return OrthographicCamera(
+            to_world=to_world, film=film, sampler=sampler,
+            scale_x=jnp.asarray(float(d.get("scale_x", 1.0))),
+            scale_y=jnp.asarray(float(d.get("scale_y", 1.0))),
+            near_clip=float(d.get("near_clip", 1e-2)),
+            far_clip=float(d.get("far_clip", 1e4)),
+        )
+    if t == "radiancemeter":
+        from ..models.sensors import RadianceMeter
+
+        return RadianceMeter(to_world=to_world, film=film, sampler=sampler)
+    if t == "irradiancemeter":
+        from ..models.sensors import IrradianceMeter
+
+        return IrradianceMeter(
+            to_world=to_world, film=film, sampler=sampler,
+            radius=jnp.asarray(float(d.get("radius", 1.0))),
+        )
+    if t == "radialwarp":
+        from ..models.sensors import RadialWarpCamera
+
+        return RadialWarpCamera(
+            to_world=to_world, film=film, sampler=sampler,
+            k_warp=jnp.asarray(float(d.get("k_warp", 1.0))),
+            fov=float(d.get("fov", 39.3077)),
+            fov_axis=d.get("fov_axis", "x"),
+            near_clip=float(d.get("near_clip", 1e-2)),
+            far_clip=float(d.get("far_clip", 1e4)),
+        )
+    if t == "batch":
+        from ..models.sensors import BatchSensor
+
+        children = [_make_sensor(c) for c in d["sensors"]]
+        return BatchSensor(sensors=tuple(children), film=film,
+                           sampler=sampler)
     raise ValueError(f"unsupported sensor plugin {t!r}")
 
 
@@ -293,6 +403,24 @@ def _make_integrator(d):
             rr_depth=int(d.get("rr_depth", 5)),
             hide_emitters=bool(d.get("hide_emitters", False)),
         )
+    if t == "aov":
+        from ..models.integrators.aov import AOVIntegrator
+
+        names = d.get("aovs", "depth:depth,nn:sh_normals")
+        if isinstance(names, str):
+            parsed = tuple(x.split(":")[-1].strip()
+                           for x in names.split(",") if x.strip())
+        else:
+            parsed = tuple(names)
+        nested_d = d.get("integrator")
+        nested = _make_integrator(nested_d) if nested_d else None
+        return AOVIntegrator(aovs=parsed, nested=nested)
+    if t == "moment":
+        from ..models.integrators.aov import MomentIntegrator
+
+        return MomentIntegrator(
+            nested=_make_integrator(d.get("integrator",
+                                          {"type": "path"})))
     raise ValueError(f"unsupported integrator plugin {t!r}")
 
 
@@ -378,6 +506,38 @@ def load_dict(scene_dict: dict, use_bvh=None):
                     irradiance=_spectrum(val.get("irradiance"), jnp.ones(3)),
                     direction=jnp.asarray(val["direction"], jnp.float32),
                     scene_center=zeros, scene_radius=one,
+                ))
+            elif t == "envmap":
+                from ..models.emitters import EnvmapEmitter
+
+                if "data" in val:
+                    data = np.asarray(val["data"], np.float32)
+                else:
+                    from .bitmap import read_image
+
+                    data = read_image(val["filename"])
+                emitters.append(EnvmapEmitter.create(
+                    data, scale=float(val.get("scale", 1.0)),
+                    to_world=_to_world(val.get("to_world")),
+                ))
+            elif t == "spot":
+                from ..models.emitters import SpotEmitter
+
+                if "to_world" in val:
+                    m = np.asarray(val["to_world"], np.float32)
+                    pos = m[:3, 3]
+                    direc = m[:3, 2]
+                else:
+                    pos = np.asarray(val.get("position", [0, 0, 0]), np.float32)
+                    direc = np.asarray(val.get("direction", [0, 0, 1]),
+                                       np.float32)
+                emitters.append(SpotEmitter(
+                    intensity=_spectrum(val.get("intensity"), jnp.ones(3)),
+                    position=jnp.asarray(pos),
+                    direction=jnp.asarray(direc),
+                    cutoff_angle=float(val.get("cutoff_angle", 20.0)),
+                    beam_width=float(val.get(
+                        "beam_width", 0.75 * float(val.get("cutoff_angle", 20.0)))),
                 ))
             else:
                 raise ValueError(f"unsupported emitter plugin {t!r}")
