@@ -1,0 +1,265 @@
+"""Participating media + phase functions.
+
+Reference: include/mitsuba/render/{medium.h,phase.h}, src/media/
+{homogeneous.cpp (204), heterogeneous.cpp (226)}, src/phase/
+{isotropic.cpp, hg.cpp} and the Medium sampling interface used by
+volpath.cpp.
+
+TPU design: a medium is a pytree of differentiable coefficients;
+free-flight sampling is analytic for homogeneous media and
+majorant-based ratio/delta tracking for grid media (fixed-iteration
+loop).  Phase functions mirror the BSDF convention (local frame around
+the propagation direction; sample returns (wo_world, pdf)).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree, static
+from ..core.math import Frame, dot, normalize, safe_div
+from ..core import warp
+
+
+# ------------------------------------------------------------------ phase
+
+@pytree
+class IsotropicPhase:
+    """Uniform sphere phase function (src/phase/isotropic.cpp)."""
+
+    id: str = static("isotropic")
+
+    def sample(self, wi_world, sample2, active):
+        wo = warp.square_to_uniform_sphere(sample2)
+        pdf = jnp.full(wo.shape[:-1], warp.INV_FOUR_PI)
+        return wo, pdf
+
+    def eval(self, wi_world, wo_world, active):
+        return jnp.full(wi_world.shape[:-1], warp.INV_FOUR_PI)
+
+    def pdf(self, wi_world, wo_world, active):
+        return jnp.full(wi_world.shape[:-1], warp.INV_FOUR_PI)
+
+
+@pytree
+class HGPhase:
+    """Henyey-Greenstein (src/phase/hg.cpp); g in (-1, 1) differentiable."""
+
+    g: jnp.ndarray  # ()
+    id: str = static("hg")
+
+    def _eval_cos(self, cos_theta):
+        """cos_theta measured against the PROPAGATION direction (-wi);
+        forward scattering (cos -> +1) is most likely for g > 0
+        (hg.cpp with its dot(wi, wo) convention sign-flipped)."""
+        g = jnp.clip(self.g, -0.99, 0.99)
+        denom = 1.0 + g * g - 2.0 * g * cos_theta
+        return warp.INV_FOUR_PI * (1.0 - g * g) / jnp.maximum(
+            denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12
+        )
+
+    def sample(self, wi_world, sample2, active):
+        g = jnp.clip(self.g, -0.99, 0.99)
+        sqr_term = (1.0 - g * g) / (1.0 + g - 2.0 * g * sample2[..., 0])
+        # cos against the propagation direction: mean == +g
+        cos_theta = jnp.where(
+            jnp.abs(g) < 1e-4,
+            1.0 - 2.0 * sample2[..., 0],
+            (1.0 + g * g - sqr_term * sqr_term) / (2.0 * g),
+        )
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta**2, 0.0))
+        phi = 2.0 * jnp.pi * sample2[..., 1]
+        # build around the propagation direction (-wi: wi points backward)
+        d_prop = -wi_world
+        frame = Frame.from_normal(normalize(d_prop))
+        wo_local = jnp.stack(
+            [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta],
+            axis=-1,
+        )
+        wo = Frame.to_world(frame, wo_local)
+        pdf = self._eval_cos(cos_theta)
+        return wo, pdf
+
+    def eval(self, wi_world, wo_world, active):
+        cos_theta = dot(-wi_world, wo_world)
+        return self._eval_cos(cos_theta)
+
+    def pdf(self, wi_world, wo_world, active):
+        return self.eval(wi_world, wo_world, active)
+
+
+# ------------------------------------------------------------------ media
+
+@pytree
+class HomogeneousMedium:
+    """Constant sigma_t/albedo medium (src/media/homogeneous.cpp:204).
+
+    Free flight sampled by channel selection (volpath's spectral MIS
+    collapses to uniform channel choice in RGB mode)."""
+
+    sigma_t: jnp.ndarray   # (3,) extinction
+    albedo: jnp.ndarray    # (3,) single-scattering albedo
+    phase: object = None   # phase function (defaults to isotropic)
+    id: str = static("homogeneous")
+
+    def __post_init__(self):
+        if self.phase is None:
+            object.__setattr__(self, "phase", IsotropicPhase())
+
+    def sigma_s(self):
+        return self.sigma_t * self.albedo
+
+    def transmittance(self, dist, active=None):
+        """Beer-Lambert over distance(s) (N,) -> (N, 3)."""
+        tr = jnp.exp(-self.sigma_t[None, :] * dist[:, None])
+        if active is not None:
+            tr = jnp.where(active[:, None], tr, 1.0)
+        return tr
+
+    def sample_interaction(self, dist_max, sample1, sample2, active):
+        """Sample a free-flight distance against a uniformly chosen RGB
+        channel (homogeneous.cpp sample_interaction).
+
+        Returns (t, is_medium, weight) where weight folds transmittance /
+        pdf for both outcomes:
+          medium event:  weight = Tr * sigma_s / pdf_t
+          surface event: weight = Tr / P(t >= dist_max)
+        """
+        n = dist_max.shape[0]
+        channel = jnp.clip((sample1 * 3).astype(jnp.int32), 0, 2)
+        sig_c = self.sigma_t[channel]
+        t = -jnp.log(jnp.maximum(1.0 - sample2, 1e-20)) / jnp.maximum(
+            sig_c, 1e-20
+        )
+        is_medium = active & (t < dist_max)
+        t_clamped = jnp.minimum(t, dist_max)
+        tr = self.transmittance(t_clamped)
+        # channel-averaged pdfs (MIS over the channel choice)
+        pdf_t = jnp.mean(self.sigma_t[None, :] * tr, axis=-1)      # density
+        pdf_surf = jnp.mean(tr, axis=-1)                           # survival
+        w_medium = safe_div(tr * self.sigma_s()[None, :],
+                            jnp.maximum(pdf_t, 1e-20)[:, None])
+        w_surface = safe_div(tr, jnp.maximum(pdf_surf, 1e-20)[:, None])
+        weight = jnp.where(is_medium[:, None], w_medium, w_surface)
+        weight = jnp.where(active[:, None], weight, 1.0)
+        return t_clamped, is_medium, weight
+
+
+@pytree
+class GridMedium:
+    """Heterogeneous density grid (src/media/heterogeneous.cpp:226 +
+    src/volumes/grid.cpp): sigma_t(x) = scale * density(x) * sigma_t_base,
+    with delta tracking against the grid's majorant.
+
+    ``bbox_min/bbox_max`` place the grid in world space; trilinear density
+    lookups; fixed-iteration tracking loop (bias-free for
+    n_steps >= ~10 mean free paths)."""
+
+    density: jnp.ndarray     # (D, H, W) differentiable
+    sigma_t: jnp.ndarray     # (3,) base extinction
+    albedo: jnp.ndarray      # (3,)
+    bbox_min: jnp.ndarray    # (3,)
+    bbox_max: jnp.ndarray    # (3,)
+    scale: jnp.ndarray = None       # ()
+    phase: object = None
+    max_steps: int = static(64)
+    id: str = static("heterogeneous")
+
+    def __post_init__(self):
+        if self.phase is None:
+            object.__setattr__(self, "phase", IsotropicPhase())
+        if self.scale is None:
+            object.__setattr__(self, "scale", jnp.asarray(1.0))
+
+    def density_at(self, p):
+        """Trilinear density lookup; zero outside the bbox."""
+        rel = (p - self.bbox_min) / (self.bbox_max - self.bbox_min)
+        inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+        d, h, w = self.density.shape
+        x = jnp.clip(rel[..., 0] * (w - 1), 0, w - 1)
+        y = jnp.clip(rel[..., 1] * (h - 1), 0, h - 1)
+        z = jnp.clip(rel[..., 2] * (d - 1), 0, d - 1)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        z0 = jnp.floor(z).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        z1 = jnp.minimum(z0 + 1, d - 1)
+        fx, fy, fz = x - x0, y - y0, z - z0
+        g = self.density
+        c00 = g[z0, y0, x0] * (1 - fx) + g[z0, y0, x1] * fx
+        c01 = g[z0, y1, x0] * (1 - fx) + g[z0, y1, x1] * fx
+        c10 = g[z1, y0, x0] * (1 - fx) + g[z1, y0, x1] * fx
+        c11 = g[z1, y1, x0] * (1 - fx) + g[z1, y1, x1] * fx
+        c0 = c00 * (1 - fy) + c01 * fy
+        c1 = c10 * (1 - fy) + c11 * fy
+        val = c0 * (1 - fz) + c1 * fz
+        return jnp.where(inside, val * self.scale, 0.0)
+
+    def majorant(self):
+        return jnp.max(self.density) * self.scale * jnp.max(self.sigma_t)
+
+    def sigma_s(self):
+        return self.sigma_t * self.albedo
+
+    def transmittance_rt(self, o, d, dist, lane, seed, dim_base, active):
+        """Ratio-tracking transmittance estimator (volpath.cpp analogue).
+
+        Returns an unbiased (N, 3) transmittance estimate."""
+        from ..core import rng
+
+        maj = jnp.maximum(self.majorant(), 1e-8)
+
+        def body(i, carry):
+            t, tr, alive = carry
+            u = rng.sample_1d(seed, lane, dim_base + i)
+            t = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) / maj
+            ok = alive & (t < dist)
+            p = o + d * t[:, None]
+            dens = self.density_at(p)
+            sig = dens[:, None] * self.sigma_t[None, :]
+            tr = jnp.where(ok[:, None], tr * (1.0 - sig / maj), tr)
+            return t, tr, ok
+
+        n = dist.shape[0]
+        init = (jnp.zeros((n,)), jnp.ones((n, 3)), active)
+        _, tr, _ = jax.lax.fori_loop(0, self.max_steps, body, init)
+        return jnp.where(active[:, None], tr, 1.0)
+
+    def sample_interaction_dt(self, o, d, dist_max, lane, seed, dim_base,
+                              active):
+        """Delta-tracking free-flight sampling.
+
+        Returns (t, is_medium, weight): on a real collision the weight is
+        albedo (null collisions keep weight 1); surviving to dist_max is a
+        surface event with weight 1 — the standard unbiased scheme."""
+        from ..core import rng
+
+        maj = jnp.maximum(self.majorant(), 1e-8)
+        n = dist_max.shape[0]
+
+        def body(i, carry):
+            t, hit_med, alive = carry
+            u1 = rng.sample_1d(seed, lane, dim_base + 2 * i)
+            u2 = rng.sample_1d(seed, lane, dim_base + 2 * i + 1)
+            t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) / maj
+            within = alive & (t_new < dist_max)
+            p = o + d * t_new[:, None]
+            dens = self.density_at(p)
+            sig_bar = dens * jnp.mean(self.sigma_t)
+            real = within & (u2 < sig_bar / maj)
+            hit_med = hit_med | real
+            alive = within & ~real
+            t = jnp.where(within, t_new, t)
+            return t, hit_med, alive
+
+        init = (jnp.zeros((n,)), jnp.zeros((n,), bool), active)
+        t, hit_med, _ = jax.lax.fori_loop(0, self.max_steps, body, init)
+        t = jnp.where(hit_med, t, dist_max)
+        weight = jnp.where(
+            hit_med[:, None],
+            jnp.broadcast_to(self.albedo, (n, 3)),
+            jnp.ones((n, 3)),
+        )
+        weight = jnp.where(active[:, None], weight, 1.0)
+        return t, hit_med & active, weight

@@ -57,6 +57,7 @@ class Scene:
     emitter_distr: DiscreteDistribution
     scene_center: jnp.ndarray     # (3,)
     scene_radius: jnp.ndarray     # ()
+    scene_medium: object = None   # scene-wide participating medium
     # static metadata
     shape_bsdf: tuple = static(())      # per-shape bsdf index
     shape_emitter: tuple = static(())   # per-shape emitter index (-1)
@@ -457,7 +458,7 @@ class Scene:
 # ------------------------------------------------------------------ build
 
 def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
-               integrator=None):
+               integrator=None, medium=None):
     """Assemble a Scene (reference Scene ctor, scene.cpp:22-96).
 
     - ``meshes``: list[Mesh]; each mesh's static ``bsdf_index`` /
@@ -545,4 +546,5 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         env_index=env_index,
         use_bvh=bool(use_bvh),
         integrator=integrator,
+        scene_medium=medium,
     )

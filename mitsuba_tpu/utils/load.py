@@ -415,6 +415,14 @@ def _make_integrator(d):
         nested_d = d.get("integrator")
         nested = _make_integrator(nested_d) if nested_d else None
         return AOVIntegrator(aovs=parsed, nested=nested)
+    if t == "volpath":
+        from ..models.integrators import VolPathIntegrator
+
+        return VolPathIntegrator(
+            max_depth=int(d.get("max_depth", 8)),
+            rr_depth=int(d.get("rr_depth", 6)),
+            hide_emitters=bool(d.get("hide_emitters", False)),
+        )
     if t == "moment":
         from ..models.integrators.aov import MomentIntegrator
 
@@ -438,6 +446,7 @@ def load_dict(scene_dict: dict, use_bvh=None):
     meshes = []
     sensor = None
     integrator = None
+    medium = None
 
     def bsdf_index_of(b):
         """Resolve an inline bsdf dict or a ref to an index in bsdfs."""
@@ -541,6 +550,8 @@ def load_dict(scene_dict: dict, use_bvh=None):
                 ))
             else:
                 raise ValueError(f"unsupported emitter plugin {t!r}")
+        elif t in ("homogeneous", "heterogeneous"):
+            medium = _make_medium(val)
         elif t in SENSOR_TYPES:
             sensor = _make_sensor(val)
         elif t in INTEGRATOR_TYPES:
@@ -551,4 +562,40 @@ def load_dict(scene_dict: dict, use_bvh=None):
     if sensor is None:
         sensor = PerspectiveCamera(to_world=jnp.eye(4))
     return make_scene(meshes, bsdfs, emitters, sensor, use_bvh=use_bvh,
-                      integrator=integrator)
+                      integrator=integrator, medium=medium)
+
+
+def _make_phase(d):
+    from ..models.media import HGPhase, IsotropicPhase
+
+    d = d or {}
+    t = d.get("type", "isotropic")
+    if t == "isotropic":
+        return IsotropicPhase()
+    if t == "hg":
+        return HGPhase(g=jnp.asarray(float(d.get("g", 0.0))))
+    raise ValueError(f"unsupported phase plugin {t!r}")
+
+
+def _make_medium(d):
+    from ..models.media import GridMedium, HomogeneousMedium
+
+    t = d["type"]
+    phase = _make_phase(d.get("phase"))
+    if t == "homogeneous":
+        return HomogeneousMedium(
+            sigma_t=_spectrum(d.get("sigma_t"), jnp.ones(3)),
+            albedo=_spectrum(d.get("albedo"), jnp.full((3,), 0.75)),
+            phase=phase,
+        )
+    if t == "heterogeneous":
+        return GridMedium(
+            density=jnp.asarray(d["density"], jnp.float32),
+            sigma_t=_spectrum(d.get("sigma_t"), jnp.ones(3)),
+            albedo=_spectrum(d.get("albedo"), jnp.full((3,), 0.75)),
+            bbox_min=jnp.asarray(d.get("bbox_min", [-1, -1, -1]), jnp.float32),
+            bbox_max=jnp.asarray(d.get("bbox_max", [1, 1, 1]), jnp.float32),
+            scale=jnp.asarray(float(d.get("scale", 1.0))),
+            phase=phase,
+        )
+    raise ValueError(f"unsupported medium plugin {t!r}")

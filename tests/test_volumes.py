@@ -1,0 +1,132 @@
+"""Volumetric rendering tests.
+
+Mirrors the reference's medium/phase test strategy (src/media/tests,
+src/phase/tests): analytic Beer-Lambert attenuation, HG chi2, energy
+checks, and volpath integration sanity."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu import load_dict, render
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.models.media import (
+    GridMedium,
+    HGPhase,
+    HomogeneousMedium,
+    IsotropicPhase,
+)
+from mitsuba_tpu.utils.chi2 import SphericalDomain, chi2_test
+from mitsuba_tpu.utils.scenes import cornell_box_dict
+
+
+def test_hg_chi2():
+    ph = HGPhase(g=jnp.asarray(0.6))
+    wi = jnp.asarray([0.0, 0.0, 1.0])  # arriving from +z; propagation -z
+
+    def sample_fn(n, seed):
+        lanes = jnp.arange(n, dtype=jnp.uint32)
+        s2 = rng.sample_2d(jnp.uint32(seed), lanes, jnp.uint32(0))
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        wo, pdf = ph.sample(wi_b, s2, jnp.ones((n,), bool))
+        return np.asarray(wo)
+
+    def pdf_fn(d):
+        flat = d.reshape(-1, 3)
+        wi_b = jnp.broadcast_to(wi, (flat.shape[0], 3))
+        p = ph.pdf(wi_b, flat, jnp.ones((flat.shape[0],), bool))
+        return np.asarray(p).reshape(d.shape[:-1])
+
+    passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
+                            sample_count=200_000)
+    assert passed, msg
+    # forward scattering for g > 0: mean cos against propagation == g
+    wo = sample_fn(100_000, 1)
+    mean_cos = (wo @ np.asarray(-wi)).mean()
+    assert abs(mean_cos - 0.6) < 0.01
+
+
+def test_homogeneous_free_flight_distribution():
+    """Sampled distances follow the channel-MIS mixture; the estimator
+    E[w * 1{medium}] equals albedo * (1 - Tr) per channel."""
+    m = HomogeneousMedium(sigma_t=jnp.asarray([0.5, 1.0, 2.0]),
+                          albedo=jnp.asarray([0.9, 0.8, 0.7]))
+    n = 400_000
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    s1 = rng.sample_1d(jnp.uint32(0), lanes, jnp.uint32(0))
+    s2 = rng.sample_1d(jnp.uint32(0), lanes, jnp.uint32(1))
+    dist = jnp.full((n,), 1.5)
+    t, is_med, w = m.sample_interaction(dist, s1, s2, jnp.ones((n,), bool))
+    est_scatter = np.asarray(
+        jnp.mean(jnp.where(is_med[:, None], w, 0.0), axis=0))
+    expect = np.asarray(m.albedo) * (1.0 - np.exp(-np.asarray(m.sigma_t) * 1.5))
+    np.testing.assert_allclose(est_scatter, expect, rtol=0.02)
+    # surface estimator: E[w * 1{surface}] == Tr
+    est_surf = np.asarray(jnp.mean(jnp.where(~is_med[:, None], w, 0.0),
+                                   axis=0))
+    np.testing.assert_allclose(
+        est_surf, np.exp(-np.asarray(m.sigma_t) * 1.5), rtol=0.02)
+
+
+def test_grid_medium_transmittance_unbiased():
+    """Ratio tracking matches the analytic transmittance of a constant
+    grid."""
+    g = GridMedium(
+        density=jnp.ones((4, 4, 4)),
+        sigma_t=jnp.asarray([1.2, 1.2, 1.2]),
+        albedo=jnp.full((3,), 0.8),
+        bbox_min=jnp.asarray([-1.0, -1.0, -1.0]),
+        bbox_max=jnp.asarray([1.0, 1.0, 1.0]),
+    )
+    n = 200_000
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    dist = jnp.full((n,), 1.6)
+    tr = g.transmittance_rt(o, d, dist, lanes, jnp.uint32(0), jnp.int32(0),
+                            jnp.ones((n,), bool))
+    got = float(jnp.mean(tr[:, 0]))
+    expect = float(np.exp(-1.2 * 1.6))
+    assert abs(got - expect) < 0.01, (got, expect)
+
+
+def test_volpath_absorbing_fog_beer_lambert():
+    """Pure absorption: the rendered light dims by exp(-sigma*d) relative
+    to the fog-free render."""
+    base = cornell_box_dict(width=16, height=16, spp=64)
+    base["integrator"] = {"type": "path", "max_depth": 2, "rr_depth": 16}
+    clear = np.asarray(render(load_dict(base)))
+
+    foggy_d = cornell_box_dict(width=16, height=16, spp=64)
+    foggy_d["integrator"] = {"type": "volpath", "max_depth": 2,
+                             "rr_depth": 16}
+    sigma = 0.3
+    foggy_d["fog"] = {"type": "homogeneous", "sigma_t": sigma, "albedo": 0.0}
+    foggy = np.asarray(render(load_dict(foggy_d)))
+
+    # light pixels: distance camera->light ~ 3.9+1.0ish; the direct LIGHT
+    # image attenuates by exp(-sigma * path); check the mean ratio is in
+    # the plausible attenuation band rather than per-pixel (paths differ)
+    ratio = foggy.mean() / clear.mean()
+    assert np.exp(-sigma * 8.0) < ratio < np.exp(-sigma * 3.0), ratio
+
+
+def test_volpath_scattering_fog_renders():
+    d = cornell_box_dict(width=16, height=16, spp=32)
+    d["integrator"] = {"type": "volpath", "max_depth": 6, "rr_depth": 16}
+    d["fog"] = {"type": "homogeneous", "sigma_t": 0.2, "albedo": 0.9,
+                "phase": {"type": "hg", "g": 0.3}}
+    img = np.asarray(render(load_dict(d)))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.02
+    # scattering fog glows: off-surface regions receive in-scattered light
+    assert (img > 0).mean() > 0.9
+
+
+def test_volpath_zero_density_matches_path():
+    d = cornell_box_dict(width=16, height=16, spp=128)
+    d["integrator"] = {"type": "path", "max_depth": 3, "rr_depth": 16}
+    a = np.asarray(render(load_dict(d)))
+    d["integrator"] = {"type": "volpath", "max_depth": 3, "rr_depth": 16}
+    d["fog"] = {"type": "homogeneous", "sigma_t": 1e-6, "albedo": 0.5}
+    b = np.asarray(render(load_dict(d)))
+    assert abs(a.mean() / b.mean() - 1.0) < 0.05
