@@ -45,8 +45,34 @@ class BVH:
     prims: jnp.ndarray     # (P + LEAF_SIZE,) permuted face ids, padded
 
 
-def build_bvh(vertices: np.ndarray, faces: np.ndarray, leaf_size: int = LEAF_SIZE) -> BVH:
-    """Host-side median-split builder over triangle centroids."""
+def build_bvh(vertices: np.ndarray, faces: np.ndarray,
+              leaf_size: int = LEAF_SIZE, method: str = "auto") -> BVH:
+    """Host-side BVH build.
+
+    method='auto' prefers the native C++ binned-SAH builder
+    (mitsuba_tpu/native/bvh_builder.cpp — the Embree/kdtree.h:1827
+    equivalent) and falls back to the numpy median-split below;
+    'median' forces the numpy path.
+    """
+    if method in ("auto", "sah"):
+        from ..native import build_bvh_native
+
+        out = build_bvh_native(vertices, faces, leaf_size)
+        if out is not None:
+            lo, hi, first, count, miss, prims = out
+            return BVH(
+                bbox_lo=jnp.asarray(lo), bbox_hi=jnp.asarray(hi),
+                first=jnp.asarray(first), count=jnp.asarray(count),
+                miss=jnp.asarray(miss), prims=jnp.asarray(prims),
+            )
+        if method == "sah":
+            raise RuntimeError("native SAH builder unavailable")
+    return _build_bvh_median(vertices, faces, leaf_size)
+
+
+def _build_bvh_median(vertices: np.ndarray, faces: np.ndarray,
+                      leaf_size: int = LEAF_SIZE) -> BVH:
+    """Numpy median-split fallback builder over triangle centroids."""
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int64)
     f = faces.shape[0]
