@@ -1,0 +1,91 @@
+"""XML loader tests: schema coverage + parity with the dict loader."""
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba_tpu import load_dict, render
+from mitsuba_tpu.utils.scenes import cornell_box_dict
+from mitsuba_tpu.utils.xml import load_file, xml_to_dict
+
+_XML = """
+<scene version="3.0.0">
+    <default name="spp" value="8"/>
+    <integrator type="path"><integer name="max_depth" value="3"/></integrator>
+    <sensor type="perspective">
+        <string name="fov_axis" value="smaller"/>
+        <float name="fov" value="39.3077"/>
+        <float name="near_clip" value="0.001"/>
+        <float name="far_clip" value="100"/>
+        <transform name="to_world">
+            <lookat origin="0, 0, 3.9" target="0, 0, 0" up="0, 1, 0"/>
+        </transform>
+        <sampler type="independent">
+            <integer name="sample_count" value="$spp"/>
+        </sampler>
+        <film type="hdrfilm">
+            <integer name="width" value="16"/>
+            <integer name="height" value="16"/>
+            <rfilter name="rfilter" type="gaussian"/>
+        </film>
+    </sensor>
+    <bsdf type="diffuse" id="white">
+        <rgb name="reflectance" value="0.885809, 0.698859, 0.666422"/>
+    </bsdf>
+    <shape type="rectangle" id="light">
+        <transform name="to_world">
+            <scale value="0.23, 0.19, 0.19"/>
+            <rotate x="1" angle="90"/>
+            <translate x="0" y="0.99" z="0.01"/>
+        </transform>
+        <ref id="white"/>
+        <emitter type="area">
+            <rgb name="radiance" value="18.387, 13.9873, 6.75357"/>
+        </emitter>
+    </shape>
+    <shape type="rectangle" id="floor">
+        <transform name="to_world">
+            <rotate x="1" angle="-90"/>
+            <translate y="-1"/>
+        </transform>
+        <ref id="white"/>
+    </shape>
+    <shape type="rectangle" id="back">
+        <transform name="to_world"><translate z="-1"/></transform>
+        <ref id="white"/>
+    </shape>
+</scene>
+"""
+
+
+def test_xml_parses_schema():
+    d = xml_to_dict(_XML)
+    assert d["integrator"]["max_depth"] == 3
+    assert d["sensor"]["sampler"]["sample_count"] == 8  # $spp substituted
+    assert d["light"]["emitter"]["type"] == "area"
+    assert d["light"]["bsdf"] == {"type": "ref", "id": "white"}
+    w = d["light"]["to_world"]
+    assert w.shape == (4, 4)
+    # translate(0,0.99,0.01) @ rotate @ scale: translation column survives
+    np.testing.assert_allclose(w[:3, 3], [0, 0.99, 0.01], atol=1e-6)
+
+
+def test_xml_matches_dict_loader(tmp_path):
+    p = tmp_path / "scene.xml"
+    p.write_text(_XML)
+    scene_x = load_file(str(p))
+    img_x = np.asarray(render(scene_x))
+
+    # equivalent dict scene (subset of the cornell box)
+    d = cornell_box_dict(width=16, height=16, spp=8)
+    d["integrator"]["max_depth"] = 3
+    for k in ("ceiling", "green-wall", "red-wall", "small-box", "large-box",
+              "green", "red"):
+        d.pop(k)
+    img_d = np.asarray(render(load_dict(d)))
+    np.testing.assert_allclose(img_x, img_d, rtol=1e-4, atol=1e-5)
+
+
+def test_xml_defaults_override(tmp_path):
+    p = tmp_path / "scene.xml"
+    p.write_text(_XML)
+    scene = load_file(str(p), defaults={"spp": 2})
+    assert scene.sensor.sampler.sample_count == 2
