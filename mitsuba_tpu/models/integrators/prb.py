@@ -234,6 +234,156 @@ class PRBIntegrator:
         out = jax.lax.while_loop(cond, body, state)
         return out["grads"]
 
+    def sample_forward(self, scene, tangent_floats, ray, lane, seed, L0,
+                       active):
+        """Forward-mode replay: propagate scene-parameter tangents to
+        per-lane radiance tangents dL (N, 3).
+
+        The mirror image of sample_backward — per bounce, jvp of the
+        attached re-evaluation instead of grad (the reference's
+        render_forward, integrator.h:164 / common.py forward mode).
+        """
+        n = ray.o.shape[0]
+        scene_det = jax.lax.stop_gradient(scene)
+        ctx_det = scene_det.trace_ctx()
+        floats, rebuild, _ = _float_partition(scene)
+        nee_enabled = len(scene.emitters) > 0
+
+        state = dict(
+            depth=jnp.int32(0),
+            ray=ray,
+            L=L0,
+            dL=jnp.zeros((n, 3)),
+            beta=jnp.ones((n, 3)),
+            eta=jnp.ones((n,)),
+            active=active,
+            prev_p=ray.o,
+            prev_pdf=jnp.ones((n,)),
+            prev_delta=jnp.ones((n,), bool),
+        )
+
+        def cond(s):
+            return (s["depth"] < self.max_depth) & jnp.any(s["active"])
+
+        def body(s):
+            depth = s["depth"]
+            ray = s["ray"]
+            beta, eta = s["beta"], s["eta"]
+            act = s["active"]
+            prev_p, prev_pdf, prev_delta = (
+                s["prev_p"], s["prev_pdf"], s["prev_delta"])
+
+            pi = scene_det.ray_intersect_preliminary(ray, act, ctx_det)
+            si_d = scene_det.compute_si(pi, ray, ctx_det)
+            valid = si_d.is_valid()
+            escaped = act & ~valid
+            act_hit = act & valid
+
+            _, pdf_hit = scene_det.eval_emitter_hit(si_d, prev_p, act_hit)
+            _, pdf_env = scene_det.eval_env(ray, prev_p, escaped)
+            mis_hit = jnp.where(prev_delta, 1.0,
+                                mis_weight(prev_pdf, pdf_hit))
+            mis_env = jnp.where(prev_delta, 1.0,
+                                mis_weight(prev_pdf, pdf_env))
+            mis_hit = jnp.where(act_hit, mis_hit, 0.0)
+            mis_env = jnp.where(escaped, mis_env, 0.0)
+            act_next = act_hit & (depth + 1 < self.max_depth)
+
+            if nee_enabled:
+                s1 = rng.sample_1d(seed, lane,
+                                   bounce_dim(depth, SLOT_EM_SELECT))
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                ds, _, ok = scene_det.sample_emitter_direction(
+                    si_d, s1, s2, act_next, ctx=ctx_det)
+                wo_em_d = si_d.to_local(ds.d)
+                _, bsdf_pdf_nee = scene_det.bsdf_eval_pdf(si_d, wo_em_d, ok)
+                mis_em = jnp.where(ds.delta, 1.0,
+                                   mis_weight(ds.pdf, bsdf_pdf_nee))
+                mis_em = jnp.where(ok, mis_em, 0.0)
+                inv_ds_pdf = jnp.where(ds.pdf > 0.0, 1.0 / ds.pdf, 0.0)
+
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            bs, bsdf_w_d = scene_det.bsdf_sample(si_d, s1b, s2b, act_next)
+
+            def contrib_fn(fl):
+                sc = rebuild(fl)
+                si = sc.compute_si(pi, ray)
+                le_hit, _ = sc.eval_emitter_hit(si, prev_p, act_hit)
+                le_env, _ = sc.eval_env(ray, prev_p, escaped)
+                Le_t = beta * (mis_hit[:, None] * le_hit
+                               + mis_env[:, None] * le_env)
+                Lr_dir = jnp.zeros_like(Le_t)
+                if nee_enabled:
+                    em_val = sc.eval_emitter_direction(si, ds, ok)
+                    wo_l = si.to_local(ds.d)
+                    bsdf_val_nee, _ = sc.bsdf_eval_pdf(si, wo_l, ok)
+                    Lr_dir = (beta * (mis_em * inv_ds_pdf)[:, None]
+                              * bsdf_val_nee * em_val)
+                peeled = (s["L"] - jax.lax.stop_gradient(Le_t)
+                          - jax.lax.stop_gradient(Lr_dir))
+                bsdf_val_ind, _ = sc.bsdf_eval_pdf(si, bs.wo, act_next)
+                det = jax.lax.stop_gradient(bsdf_val_ind)
+                ratio = bsdf_val_ind * jnp.where(
+                    det > 0.0, 1.0 / jnp.maximum(det, 1e-32), 0.0)
+                Lr_ind = peeled * ratio
+                return Le_t + Lr_dir + Lr_ind, peeled
+
+            (_, peeled), (dLo, _) = jax.jvp(
+                contrib_fn, (floats,), (tangent_floats,), has_aux=False
+            )
+            dL = s["dL"] + dLo
+
+            new_ray = si_d.spawn_ray(si_d.to_world(bs.wo))
+            beta = beta * bsdf_w_d
+            eta = eta * jnp.where(act_next, bs.eta, 1.0)
+            act_next = act_next & (bs.pdf > 0.0) & jnp.any(beta > 0.0, -1)
+            beta_max = jnp.max(beta, axis=-1) * eta * eta
+            rr_prob = jnp.minimum(beta_max, 0.95)
+            rr_on = depth + 1 >= self.rr_depth
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            survive = jnp.where(rr_on, u < rr_prob, True)
+            beta = jnp.where((rr_on & act_next)[..., None],
+                             beta / jnp.maximum(rr_prob, 1e-8)[..., None],
+                             beta)
+            act_next = act_next & survive
+
+            return dict(
+                depth=depth + 1, ray=new_ray, L=peeled, dL=dL, beta=beta,
+                eta=eta, active=act_next, prev_p=si_d.p,
+                prev_pdf=jnp.where(act_next, bs.pdf, prev_pdf),
+                prev_delta=jnp.where(act_next, bs.delta, prev_delta),
+            )
+
+        out = jax.lax.while_loop(cond, body, state)
+        return out["dL"]
+
+
+def prb_render_forward(scene, tangent_scene, integrator, seed=0,
+                       spp: int = 16):
+    """Forward-mode differentiable render: (image, dimage/dtheta in the
+    direction of ``tangent_scene``) — mi.render_forward /
+    Integrator::render_forward (integrator.h:164).
+
+    ``tangent_scene``: a pytree matching the scene with tangent values in
+    the float leaves (zeros elsewhere); use utils.params to build one for
+    a single parameter.
+    """
+    seed_u = jnp.uint32(seed)
+    scene_det = jax.lax.stop_gradient(scene)
+    ray, weight, film_pos, lane = sample_rays(scene_det, seed_u, spp)
+    n = ray.o.shape[0]
+    active = jnp.ones((n,), bool)
+    film = scene_det.sensor.film
+
+    L0 = integrator.sample(scene_det, ray, lane, seed_u, active)
+    floats_t, _, _ = _float_partition(tangent_scene)
+    dL = integrator.sample_forward(scene, floats_t, ray, lane, seed_u, L0,
+                                   active)
+    img = film.develop(film.put(film_pos, L0 * weight, active))
+    dimg = film.develop(film.put(film_pos, dL * weight, active))
+    return img, dimg
+
 
 # ---------------------------------------------------------------- render()
 

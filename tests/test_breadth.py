@@ -222,3 +222,52 @@ def test_radialwarp_distorts():
 
     g = float(jax.grad(f)(jnp.asarray(1.0)))
     assert np.isfinite(g) and abs(g) > 0.0
+
+
+def test_largesteps_roundtrip_and_smoothing():
+    from mitsuba_tpu.models.shapes import sphere_mesh
+    from mitsuba_tpu.utils.largesteps import LargeSteps
+
+    v, f, *_ = sphere_mesh(2)
+    ls = LargeSteps(v, f, lambda_=5.0)
+    x = jnp.asarray(v)
+    u = ls.to_differential(x)
+    x_back = ls.from_differential(u)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=1e-3)
+
+    # preconditioned gradient of a single-vertex delta spreads smoothly
+    g = jnp.zeros_like(x).at[0, 0].set(1.0)
+    g_pre = np.asarray(ls.from_differential(g))
+    assert g_pre[0, 0] > 0
+    # neighbors receive a share of the gradient
+    neighbors = np.asarray(f)[np.any(np.asarray(f) == 0, axis=1)].ravel()
+    neighbors = [i for i in set(neighbors.tolist()) if i != 0]
+    assert all(abs(g_pre[i, 0]) > 1e-5 for i in neighbors)
+    # differentiable
+    grad = jax.grad(lambda u: jnp.sum(ls.from_differential(u) ** 2))(u)
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mitsuba_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"a": jnp.asarray([1.0, 2.0]), "m": {"v": jnp.ones((3, 2))}}
+    p = save_checkpoint(str(tmp_path / "ckpt"), params)
+    back = load_checkpoint(p, params)
+    np.testing.assert_allclose(np.asarray(back["a"]), [1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(back["m"]["v"]), np.ones((3, 2)))
+
+
+def test_logging_and_progress(capsys):
+    import io
+
+    from mitsuba_tpu.utils import logging as mlog
+
+    buf = io.StringIO()
+    pr = mlog.ProgressReporter("Test", stream=buf)
+    pr.update(0.5)
+    pr.update(1.0)
+    out = buf.getvalue()
+    assert "50.0%" in out and "100.0%" in out
+    with mlog.scoped_phase("unit-test-phase"):
+        pass

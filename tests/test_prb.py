@@ -131,3 +131,31 @@ def test_sgd_momentum_descends():
         grads = jax.grad(f)(params)
         params, state = opt.step(params, grads, state)
     np.testing.assert_allclose(np.asarray(params["x"]), 3.0, atol=0.05)
+
+
+def test_prb_forward_mode_matches_backward():
+    """Forward-mode dimage: <grad, tangent> == d mean(image) computed by
+    render_forward (test_ad_integrators.py forward-vs-backward parity)."""
+    from mitsuba_tpu.models.integrators.prb import prb_render_forward
+
+    scene = _scene()
+    integ = PRBIntegrator(max_depth=3, rr_depth=16)
+
+    a0 = jnp.asarray([0.6, 0.6, 0.6])
+    tangent_dir = jnp.asarray([1.0, 0.0, 0.0])
+
+    # backward gradient of mean(image) w.r.t. albedo
+    g = jax.grad(
+        lambda a: jnp.mean(prb_render(_with_albedo(scene, a), integ,
+                                      0, 16, 16)))(a0)
+    expect = float(jnp.dot(g, tangent_dir))
+
+    # forward tangent: a scene-shaped pytree with d(albedo) = tangent_dir
+    base = _with_albedo(scene, a0)
+    zeros = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, base)
+    tangent = _with_albedo(zeros, tangent_dir)
+    img, dimg = prb_render_forward(base, tangent, integ, seed=0, spp=16)
+    got = float(jnp.mean(dimg))
+    assert abs(got - expect) < 0.05 * max(abs(expect), 1e-4), (got, expect)
