@@ -926,3 +926,215 @@ class BlendBSDF:
 
     def eval_pdf(self, si, wo, active):
         return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class NormalMap:
+    """Tangent-space normal-map adapter (src/bsdfs/normalmap.cpp:222):
+    evaluates the nested BSDF in a frame rotated to the texture normal."""
+
+    nested: object
+    normalmap: object  # texture: RGB in [0,1] -> tangent-space normal
+    id: str = static("normalmap")
+
+    @property
+    def flags(self):
+        return self.nested.flags
+
+    def _frame(self, si):
+        n_tex = self.normalmap.eval(si) * 2.0 - 1.0
+        n = n_tex / jnp.maximum(
+            jnp.linalg.norm(n_tex, axis=-1, keepdims=True), 1e-6)
+        return Frame.from_normal(n)
+
+    def _rotate(self, si):
+        frame = self._frame(si)
+        wi_p = Frame.to_local(frame, si.wi)
+        return frame, si.replace(wi=wi_p) if hasattr(si, "replace") else si
+
+    def sample(self, si, sample1, sample2, active):
+        frame = self._frame(si)
+        wi_p = Frame.to_local(frame, si.wi)
+        si_p = _replace_wi(si, wi_p)
+        bs, w = self.nested.sample(si_p, sample1, sample2, active)
+        wo = Frame.to_world(frame, bs.wo)
+        ok = active & (wo[..., 2] * bs.wo[..., 2] >= 0.0)  # no flip-through
+        return bs.replace(wo=wo, pdf=jnp.where(ok, bs.pdf, 0.0)), \
+            jnp.where(ok[..., None], w, 0.0)
+
+    def eval(self, si, wo, active):
+        frame = self._frame(si)
+        si_p = _replace_wi(si, Frame.to_local(frame, si.wi))
+        return self.nested.eval(si_p, Frame.to_local(frame, wo), active)
+
+    def pdf(self, si, wo, active):
+        frame = self._frame(si)
+        si_p = _replace_wi(si, Frame.to_local(frame, si.wi))
+        return self.nested.pdf(si_p, Frame.to_local(frame, wo), active)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class BumpMap:
+    """Height-field bump mapping (src/bsdfs/bumpmap.cpp:248): perturbs the
+    normal by the texture's uv gradient (finite differences)."""
+
+    nested: object
+    texture: object      # height texture
+    scale: float = static(1.0)
+    id: str = static("bumpmap")
+
+    @property
+    def flags(self):
+        return self.nested.flags
+
+    def _frame(self, si):
+        eps = 1e-3
+        h0 = jnp.mean(self.texture.eval(si), axis=-1)
+        si_u = _replace_uv(si, si.uv + jnp.asarray([eps, 0.0]))
+        si_v = _replace_uv(si, si.uv + jnp.asarray([0.0, eps]))
+        hu = (jnp.mean(self.texture.eval(si_u), axis=-1) - h0) / eps
+        hv = (jnp.mean(self.texture.eval(si_v), axis=-1) - h0) / eps
+        n = jnp.stack(
+            [-self.scale * hu, -self.scale * hv, jnp.ones_like(h0)], axis=-1)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+        return Frame.from_normal(n)
+
+    def sample(self, si, sample1, sample2, active):
+        frame = self._frame(si)
+        si_p = _replace_wi(si, Frame.to_local(frame, si.wi))
+        bs, w = self.nested.sample(si_p, sample1, sample2, active)
+        wo = Frame.to_world(frame, bs.wo)
+        ok = active & (wo[..., 2] * bs.wo[..., 2] >= 0.0)
+        return bs.replace(wo=wo, pdf=jnp.where(ok, bs.pdf, 0.0)), \
+            jnp.where(ok[..., None], w, 0.0)
+
+    def eval(self, si, wo, active):
+        frame = self._frame(si)
+        si_p = _replace_wi(si, Frame.to_local(frame, si.wi))
+        return self.nested.eval(si_p, Frame.to_local(frame, wo), active)
+
+    def pdf(self, si, wo, active):
+        frame = self._frame(si)
+        si_p = _replace_wi(si, Frame.to_local(frame, si.wi))
+        return self.nested.pdf(si_p, Frame.to_local(frame, wo), active)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+class _SIWrap:
+    def __init__(self, base, wi=None, uv=None):
+        self._base = base
+        self.wi = wi if wi is not None else base.wi
+        self.uv = uv if uv is not None else base.uv
+
+    def __getattr__(self, k):
+        return getattr(self._base, k)
+
+
+def _replace_wi(si, wi):
+    if hasattr(si, "replace"):
+        try:
+            return si.replace(wi=wi)
+        except TypeError:
+            pass
+    return _SIWrap(si, wi=wi)
+
+
+def _replace_uv(si, uv):
+    if hasattr(si, "replace"):
+        try:
+            return si.replace(uv=uv)
+        except TypeError:
+            pass
+    return _SIWrap(si, uv=uv)
+
+
+@pytree
+class Principled:
+    """Disney-style principled BSDF — the metallic/roughness workflow
+    subset of src/bsdfs/principled.cpp (902 LoC): diffuse base + GGX
+    specular with Schlick Fresnel; metallic blends the diffuse away and
+    tints F0 with the base color.  (Clearcoat/sheen/transmission/
+    anisotropy are not yet implemented.)"""
+
+    base_color: object            # texture
+    metallic: jnp.ndarray         # ()
+    roughness: jnp.ndarray        # ()
+    specular: jnp.ndarray = None  # () F0 scale, default 0.5 -> F0=0.04
+    id: str = static("principled")
+
+    flags = Flags.DiffuseReflection | Flags.GlossyReflection
+
+    def __post_init__(self):
+        if self.specular is None:
+            object.__setattr__(self, "specular", jnp.asarray(0.5))
+
+    def _f0(self, base):
+        f0_dielectric = 0.08 * self.specular
+        return (1.0 - self.metallic) * f0_dielectric + \
+            self.metallic * base
+
+    def _alpha(self):
+        return jnp.maximum(self.roughness**2, 1e-3)
+
+    def _spec_prob(self):
+        return jnp.clip(0.5 + 0.5 * self.metallic, 0.0, 1.0)
+
+    def sample(self, si, sample1, sample2, active):
+        ax = self._alpha()
+        p_spec = self._spec_prob()
+        pick_spec = sample1 < p_spec
+        m = mf.sample_vndf(si.wi, sample2, ax, ax)
+        wo_spec = 2.0 * dot(si.wi, m)[..., None] * m - si.wi
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
+        val, pdf = self.eval_pdf(si, wo, active)
+        ok = active & (pdf > 0.0) & (Frame.cos_theta(wo) > 0.0) \
+            & (Frame.cos_theta(si.wi) > 0.0)
+        w = jnp.where(ok[..., None],
+                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones(pdf.shape),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_spec, Flags.GlossyReflection, Flags.DiffuseReflection
+            ).astype(jnp.int32),
+        )
+        return bs, w
+
+    def eval_pdf(self, si, wo, active):
+        ax = self._alpha()
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        base = self.base_color.eval(si)
+        m = si.wi + wo
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, -1, keepdims=True),
+                                    1e-20))
+        m = m / norm
+        cos_hm = jnp.clip(dot(si.wi, m), 0.0, 1.0)
+        f0 = self._f0(base)
+        fres = f0 + (1.0 - f0) * (1.0 - cos_hm[..., None]) ** 5
+        d = mf.ggx_D(m, ax, ax)
+        g2 = mf.smith_g2(si.wi, wo, m, ax, ax)
+        spec = fres * (d * g2 / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+        diff = (1.0 - self.metallic) * base * (
+            warp.INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+        val = spec + diff
+        p_spec = self._spec_prob()
+        pdf_m = mf.vndf_pdf(si.wi, m, ax, ax)
+        jac = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-20)
+        pdf = (p_spec * pdf_m * jac
+               + (1.0 - p_spec) * warp.square_to_cosine_hemisphere_pdf(wo))
+        return (jnp.where(ok[..., None], val, 0.0), jnp.where(ok, pdf, 0.0))
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]

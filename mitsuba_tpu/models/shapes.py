@@ -229,3 +229,73 @@ def _apply_to_world(v, f, n, uv, to_world):
         if np.linalg.det(m[:3, :3]) < 0:
             f = f[:, ::-1].copy()
     return v, f, n, uv
+
+
+def cylinder_mesh(n_seg: int = 32, p0=(0, 0, 0), p1=(0, 0, 1), radius=1.0,
+                  to_world=None, capped=False):
+    """Open cylinder from p0 to p1 (src/shapes/cylinder.cpp analogue)."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    axis = p1 - p0
+    length = float(np.linalg.norm(axis))
+    axis /= max(length, 1e-20)
+    # orthonormal frame around the axis
+    h = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+    s = np.cross(axis, h)
+    s /= np.linalg.norm(s)
+    t = np.cross(axis, s)
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    ring = (np.outer(np.cos(ang), s) + np.outer(np.sin(ang), t)) * radius
+    v_bot = p0[None] + ring
+    v_top = p1[None] + ring
+    v = np.concatenate([v_bot, v_top]).astype(np.float32)
+    n_out = np.concatenate([ring, ring]) / radius
+    f = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        f.append([i, n_seg + i, n_seg + j])
+        f.append([i, n_seg + j, j])
+    uv = np.stack(
+        [np.concatenate([ang, ang]) / (2 * np.pi),
+         np.concatenate([np.zeros(n_seg), np.ones(n_seg)])], axis=-1
+    ).astype(np.float32)
+    if capped:
+        base = len(v)
+        v = np.concatenate([v, p0[None], p1[None]]).astype(np.float32)
+        n_out = np.concatenate(
+            [n_out, -axis[None], axis[None]]).astype(np.float32)
+        uv = np.concatenate([uv, [[0.5, 0.0], [0.5, 1.0]]]).astype(np.float32)
+        for i in range(n_seg):
+            j = (i + 1) % n_seg
+            f.append([base, j, i])                       # bottom cap
+            f.append([base + 1, n_seg + i, n_seg + j])   # top cap
+    return _apply_to_world(v, np.asarray(f, np.int32),
+                           n_out.astype(np.float32), uv, to_world)
+
+
+def instance_meshes(mesh, transforms):
+    """ShapeGroup/Instance analogue (src/shapes/{shapegroup,instance}.cpp):
+    replicate a Mesh under a list of 4x4 transforms.
+
+    The TPU design flattens instances into the global triangle buffer at
+    build time (geometry is replicated; trace-time instancing would break
+    the single-buffer brute/BVH layout for little gain at these scales).
+    """
+    out = []
+    for k, m4 in enumerate(transforms):
+        v, f, n, uv = _apply_to_world(
+            np.asarray(mesh.vertices), np.asarray(mesh.faces),
+            np.asarray(mesh.normals) if mesh.normals is not None
+            else np.zeros_like(np.asarray(mesh.vertices)),
+            np.asarray(mesh.uvs) if mesh.uvs is not None
+            else np.zeros((np.asarray(mesh.vertices).shape[0], 2),
+                          np.float32),
+            np.asarray(m4, np.float32),
+        )
+        out.append(Mesh.make(
+            v, f, normals=n if mesh.normals is not None else None,
+            uvs=uv, bsdf_index=mesh.bsdf_index,
+            emitter_index=mesh.emitter_index,
+            id=f"{mesh.id}_inst{k}",
+        ))
+    return out

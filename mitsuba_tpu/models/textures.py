@@ -91,3 +91,53 @@ class BitmapTexture:
 
     def mean(self):
         return jnp.mean(self.data)
+
+
+@pytree
+class CheckerlinesTexture:
+    """[FORK-era] debug grid-lines texture (src/textures/checkerlines.cpp):
+    thin dark lines on a light background along uv gridlines."""
+
+    color0: jnp.ndarray  # line color
+    color1: jnp.ndarray  # background
+    scale: jnp.ndarray   # (2,) tiling
+    line_width: float = static(0.05)
+    id: str = static("checkerlines")
+
+    def eval(self, si):
+        uv = si.uv * self.scale
+        fu = uv[..., 0] - jnp.floor(uv[..., 0])
+        fv = uv[..., 1] - jnp.floor(uv[..., 1])
+        w = self.line_width
+        on_line = (fu < w) | (fu > 1 - w) | (fv < w) | (fv > 1 - w)
+        return jnp.where(on_line[..., None], self.color0, self.color1)
+
+    def mean(self):
+        return 0.5 * (jnp.mean(self.color0) + jnp.mean(self.color1))
+
+
+@pytree
+class PolarLinesTexture:
+    """[FORK-era] polar debug texture (src/textures/polarlines.cpp):
+    rings + spokes around the uv center."""
+
+    color0: jnp.ndarray
+    color1: jnp.ndarray
+    rings: float = static(8.0)
+    spokes: float = static(16.0)
+    line_width: float = static(0.08)
+    id: str = static("polarlines")
+
+    def eval(self, si):
+        c = si.uv - 0.5
+        r = jnp.sqrt(jnp.maximum(jnp.sum(c * c, axis=-1), 1e-20))
+        theta = jnp.arctan2(c[..., 1], c[..., 0])
+        fr = r * self.rings - jnp.floor(r * self.rings)
+        ft = (theta / (2 * jnp.pi) * self.spokes)
+        ft = ft - jnp.floor(ft)
+        w = self.line_width
+        on = (fr < w) | (ft < w)
+        return jnp.where(on[..., None], self.color0, self.color1)
+
+    def mean(self):
+        return 0.5 * (jnp.mean(self.color0) + jnp.mean(self.color1))

@@ -52,9 +52,10 @@ IOR_NAMES = {
 
 BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "thindielectric", "roughdielectric", "plastic", "roughplastic",
-              "twosided", "mask", "null", "blendbsdf",
-              "dispersive_dielectric", "dispersive"}
-SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "obj", "ply", "mesh"}
+              "twosided", "mask", "null", "blendbsdf", "principled",
+              "normalmap", "bumpmap", "dispersive_dielectric", "dispersive"}
+SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
+               "ply", "mesh"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
                  "directionalarea"}
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
@@ -100,6 +101,22 @@ def _texture(val, default):
                 scale=jnp.asarray(val.get("scale", [1.0, 1.0]), jnp.float32)
                 if not np.isscalar(val.get("scale", 1.0))
                 else jnp.full((2,), float(val.get("scale", 1.0))),
+            )
+        if t == "checkerlines":
+            from ..models.textures import CheckerlinesTexture
+
+            return CheckerlinesTexture(
+                color0=_spectrum(val.get("color0"), jnp.zeros(3)),
+                color1=_spectrum(val.get("color1"), jnp.ones(3)),
+                scale=jnp.full((2,), float(val.get("scale", 8.0))),
+                line_width=float(val.get("line_width", 0.05)),
+            )
+        if t == "polarlines":
+            from ..models.textures import PolarLinesTexture
+
+            return PolarLinesTexture(
+                color0=_spectrum(val.get("color0"), jnp.zeros(3)),
+                color1=_spectrum(val.get("color1"), jnp.ones(3)),
             )
         if t == "bitmap":
             if "data" in val:
@@ -213,6 +230,27 @@ def _make_bsdf(d):
             bsdf0=_make_bsdf(children[0]), bsdf1=_make_bsdf(children[1]),
             weight=_texture(d.get("weight"), [0.5, 0.5, 0.5]),
         )
+    if t == "principled":
+        from ..models.bsdfs import Principled
+
+        return Principled(
+            base_color=_texture(d.get("base_color"), [0.5, 0.5, 0.5]),
+            metallic=jnp.asarray(float(d.get("metallic", 0.0))),
+            roughness=jnp.asarray(float(d.get("roughness", 0.5))),
+            specular=jnp.asarray(float(d.get("specular", 0.5))),
+        )
+    if t == "normalmap":
+        from ..models.bsdfs import NormalMap
+
+        return NormalMap(nested=_make_bsdf(d["bsdf"]),
+                         normalmap=_texture(d.get("normalmap"),
+                                            [0.5, 0.5, 1.0]))
+    if t == "bumpmap":
+        from ..models.bsdfs import BumpMap
+
+        return BumpMap(nested=_make_bsdf(d["bsdf"]),
+                       texture=_texture(d.get("texture"), [0.0, 0.0, 0.0]),
+                       scale=float(d.get("scale", 1.0)))
     if t in ("dispersive_dielectric", "dispersive"):
         from ..models.bsdfs import DispersiveDielectric
 
@@ -234,6 +272,13 @@ def _make_shape_mesh(d, bsdf_index, emitter_index):
         geo = shp.cube(w)
     elif t == "disk":
         geo = shp.disk_mesh(to_world=w)
+    elif t == "cylinder":
+        geo = shp.cylinder_mesh(
+            n_seg=int(d.get("n_seg", 32)),
+            p0=d.get("p0", [0, 0, 0]), p1=d.get("p1", [0, 0, 1]),
+            radius=float(d.get("radius", 1.0)), to_world=w,
+            capped=bool(d.get("capped", False)),
+        )
     elif t == "sphere":
         if w is None and ("center" in d or "radius" in d):
             c = np.asarray(d.get("center", [0, 0, 0]), np.float32)

@@ -271,3 +271,87 @@ def test_logging_and_progress(capsys):
     assert "50.0%" in out and "100.0%" in out
     with mlog.scoped_phase("unit-test-phase"):
         pass
+
+
+def test_cylinder_and_instancing():
+    from mitsuba_tpu.models.shapes import Mesh, cylinder_mesh, instance_meshes
+    from mitsuba_tpu.core import transform as tf
+
+    v, f, n, uv = cylinder_mesh(n_seg=16, radius=0.5, capped=True)
+    assert np.isfinite(v).all()
+    # capped cylinder is closed:每 edge shared by exactly 2 faces
+    edges = {}
+    for tri in np.asarray(f):
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            e = tuple(sorted((int(tri[a]), int(tri[b]))))
+            edges[e] = edges.get(e, 0) + 1
+    assert set(edges.values()) == {2}
+
+    base = Mesh.make(v, f, normals=n, uvs=uv, bsdf_index=0)
+    insts = instance_meshes(base, [
+        np.asarray(tf.translate([2, 0, 0]), np.float32),
+        np.asarray(tf.translate([-2, 0, 0]), np.float32),
+    ])
+    assert len(insts) == 2
+    c0 = np.asarray(insts[0].vertices).mean(0)
+    c1 = np.asarray(insts[1].vertices).mean(0)
+    np.testing.assert_allclose(c0[0] - c1[0], 4.0, atol=1e-5)
+
+
+def test_principled_chi2_and_furnace():
+    from mitsuba_tpu.models import bsdfs as B
+    from mitsuba_tpu.models.textures import ConstantTexture
+    from mitsuba_tpu.core.math import normalize as _nrm
+
+    b = B.Principled(base_color=ConstantTexture(jnp.full((3,), 0.8)),
+                     metallic=jnp.asarray(0.5), roughness=jnp.asarray(0.4))
+    wi = _nrm(jnp.asarray([0.3, -0.15, 0.94]))
+
+    class SI:
+        def __init__(self, n):
+            self.wi = jnp.broadcast_to(wi, (n, 3))
+            self.uv = jnp.zeros((n, 2))
+
+    def sample_fn(n, seed):
+        si = SI(n)
+        lanes = jnp.arange(n, dtype=jnp.uint32)
+        s1 = rng.sample_1d(jnp.uint32(seed), lanes, jnp.uint32(0))
+        s2 = rng.sample_2d(jnp.uint32(seed), lanes, jnp.uint32(1))
+        bs, w = b.sample(si, s1, s2, jnp.ones(n, bool))
+        return np.asarray(bs.wo)[np.asarray(bs.pdf) > 0]
+
+    def pdf_fn(d):
+        flat = d.reshape(-1, 3)
+        si = SI(flat.shape[0])
+        return np.asarray(
+            b.pdf(si, flat, jnp.ones(flat.shape[0], bool))
+        ).reshape(d.shape[:-1])
+
+    passed, msg = chi2_test(sample_fn, pdf_fn, SphericalDomain(),
+                            sample_count=200_000)
+    assert passed, msg
+
+
+def test_normalmap_tilts_reflection():
+    from mitsuba_tpu.models import bsdfs as B
+    from mitsuba_tpu.models.textures import ConstantTexture
+
+    inner = B.SmoothConductor(eta=jnp.asarray([0.2, 0.9, 1.1]),
+                              k=jnp.asarray([3.9, 2.4, 2.1]))
+    # normal tilted toward +x in tangent space
+    tex = ConstantTexture(jnp.asarray([0.7, 0.5, 0.9]))
+    b = B.NormalMap(nested=inner, normalmap=tex)
+
+    class SI:
+        def __init__(self, n):
+            self.wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+            self.uv = jnp.zeros((n, 2))
+
+    n = 4
+    si = SI(n)
+    bs, w = b.sample(si, jnp.zeros((n,)), jnp.zeros((n, 2)),
+                     jnp.ones((n,), bool))
+    wo = np.asarray(bs.wo[0])
+    flat_wo = np.array([0.0, 0.0, 1.0])  # mirror about untilted normal
+    assert np.linalg.norm(wo - flat_wo) > 0.1  # reflection deviates
+    assert wo[0] > 0.1  # tilted toward +x
