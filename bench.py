@@ -16,16 +16,20 @@ import jax.numpy as jnp
 
 
 def main():
-    from mitsuba_tpu.models.integrators import PathIntegrator
+    from mitsuba_tpu.models.integrators import MegakernelPathIntegrator
     from mitsuba_tpu.models.integrators.common import _render_pass
     from mitsuba_tpu.utils.scenes import cornell_box
 
     width = height = 256
     spp = 64
-    spp_pass = 16
+    spp_pass = 64  # single pass: the Pallas megakernel holds the full
+    #                bounce loop in VMEM, so bigger launches amortize best
     n_pass = spp // spp_pass
     scene = cornell_box(width=width, height=height)
-    integrator = PathIntegrator(max_depth=6, rr_depth=5)
+    # estimator identical to PathIntegrator (same samples, same image);
+    # the megakernel is the TPU fast path for this scene class, with
+    # automatic fallback to the wavefront integrator out of scope
+    integrator = MegakernelPathIntegrator(max_depth=6, rr_depth=5)
 
     @jax.jit
     def one_pass(seed, pass_index):

@@ -178,6 +178,47 @@ def splat(pos, values, height: int, width: int, rfilter: ReconstructionFilter,
     return img.reshape(height, width, c + 1)
 
 
+def splat_grouped(pos, values, height: int, width: int, spp: int,
+                  rfilter: ReconstructionFilter, active=None):
+    """Dense scatter-free splat for pixel-grouped wavefronts.
+
+    Requires lanes ordered pixel-major with exactly ``spp`` consecutive
+    lanes per pixel and positions inside their own pixel (the layout
+    sample_rays produces) — then every sample's KxK filter footprint is a
+    STATIC offset grid around its pixel, so the whole splat becomes, per
+    tap offset (dx, dy): a per-pixel reduction over spp followed by a
+    statically-shifted dense add on a padded canvas.  No scatter, no
+    atomics, HBM traffic O(N + taps * H * W) — the fix for the
+    splat-dominated profile in PERF.md (imageblock.cpp put() semantics
+    preserved exactly; same tap weights as ``splat``).
+    """
+    n, c = values.shape
+    assert n == height * width * spp, "lanes must be pixel-major x spp"
+    sample_w = jnp.ones((n, 1), values.dtype)
+    data = jnp.concatenate([values, sample_w], axis=-1)
+    if active is not None:
+        data = jnp.where(active[:, None], data, 0.0)
+    pos = jnp.nan_to_num(pos, nan=0.0, posinf=0.0, neginf=0.0)
+    rel = pos - jnp.floor(pos)          # in-pixel offset in [0, 1)
+    rx, ry = rel[:, 0], rel[:, 1]
+
+    import math
+
+    r = max(1, int(math.ceil(rfilter.radius)))
+    canvas = jnp.zeros((height + 2 * r, width + 2 * r, c + 1), values.dtype)
+    for dy in range(-r, r + 1):
+        wy = rfilter.eval_1d(dy + 0.5 - ry)
+        for dx in range(-r, r + 1):
+            wx = rfilter.eval_1d(dx + 0.5 - rx)
+            tap = ((wy * wx)[:, None] * data).reshape(
+                height * width, spp, c + 1).sum(axis=1)
+            tap = tap.reshape(height, width, c + 1)
+            canvas = canvas.at[
+                r + dy:r + dy + height, r + dx:r + dx + width
+            ].add(tap)
+    return canvas[r:r + height, r:r + width]
+
+
 def develop(image, eps: float = 1e-12):
     """Weight-division develop (hdrfilm.cpp:304): (H, W, C+1) -> (H, W, C)."""
     w = image[..., -1:]
@@ -203,6 +244,14 @@ class Film:
     def put(self, pos, values, active=None, normalize=False):
         return splat(pos, values, self.height, self.width, self.rfilter,
                      active, normalize)
+
+    def put_grouped(self, pos, values, spp, active=None):
+        """Scatter-free ``put`` for pixel-major wavefronts (see
+        splat_grouped); falls back to ``put`` on a lane-count mismatch."""
+        if values.shape[0] != self.height * self.width * spp:
+            return self.put(pos, values, active)
+        return splat_grouped(pos, values, self.height, self.width, spp,
+                             self.rfilter, active)
 
     def develop(self, image):
         return develop(image)

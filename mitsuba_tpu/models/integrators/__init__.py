@@ -1,5 +1,6 @@
 from .common import render, sample_rays, mis_weight  # noqa: F401
 from .path import PathIntegrator  # noqa: F401
+from .megapath import MegakernelPathIntegrator  # noqa: F401
 from .direct import DirectIntegrator  # noqa: F401
 from .depth import DepthIntegrator  # noqa: F401
 from .prb import PRBIntegrator, prb_render  # noqa: F401

@@ -122,5 +122,7 @@ def _render_pass(scene, integrator, seed, spp, spp_pass, pass_index):
     )
     active = jnp.ones((ray.o.shape[0],), bool)
     L = integrator.sample(scene, ray, lane, seed, active)
-    # spp normalization happens in develop() via the filter-weight channel
-    return scene.sensor.film.put(film_pos, L * weight, active)
+    # spp normalization happens in develop() via the filter-weight channel;
+    # lanes are pixel-major so the dense scatter-free splat applies
+    return scene.sensor.film.put_grouped(film_pos, L * weight, spp_pass,
+                                         active)

@@ -1,0 +1,514 @@
+"""Pallas path-tracing megakernel for diffuse triangle scenes.
+
+The renderer's speed-of-light mode (PERF.md item 1; the analogue of the
+reference's dr::Loop megakernel path tracer, src/integrators/path.cpp):
+the ENTIRE bounce loop — closest-hit, area-light NEE with shadow rays,
+cosine BSDF sampling, MIS, russian roulette — runs inside ONE Pallas
+kernel over (8, 128)-ray tiles.  All per-bounce state lives in
+VMEM/registers; HBM traffic is O(rays + triangles) per pass instead of
+the wavefront path's O(rays x shading-chain) (the 152 GB/pass HBM-bound
+profile documented in PERF.md).
+
+Scope (checked by ``megakernel_applicable``): every surface is
+SmoothDiffuse with a ConstantTexture, one AreaEmitter with constant
+radiance, no environment, no media.  This covers the Cornell-box
+benchmark family; everything else falls back to the general wavefront
+integrator.
+
+Sampling matches the wavefront path EXACTLY: the same PCG3D counter RNG
+(core/rng.py) with the same (seed, lane, dim) layout
+(integrators/common.py), the same warps (concentric disk, sqrt
+triangle), the same frame construction (Duff), and the same MIS/RR
+arithmetic — so the megakernel image agrees with PathIntegrator's to
+float rounding (tested in tests/test_megakernel.py).
+
+Layout: rays live as (8, 128) vreg-shaped tiles (1024 rays per grid
+step) so EVERY op — intersection, shading, RNG — runs at full VPU lane
+utilization.  Triangles are a (F_pad, 17) row-major table; the
+closest-hit loop reads one triangle per iteration as a (1, 17) dynamic
+sublane slice and broadcasts (1, 1) scalars against the ray tile.  The
+winning triangle's shading attributes are carried with elementwise
+selects — no gathers anywhere.  Only the REAL triangle count is looped
+(no block padding waste).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 8                 # sublanes per ray tile
+LANES = 128
+R_TILE = SUB * LANES    # rays per grid step
+DET_EPS = 1e-9
+RAY_EPS = 1e-4          # records.py RAY_EPS (spawn_ray offset scale)
+MAX_FACES = 1024        # SMEM budget cap for the packed table (~68 KB)
+MAX_LIGHT_FACES = 16    # static select loop per light face
+INV_PI = float(1.0 / np.pi)
+
+# must match models/integrators/common.py dimension layout
+DIM_BOUNCE_BASE = 8
+DIMS_PER_BOUNCE = 8
+SLOT_EM_SELECT = 0
+SLOT_EM_POS = 1
+SLOT_BSDF_LOBE = 2
+SLOT_BSDF_DIR = 3
+SLOT_RR = 4
+
+# triangle table columns
+#   0:3 p0, 3:6 e1, 6:9 e2, 9:12 reflectance, 12:15 emission,
+#   15 is_light, 16 pdf_area (1/total light area)
+TRI_COLS = 17
+# light table columns: 0:3 p0, 3:6 e1, 6:9 e2, 9:12 n, 12 cdf,
+#   13 pdf_area, 14:17 Le
+LIGHT_COLS = 17
+
+
+# ------------------------------------------------------------- RNG (PCG3D)
+# In-kernel replica of core/rng.py sample_1d/sample_2d.
+
+def _pcg3d(v0, v1, v2):
+    M = jnp.uint32(1664525)
+    A = jnp.uint32(1013904223)
+    v0 = v0 * M + A
+    v1 = v1 * M + A
+    v2 = v2 * M + A
+    v0 = v0 + v1 * v2
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    v0 = v0 ^ (v0 >> 16)
+    v1 = v1 ^ (v1 >> 16)
+    v2 = v2 ^ (v2 >> 16)
+    v0 = v0 + v1 * v2
+    v1 = v1 + v2 * v0
+    v2 = v2 + v0 * v1
+    return v0, v1, v2
+
+
+def _to_unit(bits):
+    # >>8 leaves 24 bits, so the int32 hop is exact (Mosaic has no
+    # direct uint32->float32 cast)
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / (1 << 24)))
+
+
+def _rng2(seed_x, lane, dim):
+    """seed_x: per-lane uint32 (seed ^ 0xDEADBEEF, precomputed)."""
+    v0, v1, _ = _pcg3d(lane, jnp.full_like(lane, jnp.uint32(dim)), seed_x)
+    return _to_unit(v0), _to_unit(v1)
+
+
+def _rng1(seed_x, lane, dim):
+    return _rng2(seed_x, lane, dim)[0]
+
+
+# ------------------------------------------------------------ scene packing
+
+def megakernel_applicable(scene) -> bool:
+    """True iff the scene is within this kernel's supported plugin set."""
+    from ...models.bsdfs import SmoothDiffuse
+    from ...models.emitters import AreaEmitter
+    from ...models.textures import ConstantTexture
+
+    if scene.env_index >= 0 or scene.scene_medium is not None:
+        return False
+    if len(scene.emitters) != 1:
+        return False
+    e = scene.emitters[0]
+    if not isinstance(e, AreaEmitter) or \
+            not isinstance(e.radiance, ConstantTexture):
+        return False
+    for b in scene.bsdfs:
+        if not isinstance(b, SmoothDiffuse) or \
+                not isinstance(b.reflectance, ConstantTexture):
+            return False
+    if scene.emitter_shape[0] < 0:
+        return False
+    n_faces = sum(int(m.faces.shape[0]) for m in scene.meshes)
+    light_shape = scene.emitter_shape[0]
+    n_light_faces = int(scene.meshes[light_shape].faces.shape[0])
+    return n_faces <= MAX_FACES and n_light_faces <= MAX_LIGHT_FACES
+
+
+def pack_scene(scene):
+    """Packed VMEM tables (traceable — scene arrays may be tracers).
+
+    Returns (tris (F_pad, TRI_COLS), light (8*, LIGHT_COLS), F, n_lights).
+    NEE pdf of hitting a light face is uniform 1/total_light_area in area
+    measure (emitters.py AreaEmitter.pdf_direction).  Face->shape wiring
+    is static metadata, so the light-face set and all indices are
+    host-side numpy; only coordinates/colors are traced.
+    """
+    v, f, *_ = scene.geometry()
+    v = jax.lax.stop_gradient(v)
+    F = int(f.shape[0])
+    F_pad = -(-F // SUB) * SUB
+
+    counts = [int(m.faces.shape[0]) for m in scene.meshes]
+    fshape = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+    bsdf_idx = np.asarray(scene.shape_bsdf, np.int32)[fshape]
+    is_light_np = (np.asarray(scene.shape_emitter, np.int32)[fshape] == 0)
+    light_faces = np.nonzero(is_light_np)[0]
+    L = len(light_faces)
+    assert L <= MAX_LIGHT_FACES
+
+    p0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - p0
+    e2 = v[f[:, 2]] - p0
+    refl_tab = jnp.stack(
+        [jnp.asarray(b.reflectance.value, jnp.float32) for b in scene.bsdfs])
+    refl = refl_tab[jnp.asarray(bsdf_idx)]
+    le = jnp.asarray(scene.emitters[0].radiance.value, jnp.float32)
+    is_light = jnp.asarray(is_light_np, jnp.float32)
+    emission = is_light[:, None] * le[None, :]
+
+    la = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(
+        jnp.cross(e1[light_faces], e2[light_faces]) ** 2, axis=-1), 1e-30))
+    total_la = jnp.maximum(jnp.sum(la), 1e-20)
+    pdf_area = is_light / total_la
+
+    tris = jnp.concatenate([
+        p0, e1, e2, refl, emission,
+        is_light[:, None], pdf_area[:, None],
+    ], axis=1)
+    tris = jnp.pad(tris, ((0, F_pad - F), (0, 0)))
+
+    ln = jnp.cross(e1[light_faces], e2[light_faces])
+    ln = ln / jnp.sqrt(jnp.maximum(jnp.sum(ln * ln, -1, keepdims=True),
+                                   1e-30))
+    cdf = jnp.cumsum(la) / total_la
+    inv_a = jnp.full((L, 1), 1.0) / total_la  # pmf/area = 1/total (uniform)
+    light = jnp.concatenate([
+        p0[light_faces], e1[light_faces], e2[light_faces], ln,
+        cdf[:, None], inv_a, jnp.broadcast_to(le[None, :], (L, 3)),
+    ], axis=1)
+    L_pad = -(-L // SUB) * SUB
+    light = jnp.pad(light, ((0, L_pad - L), (0, 0)))
+    return tris, light, F, L
+
+
+# ----------------------------------------------------------------- kernel
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _frame(nx, ny, nz):
+    """Duff orthonormal basis (core/math.py coordinate_system)."""
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    sx = 1.0 + sign * nx * nx * a
+    sy = sign * b
+    sz = -sign * nx
+    tx = b
+    ty = sign + ny * ny * a
+    tz = -ny
+    return sx, sy, sz, tx, ty, tz
+
+
+def _concentric_disk(u1, u2):
+    """core/warp.py square_to_uniform_disk_concentric."""
+    x = 2.0 * u1 - 1.0
+    y = 2.0 * u2 - 1.0
+    is_zero = (x == 0.0) & (y == 0.0)
+    quad_x = jnp.abs(x) > jnp.abs(y)
+    r = jnp.where(quad_x, x, y)
+    ratio = jnp.where(
+        quad_x,
+        y / jnp.where(x != 0.0, x, 1.0),
+        x / jnp.where(y != 0.0, y, 1.0),
+    )
+    phi = jnp.where(quad_x, (np.pi / 4.0) * ratio,
+                    (np.pi / 2.0) - (np.pi / 4.0) * ratio)
+    r = jnp.where(is_zero, 0.0, r)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def _tri_test(c, ox, oy, oz, dx, dy, dz, maxt):
+    """Moller-Trumbore: ray tile (8,128) vs ONE triangle.
+
+    ``c(k)`` returns column k of the triangle row as an SMEM SCALAR —
+    vector-scalar arithmetic lowers to native splats (the cheap path for
+    per-iteration constants on TPU).  Returns (hit, t).
+    """
+    e1x, e1y, e1z = c(3), c(4), c(5)
+    e2x, e2y, e2z = c(6), c(7), c(8)
+    pvx, pvy, pvz = _cross(dx, dy, dz, e2x, e2y, e2z)
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) > DET_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tvx = ox - c(0)
+    tvy = oy - c(1)
+    tvz = oz - c(2)
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx, qvy, qvz = _cross(tvx, tvy, tvz, e1x, e1y, e1z)
+    vv = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = (ok & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+           & (t > 0.0) & (t <= maxt))
+    return hit, t
+
+
+UNROLL = 4
+
+
+def _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz):
+    """Loop over triangles carrying only (best_t, best_index) — two vregs,
+    no spills; the winner's 17 attributes are resolved afterwards with a
+    cheap masked-accumulate loop.  The table's zero rows (padding) have
+    det = 0 so over-running n_faces to the unroll boundary is safe."""
+    shape = ox.shape
+    inf = jnp.float32(jnp.inf)
+    n_iter = -(-n_faces // UNROLL)
+
+    def body(i, carry):
+        bt, bj = carry
+        for u in range(UNROLL):
+            j = i * UNROLL + u
+            c = lambda k: tris_ref[j, k]
+            hit, t = _tri_test(c, ox, oy, oz, dx, dy, dz, bt)
+            win = hit & (t < bt)
+            bt = jnp.where(win, t, bt)
+            bj = jnp.where(win, j.astype(jnp.float32), bj)
+        return bt, bj
+
+    bt, bj = jax.lax.fori_loop(
+        0, n_iter, body,
+        (jnp.full(shape, inf), jnp.full(shape, -1.0)))
+
+    def resolve(j, attrs):
+        m = (bj == j.astype(jnp.float32)).astype(jnp.float32)
+        return tuple(
+            a + m * tris_ref[j, k] for k, a in enumerate(attrs)
+        )
+
+    z = jnp.zeros(shape, jnp.float32)
+    attrs = jax.lax.fori_loop(0, n_faces, resolve, (z,) * TRI_COLS)
+    return (bt,) + attrs
+
+
+def _any_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz, maxt):
+    # carry occlusion as f32 0/1: Mosaic mislays i1 vectors in scf carries
+    n_iter = -(-n_faces // UNROLL)
+
+    def body(i, occluded):
+        for u in range(UNROLL):
+            j = i * UNROLL + u
+            c = lambda k: tris_ref[j, k]
+            hit, _ = _tri_test(c, ox, oy, oz, dx, dy, dz, maxt)
+            occluded = jnp.maximum(occluded, hit.astype(jnp.float32))
+        return occluded
+
+    occ = jax.lax.fori_loop(
+        0, n_iter, body, jnp.zeros(ox.shape, jnp.float32))
+    return occ > 0.5
+
+
+def _mis(pa, pb):
+    """Power heuristic, common.py mis_weight."""
+    a2 = pa * pa
+    w = a2 / jnp.maximum(a2 + pb * pb, 1e-32)
+    return jnp.where(pa > 0.0, w, 0.0)
+
+
+def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
+
+    def kernel(tris_ref, light_ref, lane_ref, seed_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+               lr_ref, lg_ref, lb_ref):
+        lane = lane_ref[:]
+        seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        act = act_ref[:] > 0.5
+
+        Lr = jnp.zeros_like(ox)
+        Lg = jnp.zeros_like(ox)
+        Lb = jnp.zeros_like(ox)
+        Br = jnp.ones_like(ox)
+        Bg = jnp.ones_like(ox)
+        Bb = jnp.ones_like(ox)
+        prev_pdf = jnp.ones_like(ox)
+        prev_delta = jnp.ones_like(ox) > 0.0
+
+        for depth in range(max_depth):
+            dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
+            hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz)
+            (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
+             Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA) = hit
+            valid = jnp.isfinite(t) & act
+
+            px = ox + dx * t
+            py = oy + dy * t
+            pz = oz + dz * t
+            ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
+            ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
+            # one-sided diffuse/area conventions: front iff -d.n > 0
+            cos_wi = -(dx * ngx + dy * ngy + dz * ngz)
+            front = cos_wi > 0.0
+
+            # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
+            dist2 = t * t
+            pdf_hit = jnp.where(
+                cos_wi > 1e-6,
+                PdfA * dist2 / jnp.maximum(cos_wi, 1e-6), 0.0)
+            m_h = jnp.where(prev_delta, 1.0, _mis(prev_pdf, pdf_hit))
+            wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
+            Lr = Lr + Br * Er * wgt
+            Lg = Lg + Bg * Eg * wgt
+            Lb = Lb + Bb * Eb * wgt
+
+            act_next = valid & front & (depth + 1 < max_depth)
+
+            # spawn-ray offset scale (records.py spawn_ray)
+            off = RAY_EPS * jnp.maximum(
+                1.0, jnp.maximum(jnp.abs(px),
+                                 jnp.maximum(jnp.abs(py), jnp.abs(pz))))
+
+            # ---- NEE toward the area light (path.py:92-105) ----
+            u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
+            ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
+            z = jnp.zeros_like(u_sel)
+            idx = z
+            lc = lambda j, k: light_ref[j, k]
+            for j in range(n_lights):
+                idx = idx + (lc(j, 12) < u_sel).astype(jnp.float32)
+            sel = [z] * LIGHT_COLS
+            for j in range(n_lights):
+                m = (idx == j).astype(jnp.float32)
+                for k in list(range(12)) + list(range(13, LIGHT_COLS)):
+                    sel[k] = sel[k] + m * lc(j, k)
+            (lp0x, lp0y, lp0z, le1x, le1y, le1z, le2x, le2y, le2z,
+             lnx, lny, lnz) = sel[:12]
+            lpdfA = sel[13]
+            Ler, Leg, Leb = sel[14], sel[15], sel[16]
+            # warp.square_to_uniform_triangle
+            stri = jnp.sqrt(jnp.maximum(1.0 - ue1, 0.0))
+            b0 = 1.0 - stri
+            b1 = stri * ue2
+            lpx = lp0x + le1x * b0 + le2x * b1
+            lpy = lp0y + le1y * b0 + le2y * b1
+            lpz = lp0z + le1z * b0 + le2z * b1
+            sdx = lpx - px
+            sdy = lpy - py
+            sdz = lpz - pz
+            sdist2 = jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-12)
+            sdist = jnp.sqrt(sdist2)
+            sdx, sdy, sdz = sdx / sdist, sdy / sdist, sdz / sdist
+            cos_l = -(sdx * lnx + sdy * lny + sdz * lnz)
+            pdf_nee = jnp.where(
+                cos_l > 1e-6,
+                lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
+            cos_s = sdx * ngx + sdy * ngy + sdz * ngz
+            ok_nee = act_next & (pdf_nee > 0.0) & (cos_s > 0.0)
+            sgn_s = jnp.where(cos_s >= 0.0, 1.0, -1.0)
+            occ = _any_hit(
+                tris_ref, n_faces,
+                px + sgn_s * off * ngx, py + sgn_s * off * ngy,
+                pz + sgn_s * off * ngz,
+                sdx, sdy, sdz, sdist * (1.0 - 1e-3))
+            ok_nee = ok_nee & ~occ
+            f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
+            contrib = jnp.where(
+                ok_nee,
+                (INV_PI * cos_s) / jnp.maximum(pdf_nee, 1e-20)
+                * _mis(pdf_nee, f_pdf),
+                0.0)
+            Lr = Lr + Br * Rr * contrib * Ler
+            Lg = Lg + Bg * Rg * contrib * Leg
+            Lb = Lb + Bb * Rb * contrib * Leb
+
+            # ---- cosine BSDF sampling (bsdfs.py SmoothDiffuse) ----
+            ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
+            dxl, dyl = _concentric_disk(ub1, ub2)
+            dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
+            sx, sy, sz, tx, ty, tz = _frame(ngx, ngy, ngz)
+            ndx = sx * dxl + tx * dyl + ngx * dzl
+            ndy = sy * dxl + ty * dyl + ngy * dzl
+            ndz = sz * dxl + tz * dyl + ngz * dzl
+            pdf_b = INV_PI * dzl
+            Br = jnp.where(act_next, Br * Rr, Br)
+            Bg = jnp.where(act_next, Bg * Rg, Bg)
+            Bb = jnp.where(act_next, Bb * Rb, Bb)
+            bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
+            act_next = act_next & (pdf_b > 0.0) & (bmax > 0.0)
+            sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
+                              1.0, -1.0)
+            ox = px + sgn_b * off * ngx
+            oy = py + sgn_b * off * ngy
+            oz = pz + sgn_b * off * ngz
+            dx, dy, dz = ndx, ndy, ndz
+            prev_pdf = jnp.where(act_next, pdf_b, prev_pdf)
+            prev_delta = prev_delta & ~act_next
+
+            # ---- russian roulette (path.py:117-128) ----
+            if depth + 1 >= rr_depth:
+                rr_p = jnp.minimum(bmax, 0.95)
+                u_rr = _rng1(seed_x, lane, dbase + SLOT_RR)
+                survive = u_rr < rr_p
+                inv_p = 1.0 / jnp.maximum(rr_p, 1e-8)
+                Br = jnp.where(act_next, Br * inv_p, Br)
+                Bg = jnp.where(act_next, Bg * inv_p, Bg)
+                Bb = jnp.where(act_next, Bb * inv_p, Bb)
+                act_next = act_next & survive
+            act = act_next
+
+        lr_ref[:] = Lr
+        lg_ref[:] = Lg
+        lb_ref[:] = Lb
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("max_depth", "rr_depth", "n_faces", "n_lights",
+                          "interpret"))
+def megakernel_trace(tris, light, lane, o, d, active, seed,
+                     max_depth: int, rr_depth: int, n_faces: int,
+                     n_lights: int, interpret: bool = False):
+    """Run the path-tracing megakernel.  Returns per-lane L (N, 3)."""
+    n = o.shape[0]
+    n_pad = -(-n // R_TILE) * R_TILE
+    pad = n_pad - n
+    rows = n_pad // LANES
+
+    def comp(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            rows, LANES)
+
+    lane_t = comp(lane.astype(jnp.uint32)).astype(jnp.uint32)
+    seed_t = jnp.full((rows, LANES), jnp.asarray(seed, jnp.uint32))
+    args = [
+        lane_t, seed_t,
+        comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+        comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+        comp(active.astype(jnp.float32)),
+    ]
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = _mk_kernel(max_depth, rr_depth, n_faces, n_lights)
+    lr, lg, lb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
+        interpret=interpret,
+    )(tris, light, *args)
+
+    flat = lambda x: x.reshape(n_pad)[:n]
+    return jnp.stack([flat(lr), flat(lg), flat(lb)], axis=-1)

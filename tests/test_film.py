@@ -66,3 +66,30 @@ def test_out_of_bounds_clipped():
     # no wraparound: opposite corner stays empty
     assert float(img[15, 15, 3]) > 0.0
     assert float(img[8, 8, 3]) == 0.0
+
+
+def test_splat_grouped_matches_scatter():
+    """Dense pixel-grouped splat == general scatter splat (same taps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.models.film import (
+        ReconstructionFilter, splat, splat_grouped,
+    )
+
+    rng = np.random.default_rng(0)
+    H, W, spp = 9, 7, 3
+    P = H * W
+    pix = np.arange(P).repeat(spp)
+    jitter = rng.random((P * spp, 2)).astype(np.float32)
+    pos = np.stack([pix % W, pix // W], -1).astype(np.float32) + jitter
+    vals = rng.random((P * spp, 3)).astype(np.float32)
+    active = rng.random(P * spp) > 0.2
+
+    for rf in (ReconstructionFilter.gaussian(), ReconstructionFilter.box(),
+               ReconstructionFilter.tent(), ReconstructionFilter.mitchell()):
+        a = splat(jnp.asarray(pos), jnp.asarray(vals), H, W, rf,
+                  jnp.asarray(active))
+        b = splat_grouped(jnp.asarray(pos), jnp.asarray(vals), H, W, spp,
+                          rf, jnp.asarray(active))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -1,0 +1,71 @@
+"""Megakernel vs wavefront-path agreement (interpret mode on CPU).
+
+The megakernel draws the identical (seed, lane, dim) sample sequence as
+PathIntegrator, so per-lane radiance must agree to float rounding on a
+scene inside its plugin subset (Cornell box).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.models.integrators import (
+    MegakernelPathIntegrator,
+    PathIntegrator,
+    render,
+    sample_rays,
+)
+from mitsuba_tpu.ops.pallas.megakernel import megakernel_applicable
+from mitsuba_tpu.utils.scenes import cornell_box
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box(width=24, height=24)
+
+
+def test_applicable(scene):
+    assert megakernel_applicable(scene)
+
+
+def test_matches_wavefront_path(scene):
+    seed = jnp.uint32(3)
+    spp = 4
+    ray, weight, film_pos, lane = sample_rays(scene, seed, spp)
+    active = jnp.ones((ray.o.shape[0],), bool)
+
+    L_ref = PathIntegrator(max_depth=4).sample(scene, ray, lane, seed, active)
+    L_mk = MegakernelPathIntegrator(max_depth=4).sample(
+        scene, ray, lane, seed, active)
+
+    ref = np.asarray(L_ref)
+    mk = np.asarray(L_mk)
+    # identical sample sequence -> only float-rounding differences, except
+    # on a measure-zero set of lanes where an epsilon-sized ordering
+    # difference flips a visibility/RR decision.
+    close = np.isclose(mk, ref, rtol=2e-3, atol=2e-3).all(axis=-1)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} lanes match"
+    # and the aggregate estimate matches tightly
+    assert np.abs(mk.mean() - ref.mean()) / ref.mean() < 2e-3
+
+
+def test_full_render_agrees(scene):
+    img_ref = render(scene, PathIntegrator(max_depth=6), seed=0, spp=8)
+    img_mk = render(scene, MegakernelPathIntegrator(max_depth=6),
+                    seed=0, spp=8)
+    a, b = np.asarray(img_ref), np.asarray(img_mk)
+    rel = np.abs(a - b).mean() / a.mean()
+    assert rel < 5e-3, f"rel err {rel}"
+
+
+def test_fallback_out_of_scope():
+    """Scenes outside the subset fall back to the wavefront path."""
+    from mitsuba_tpu.utils.load import load_dict
+    from mitsuba_tpu.utils.scenes import cornell_box_dict
+
+    dd = cornell_box_dict(width=16, height=16)
+    # swap one wall to a conductor -> out of scope
+    dd["red-wall"]["bsdf"] = {"type": "conductor"}
+    sc = load_dict(dd)
+    assert not megakernel_applicable(sc)
+    img = render(sc, MegakernelPathIntegrator(max_depth=3), seed=0, spp=2)
+    assert np.isfinite(np.asarray(img)).all()
