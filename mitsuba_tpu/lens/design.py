@@ -111,7 +111,7 @@ class DesignProblem:
                  spp=256, learning_rate=2e-3, iters=50,
                  film_diagonal=35.0, num_sources=1, max_field_angle=5.0,
                  init_camera_z=0.9, loss_scale=1e4, seed=0,
-                 sensor_fov=45.0):
+                 sensor_fov=45.0, spectral=None):
         self.lens_system = lens_system
         self.resolution = resolution
         self.spp = spp
@@ -124,6 +124,13 @@ class DesignProblem:
         self.loss_scale = loss_scale
         self.seed = seed
         self.sensor_fov = sensor_fov
+        # spectral light tracing: auto-on when the lens has glass, so
+        # dispersion (V_d) contributes chromatic spot error and gets
+        # gradients; pass False to force monochromatic (d-line) tracing
+        self.spectral = (
+            any(not m.is_air for m in lens_system.materials)
+            if spectral is None else bool(spectral)
+        )
         self.loss_history = []
 
     # ------------------------------------------------------------ scene
@@ -203,7 +210,8 @@ class DesignProblem:
             meshes, base_bsdfs + lens_bsdfs, emitters, self.sensors[0],
             use_bvh=False,
             integrator=ParticleTracerIntegrator(
-                max_depth=ls.size() + 2, rr_depth=64),
+                max_depth=ls.size() + 2, rr_depth=64,
+                spectral=self.spectral),
         )
         return self
 

@@ -29,12 +29,14 @@ from ...core import rng
 from ...core.math import Frame, dot
 from ...core.pytree import pytree, static
 from ...core.records import Ray
+from ...core.spectrum import rgb_response, sample_wavelength_visible
 
 # dimension layout (disjoint use of the camera-level dims)
 DIM_EM_SELECT = 0
 DIM_EM_POS = 1
 DIM_EM_DIR = 2
 DIM_DIRECT_SENSOR = 3
+DIM_WAVELENGTH = 4
 DIM_BOUNCE_BASE = 8
 DIMS_PER_BOUNCE = 8
 SLOT_BSDF_LOBE = 0
@@ -49,9 +51,19 @@ def _bdim(depth, slot):
 
 @pytree
 class ParticleTracerIntegrator:
+    """``spectral``: carry one hero wavelength per light path (sampled
+    from the visible-range importance distribution, weighted by the CIE
+    RGB response at the sensor).  Dispersive BSDFs then see per-lane
+    wavelengths, so glass Abbe-number (V_d) parameters get nonzero
+    gradients — the chromatic term of the [FORK] lens-design loss
+    (design_problem.py renders through dispersive elements).  Emitter/
+    BSDF RGB values act as spectrally-flat multipliers at the hero
+    wavelength (exact for the gray sources the design workload uses)."""
+
     max_depth: int = static(8)
     rr_depth: int = static(5)
     hide_emitters: bool = static(False)
+    spectral: bool = static(False)
     id: str = static("ptracer")
 
     # ------------------------------------------------------------------
@@ -64,7 +76,7 @@ class ParticleTracerIntegrator:
 
     def _connect_sensor(self, scene, sensor, si_p, si_n, si_frame, si_wi,
                         bsdf_idx, on_surface, weight, sample2, active,
-                        img, film, ctx=None):
+                        img, film, ctx=None, wavelengths=None):
         """ptracer.cpp:298-372 connect_sensor.
 
         si_frame: (s, t, n) shading frame at the vertex; si_wi: local
@@ -100,7 +112,7 @@ class ParticleTracerIntegrator:
         # correction (Veach p.155; ptracer.cpp:330-346)
         with_bsdf = on_surface & (bsdf_idx >= 0)
         if len(scene.bsdfs) > 0:
-            si_like = _SIProxy(si_frame, si_wi, si_p)
+            si_like = _SIProxy(si_frame, si_wi, si_p, wavelengths)
             bsdf_val = jnp.zeros(si_p.shape[:-1] + (3,))
             for i, b in enumerate(scene.bsdfs):
                 m = with_bsdf & (bsdf_idx == i)
@@ -156,6 +168,18 @@ class ParticleTracerIntegrator:
         ray, throughput, ps, em_idx = scene.sample_emitter_ray(
             time, sel, dir_s, pos_s, active0
         )
+        if self.spectral:
+            # hero wavelength per light path; the CIE response/pdf weight
+            # folds into the throughput so every connection inherits it
+            wu = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH))
+            lam, lam_pdf = sample_wavelength_visible(wu)
+            throughput = throughput * (
+                rgb_response(lam) / jnp.maximum(lam_pdf, 1e-12)[..., None]
+            )
+            wavelengths = lam[..., None]
+            ray = ray.replace(wavelengths=wavelengths)
+        else:
+            wavelengths = jnp.zeros((n, 0))
         active = active0 & jnp.any(throughput != 0.0, axis=-1)
 
         # ---- direct emitter -> sensor connection (sample_visible_emitters,
@@ -185,7 +209,7 @@ class ParticleTracerIntegrator:
                 jnp.full((n,), -1, jnp.int32),
                 jnp.ones((n,), bool),  # on a surface, no bsdf
                 conn_w, s2, active0 & ~deltas & (jnp.any(conn_w != 0, -1)),
-                img, film, ctx,
+                img, film, ctx, wavelengths,
             )
 
         # ---- random walk (trace_light_ray, ptracer.cpp:204-278) ----
@@ -212,7 +236,7 @@ class ParticleTracerIntegrator:
             img2 = self._connect_sensor(
                 scene, sensor, si.p, si.n, si.sh_frame, si.wi, bidx,
                 jnp.ones((n,), bool), s["beta"], s2, act, s["img"], film,
-                ctx,
+                ctx, si.wavelengths,
             )
 
             # continue the walk: importance-mode BSDF sampling
@@ -252,12 +276,15 @@ class ParticleTracerIntegrator:
 class _SIProxy:
     """Minimal SurfaceInteraction stand-in for BSDF eval at connections."""
 
-    def __init__(self, frame, wi, p):
+    def __init__(self, frame, wi, p, wavelengths=None):
         self.sh_frame = frame
         self.wi = wi
         self.p = p
         self.uv = jnp.zeros(p.shape[:-1] + (2,))
-        self.wavelengths = jnp.zeros(p.shape[:-1] + (0,))
+        self.wavelengths = (
+            jnp.zeros(p.shape[:-1] + (0,)) if wavelengths is None
+            else wavelengths
+        )
 
 
 def render_ptracer(scene, integrator=None, seed: int = 0,

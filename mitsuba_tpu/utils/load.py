@@ -447,6 +447,7 @@ def _make_integrator(d):
             max_depth=int(d.get("max_depth", 8)),
             rr_depth=int(d.get("rr_depth", 5)),
             hide_emitters=bool(d.get("hide_emitters", False)),
+            spectral=bool(d.get("spectral", False)),
         )
     if t == "aov":
         from ..models.integrators.aov import AOVIntegrator

@@ -103,3 +103,23 @@ def test_defocus_recovery():
     start = np.mean(h[:3])
     end = np.mean(h[-3:])
     assert end < 0.55 * start, (start, end)
+
+
+def test_dispersion_gradient_nonzero_when_spectral():
+    """Chromatic chain check: with spectral light tracing the glass Abbe
+    number (V_d) changes the rendered spot, so its gradient is nonzero;
+    with monochromatic (d-line) tracing it is ~0 by construction
+    (cauchy_from_abbe pins n(lambda_d) = n_d)."""
+    ls = _singlet(z0=20.0)
+    g = {}
+    for spectral in (True, False):
+        dp = DesignProblem(ls, resolution=(24, 24), spp=256, iters=1,
+                           sensor_fov=10.0, spectral=spectral)
+        dp.build()
+        assert dp.spectral == spectral
+        p = dp.params()
+        grads = jax.grad(dp.loss)(p, 0)
+        key = [k for k in grads if k.endswith("_V_d")][0]
+        g[spectral] = float(grads[key])
+        assert np.isfinite(g[spectral])
+    assert abs(g[True]) > 50.0 * max(abs(g[False]), 1e-12), g
