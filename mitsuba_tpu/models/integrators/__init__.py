@@ -7,4 +7,5 @@ from .prb import PRBIntegrator, prb_render  # noqa: F401
 from .prb_basic import PRBBasicIntegrator  # noqa: F401
 from .ptracer import ParticleTracerIntegrator, render_ptracer  # noqa: F401
 from .volpath import VolPathIntegrator  # noqa: F401
+from .prbvolpath import PRBVolPathIntegrator  # noqa: F401
 from .aov import AOVIntegrator, MomentIntegrator, render_aov, render_moments  # noqa: F401

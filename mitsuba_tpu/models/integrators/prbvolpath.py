@@ -1,0 +1,236 @@
+"""PRB for volumetric transport — medium-parameter gradients.
+
+Reference: src/python/python/ad/integrators/prbvolpath.py (PRBVolpath,
+~500 LoC): the volumetric path replay — detached free-flight sampling and
+walk, with per-bounce attached re-evaluation of the differentiable terms
+(transmittance, sigma_s, phase value, emitter radiance, BSDF value) and
+the replace_grad ratio trick for everything indirect.
+
+TPU design mirrors prb.py exactly: the backward pass replays
+VolPathIntegrator's walk with the same (seed, lane, dim) stream, peels
+the carried radiance per bounce, and takes a local jax.grad of the
+attached contribution over the scene's float leaves (which include the
+medium's sigma_t / albedo / phase-g).  The medium attached term is
+``HomogeneousMedium.interaction_weight`` — numerator (Tr x sigma_s)
+attached at the detached event, sampling pdf detached — so sigma_t and
+albedo gradients are unbiased without differentiating the sampler.
+
+Scope: homogeneous scene-wide media (the reference's PRBVolpath also
+restricts to the analytically-integrable case for several terms);
+GridMedium renders via the primal but its delta-tracking weights are not
+yet re-evaluated attached.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...core import rng
+from ...core.pytree import pytree, static
+from ...core.records import Ray
+from ..media import HomogeneousMedium
+from .common import (
+    SLOT_BSDF_DIR,
+    SLOT_BSDF_LOBE,
+    SLOT_EM_POS,
+    SLOT_EM_SELECT,
+    SLOT_RR,
+    bounce_dim,
+    mis_weight,
+)
+from .prb import _float_partition
+from .volpath import SLOT_DIST_CH, SLOT_DIST_T, VolPathIntegrator
+
+
+def _ratio(attached):
+    """replace_grad(1, x): value 1 (0 where x == 0), gradient of
+    x/stop_grad(x) — the prb.py:227 indirect-term trick."""
+    det = jax.lax.stop_gradient(attached)
+    return attached * jnp.where(
+        det > 0.0, 1.0 / jnp.maximum(det, 1e-32), 0.0)
+
+
+@pytree
+class PRBVolPathIntegrator:
+    """prbvolpath: differentiable volumetric PRB (prbvolpath.py:39)."""
+
+    max_depth: int = static(8)
+    rr_depth: int = static(6)
+    hide_emitters: bool = static(False)
+    id: str = static("prbvolpath")
+
+    def sample(self, scene, ray, lane, seed, active):
+        """Primal — identical walk/dims to VolPathIntegrator (replay
+        invariant)."""
+        return VolPathIntegrator(
+            max_depth=self.max_depth, rr_depth=self.rr_depth,
+            hide_emitters=self.hide_emitters,
+        ).sample(scene, ray, lane, seed, active)
+
+    # ------------------------------------------------------------ adjoint
+
+    def sample_backward(self, scene, ray, lane, seed, delta_L, L0, active):
+        medium = scene.scene_medium
+        assert isinstance(medium, HomogeneousMedium), \
+            "prbvolpath gradient pass supports homogeneous media"
+        n = ray.o.shape[0]
+        scene_det = jax.lax.stop_gradient(scene)
+        medium_det = scene_det.scene_medium
+        phase_det = medium_det.phase
+        ctx_det = scene_det.trace_ctx()
+        floats, rebuild, _ = _float_partition(scene)
+        nee_enabled = len(scene.emitters) > 0
+
+        state = dict(
+            depth=jnp.int32(0),
+            ray=ray,
+            L=L0,
+            beta=jnp.ones((n, 3)),
+            active=active,
+            prev_p=ray.o,
+            prev_pdf=jnp.ones((n,)),
+            prev_delta=jnp.ones((n,), bool),
+            grads=[jnp.zeros_like(x) for x in floats],
+        )
+
+        def cond(s):
+            return (s["depth"] < self.max_depth) & jnp.any(s["active"])
+
+        def body(s):
+            depth = s["depth"]
+            ray = s["ray"]
+            beta = s["beta"]
+            act = s["active"]
+            prev_p, prev_pdf, prev_delta = (
+                s["prev_p"], s["prev_pdf"], s["prev_delta"])
+
+            # ---------- detached replay (mirrors volpath.py body) ----------
+            pi = scene_det.ray_intersect_preliminary(ray, act, ctx_det)
+            si_d = scene_det.compute_si(pi, ray, ctx_det)
+            dist_max = jnp.where(si_d.is_valid(), si_d.t, 1e8)
+
+            s_ch = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_CH))
+            s_t = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_T))
+            t_med, is_med, w_med_d = medium_det.sample_interaction(
+                dist_max, s_ch, s_t, act)
+            p_med = ray.o + ray.d * t_med[:, None]
+
+            on_surface = act & ~is_med & si_d.is_valid()
+            escaped = act & ~is_med & ~si_d.is_valid()
+
+            _, pdf_hit = scene_det.eval_emitter_hit(si_d, prev_p, on_surface)
+            _, pdf_env = scene_det.eval_env(ray, prev_p, escaped)
+            mis_hit = jnp.where(prev_delta, 1.0,
+                                mis_weight(prev_pdf, pdf_hit))
+            mis_env = jnp.where(prev_delta, 1.0,
+                                mis_weight(prev_pdf, pdf_env))
+            mis_hit = jnp.where(on_surface, mis_hit, 0.0)
+            mis_env = jnp.where(escaped, mis_env, 0.0)
+
+            act_next = (is_med | on_surface) & (depth + 1 < self.max_depth)
+
+            if nee_enabled:
+                s1 = rng.sample_1d(seed, lane,
+                                   bounce_dim(depth, SLOT_EM_SELECT))
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                ref_si = si_d.replace(
+                    p=jnp.where(is_med[:, None], p_med, si_d.p))
+                ds, _, ok = scene_det.sample_emitter_direction(
+                    ref_si, s1, s2, act_next, ctx=ctx_det)
+                ph_pdf = phase_det.pdf(-ray.d, ds.d, ok)
+                wo_em_d = si_d.to_local(ds.d)
+                _, bsdf_pdf_nee = scene_det.bsdf_eval_pdf(
+                    si_d, wo_em_d, ok & on_surface)
+                f_pdf = jnp.where(is_med, ph_pdf, bsdf_pdf_nee)
+                mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, f_pdf))
+                mis_em = jnp.where(ok, mis_em, 0.0)
+                inv_ds_pdf = jnp.where(ds.pdf > 0.0, 1.0 / ds.pdf, 0.0)
+
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            wo_phase, pdf_phase = phase_det.sample(
+                -ray.d, s2b, act_next & is_med)
+            bs, bsdf_w_d = scene_det.bsdf_sample(
+                si_d, s1b, s2b, act_next & on_surface)
+
+            # ---------- attached re-evaluation + local gradient ----------
+            def contrib_fn(fl):
+                sc = rebuild(fl)
+                med = sc.scene_medium
+                ph = med.phase
+                si = sc.compute_si(pi, ray)
+                # attached medium weight at the detached event
+                w_med = med.interaction_weight(t_med, is_med, act)
+                beta_cur = beta * w_med
+                le_hit, _ = sc.eval_emitter_hit(si, prev_p, on_surface)
+                le_env, _ = sc.eval_env(ray, prev_p, escaped)
+                Le_t = beta_cur * (
+                    mis_hit[:, None] * le_hit + mis_env[:, None] * le_env)
+                Lr_dir = jnp.zeros_like(Le_t)
+                if nee_enabled:
+                    em_val = sc.eval_emitter_direction(si, ds, ok)
+                    tr_a = med.transmittance(ds.dist, ok)
+                    ph_val = ph.eval(-ray.d, ds.d, ok)
+                    wo_l = si.to_local(ds.d)
+                    bsdf_val_nee, _ = sc.bsdf_eval_pdf(
+                        si, wo_l, ok & on_surface)
+                    f_val = jnp.where(
+                        is_med[:, None],
+                        jnp.broadcast_to(ph_val[:, None], bsdf_val_nee.shape),
+                        bsdf_val_nee)
+                    Lr_dir = (beta_cur * (mis_em * inv_ds_pdf)[:, None]
+                              * f_val * em_val * tr_a)
+                peeled = (s["L"] - jax.lax.stop_gradient(Le_t)
+                          - jax.lax.stop_gradient(Lr_dir))
+                # indirect: medium-weight ratio x direction-term ratio
+                ph_ind = ph.eval(-ray.d, wo_phase, act_next & is_med)
+                bsdf_ind, _ = sc.bsdf_eval_pdf(
+                    si, bs.wo, act_next & on_surface)
+                dir_term = jnp.where(
+                    is_med[:, None],
+                    jnp.broadcast_to(ph_ind[:, None], bsdf_ind.shape),
+                    bsdf_ind)
+                Lr_ind = peeled * _ratio(w_med) * _ratio(dir_term)
+                contrib = jnp.sum(delta_L * (Le_t + Lr_dir + Lr_ind))
+                return contrib, peeled
+
+            g, peeled = jax.grad(contrib_fn, has_aux=True)(floats)
+            grads = [a + b for a, b in zip(s["grads"], g)]
+
+            # ---------- advance the detached walk ----------
+            beta = beta * w_med_d
+            new_d = jnp.where(is_med[:, None], wo_phase,
+                              si_d.to_world(bs.wo))
+            beta = jnp.where(is_med[:, None], beta, beta * bsdf_w_d)
+            new_o = jnp.where(is_med[:, None], p_med,
+                              si_d.spawn_ray(si_d.to_world(bs.wo)).o)
+            new_ray = Ray.make(new_o, new_d, time=ray.time,
+                               wavelengths=ray.wavelengths)
+            pdf_fwd = jnp.where(is_med, pdf_phase, bs.pdf)
+            delta_fwd = jnp.where(is_med, False, bs.delta)
+            act_next = act_next & (pdf_fwd > 0.0) & jnp.any(beta > 0.0, -1)
+
+            beta_max = jnp.max(beta, axis=-1)
+            rr_prob = jnp.minimum(beta_max, 0.95)
+            rr_on = depth + 1 >= self.rr_depth
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            survive = jnp.where(rr_on, u < rr_prob, True)
+            beta = jnp.where((rr_on & act_next)[:, None],
+                             beta / jnp.maximum(rr_prob, 1e-8)[:, None],
+                             beta)
+            act_next = act_next & survive
+
+            return dict(
+                depth=depth + 1,
+                ray=new_ray,
+                L=peeled,
+                beta=beta,
+                active=act_next,
+                prev_p=jnp.where(is_med[:, None], p_med, si_d.p),
+                prev_pdf=jnp.where(act_next, pdf_fwd, prev_pdf),
+                prev_delta=jnp.where(act_next, delta_fwd, prev_delta),
+                grads=grads,
+            )
+
+        out = jax.lax.while_loop(cond, body, state)
+        return out["grads"]

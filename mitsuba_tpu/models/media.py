@@ -144,6 +144,22 @@ class HomogeneousMedium:
         weight = jnp.where(active[:, None], weight, 1.0)
         return t_clamped, is_medium, weight
 
+    def interaction_weight(self, t, is_medium, active):
+        """Attached re-evaluation of sample_interaction's weight at a
+        DETACHED free-flight event (the PRB medium term,
+        prbvolpath.py: transmittance x sigma_s differentiable, sampling
+        pdf detached).  ``t`` is the clamped distance the detached replay
+        sampled; gradients flow through Tr and sigma_s only."""
+        tr = self.transmittance(t)
+        pdf_t = jax.lax.stop_gradient(
+            jnp.mean(self.sigma_t[None, :] * tr, axis=-1))
+        pdf_surf = jax.lax.stop_gradient(jnp.mean(tr, axis=-1))
+        w_medium = safe_div(tr * self.sigma_s()[None, :],
+                            jnp.maximum(pdf_t, 1e-20)[:, None])
+        w_surface = safe_div(tr, jnp.maximum(pdf_surf, 1e-20)[:, None])
+        weight = jnp.where(is_medium[:, None], w_medium, w_surface)
+        return jnp.where(active[:, None], weight, 1.0)
+
 
 @pytree
 class GridMedium:

@@ -61,7 +61,7 @@ EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
                 "irradiancemeter", "radialwarp", "realisticlens", "batch"}
 INTEGRATOR_TYPES = {"path", "direct", "depth", "prb", "prb_basic", "aov",
-                    "moment", "ptracer", "volpath"}
+                    "moment", "ptracer", "volpath", "prbvolpath"}
 
 
 def _to_world(val):
@@ -465,6 +465,14 @@ def _make_integrator(d):
         from ..models.integrators import VolPathIntegrator
 
         return VolPathIntegrator(
+            max_depth=int(d.get("max_depth", 8)),
+            rr_depth=int(d.get("rr_depth", 6)),
+            hide_emitters=bool(d.get("hide_emitters", False)),
+        )
+    if t == "prbvolpath":
+        from ..models.integrators import PRBVolPathIntegrator
+
+        return PRBVolPathIntegrator(
             max_depth=int(d.get("max_depth", 8)),
             rr_depth=int(d.get("rr_depth", 6)),
             hide_emitters=bool(d.get("hide_emitters", False)),

@@ -130,3 +130,95 @@ def test_volpath_zero_density_matches_path():
     d["fog"] = {"type": "homogeneous", "sigma_t": 1e-6, "albedo": 0.5}
     b = np.asarray(render(load_dict(d)))
     assert abs(a.mean() / b.mean() - 1.0) < 0.05
+
+
+# ---------------------------------------------------------------- prbvolpath
+
+def _fog_scene(sigma=0.4, albedo=0.7, g=0.0, res=16):
+    d = cornell_box_dict(width=res, height=res, spp=32)
+    d["integrator"] = {"type": "prbvolpath", "max_depth": 3, "rr_depth": 16}
+    fog = {"type": "homogeneous", "sigma_t": sigma, "albedo": albedo}
+    if g != 0.0:
+        fog["phase"] = {"type": "hg", "g": g}
+    d["fog"] = fog
+    return load_dict(d)
+
+
+def test_prbvolpath_primal_matches_volpath():
+    """Replay invariant: the prbvolpath primal is volpath's walk."""
+    from mitsuba_tpu.models.integrators import (
+        PRBVolPathIntegrator, VolPathIntegrator,
+    )
+
+    scene = _fog_scene()
+    a = np.asarray(render(scene, VolPathIntegrator(max_depth=3, rr_depth=16),
+                          seed=0, spp=16))
+    b = np.asarray(render(scene,
+                          PRBVolPathIntegrator(max_depth=3, rr_depth=16),
+                          seed=0, spp=16))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_prbvolpath_albedo_gradient_fd():
+    """Albedo does not influence the detached sampler, so fixed-seed FD
+    equals the PRB adjoint estimate tightly."""
+    import jax
+    from mitsuba_tpu.models.integrators import PRBVolPathIntegrator, prb_render
+
+    integ = PRBVolPathIntegrator(max_depth=3, rr_depth=16)
+    spp = 64
+
+    def loss_of(albedo):
+        scene = _fog_scene(albedo=albedo)
+        return float(np.asarray(
+            prb_render(scene, integ, 0, spp).mean()))
+
+    scene = _fog_scene()
+    g = jax.grad(
+        lambda s: prb_render(s, integ, 0, spp).mean(), allow_int=True
+    )(scene)
+    ad = float(np.asarray(g.scene_medium.albedo).sum())
+    eps = 1e-2
+    fd = (loss_of(0.7 + eps) - loss_of(0.7 - eps)) / (2 * eps)
+    assert np.isfinite(ad) and abs(ad - fd) < 0.05 * abs(fd) + 1e-5, (ad, fd)
+
+
+def test_prbvolpath_sigma_t_gradient_fd():
+    """sigma_t moves the free-flight sampler, so fixed-seed FD and the
+    detached PRB gradient are different unbiased estimators — compare
+    with MC-level tolerance at decent spp."""
+    import jax
+    from mitsuba_tpu.models.integrators import PRBVolPathIntegrator, prb_render
+
+    integ = PRBVolPathIntegrator(max_depth=3, rr_depth=16)
+    spp = 256
+
+    def loss_of(sigma, seed):
+        scene = _fog_scene(sigma=sigma)
+        return float(np.asarray(prb_render(scene, integ, seed, spp).mean()))
+
+    scene = _fog_scene()
+    g = jax.grad(
+        lambda s: prb_render(s, integ, 0, spp).mean(), allow_int=True
+    )(scene)
+    ad = float(np.asarray(g.scene_medium.sigma_t).sum())
+    eps = 0.04
+    fd = np.mean([(loss_of(0.4 + eps, s) - loss_of(0.4 - eps, s)) / (2 * eps)
+                  for s in range(3)])
+    assert np.isfinite(ad), ad
+    assert abs(ad - fd) < 0.3 * abs(fd) + 2e-4, (ad, fd)
+
+
+def test_prbvolpath_phase_g_gradient_finite():
+    """HG anisotropy gradient flows (sign/finite check; FD includes
+    sampler motion so only expectation-level agreement exists)."""
+    import jax
+    from mitsuba_tpu.models.integrators import PRBVolPathIntegrator, prb_render
+
+    integ = PRBVolPathIntegrator(max_depth=3, rr_depth=16)
+    scene = _fog_scene(g=0.3)
+    g = jax.grad(
+        lambda s: prb_render(s, integ, 0, 64).mean(), allow_int=True
+    )(scene)
+    gg = float(np.asarray(g.scene_medium.phase.g))
+    assert np.isfinite(gg) and gg != 0.0, gg
