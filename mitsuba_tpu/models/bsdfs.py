@@ -1138,3 +1138,240 @@ class Principled:
 
     def pdf(self, si, wo, active):
         return self.eval_pdf(si, wo, active)[1]
+
+
+@pytree
+class PrincipledThin:
+    """Thin-surface principled BSDF (src/bsdfs/principledthin.cpp, 761
+    LoC — the metallic-free thin workflow subset): diffuse base split
+    between reflection and straight-through transmission by
+    ``diff_trans`` (0 = all reflected, 2 = all transmitted), plus GGX
+    specular reflection and, with ``spec_trans``, GGX thin transmission
+    (the refract-in/refract-out of a zero-thickness slab collapses to a
+    perturbed straight-through direction).  Symmetric in the surface
+    normal (two-sided by construction)."""
+
+    base_color: object             # texture
+    roughness: jnp.ndarray         # ()
+    spec_trans: jnp.ndarray = None  # () in [0,1]
+    diff_trans: jnp.ndarray = None  # () in [0,2]
+    eta: jnp.ndarray = None        # () coating IOR (Schlick F0)
+    id: str = static("principledthin")
+
+    flags = Flags.DiffuseReflection | Flags.GlossyReflection
+
+    def __post_init__(self):
+        if self.spec_trans is None:
+            object.__setattr__(self, "spec_trans", jnp.asarray(0.0))
+        if self.diff_trans is None:
+            object.__setattr__(self, "diff_trans", jnp.asarray(0.0))
+        if self.eta is None:
+            object.__setattr__(self, "eta", jnp.asarray(1.5))
+
+    def _alpha(self):
+        return jnp.maximum(self.roughness ** 2, 1e-3)
+
+    def _probs(self):
+        st = jnp.clip(self.spec_trans, 0.0, 1.0)
+        p_spec_r = 0.25 + 0.25 * (1.0 - st)
+        p_spec_t = 0.25 * st
+        return p_spec_r, p_spec_t
+
+    def _flip(self, si):
+        """Mirror wi into the upper hemisphere (thin symmetry)."""
+        s = jnp.where(Frame.cos_theta(si.wi) >= 0.0, 1.0, -1.0)
+        wi = si.wi * jnp.stack(
+            [jnp.ones_like(s), jnp.ones_like(s), s], axis=-1)
+        return wi, s
+
+    def eval_pdf(self, si, wo, active):
+        ax = self._alpha()
+        wi_u, s = self._flip(si)
+        wo_u = wo * jnp.stack(
+            [jnp.ones_like(s), jnp.ones_like(s), s], axis=-1)
+        cos_i = Frame.cos_theta(wi_u)
+        cos_o = Frame.cos_theta(wo_u)
+        refl = cos_o > 0.0
+        base = self.base_color.eval(si)
+        st = jnp.clip(self.spec_trans, 0.0, 1.0)
+        dtr = jnp.clip(self.diff_trans, 0.0, 2.0) * 0.5
+
+        # --- diffuse lobes ---
+        diff_r = ((1.0 - st) * (1.0 - dtr) * warp.INV_PI
+                  * jnp.maximum(cos_o, 0.0))[..., None] * base
+        diff_t = ((1.0 - st) * dtr * warp.INV_PI
+                  * jnp.maximum(-cos_o, 0.0))[..., None] * base
+
+        # --- GGX reflection (Schlick) ---
+        m = wi_u + wo_u
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, -1, keepdims=True),
+                                    1e-20))
+        m = m / norm
+        cos_hm = jnp.clip(dot(wi_u, m), 0.0, 1.0)
+        f0 = ((self.eta - 1.0) / (self.eta + 1.0)) ** 2
+        fres = f0 + (1.0 - f0) * (1.0 - cos_hm) ** 5
+        d_r = mf.ggx_D(m, ax, ax)
+        g_r = mf.smith_g2(wi_u, wo_u, m, ax, ax)
+        spec_r = (fres * d_r * g_r
+                  / jnp.maximum(4.0 * cos_i, 1e-20))[..., None] \
+            * jnp.ones_like(base)
+        spec_r = jnp.where(refl[..., None], spec_r, 0.0)
+
+        # --- GGX thin transmission: treat -wo mirrored as a reflection ---
+        wo_m = wo_u * jnp.asarray([1.0, 1.0, -1.0])
+        mt = wi_u + wo_m
+        nt = jnp.sqrt(jnp.maximum(jnp.sum(mt * mt, -1, keepdims=True),
+                                  1e-20))
+        mt = mt / nt
+        cos_ht = jnp.clip(dot(wi_u, mt), 0.0, 1.0)
+        fres_t = f0 + (1.0 - f0) * (1.0 - cos_ht) ** 5
+        d_t = mf.ggx_D(mt, ax, ax)
+        g_t = mf.smith_g2(wi_u, wo_m, mt, ax, ax)
+        spec_t = (st * (1.0 - fres_t) * d_t * g_t
+                  / jnp.maximum(4.0 * cos_i, 1e-20))[..., None] * base
+        spec_t = jnp.where((~refl)[..., None], spec_t, 0.0)
+
+        val = diff_r + diff_t + spec_r + spec_t
+
+        p_sr, p_st = self._probs()
+        p_diff = 1.0 - p_sr - p_st
+        pdf_m = mf.vndf_pdf(wi_u, m, ax, ax)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo_u, m)), 1e-20)
+        pdf_mt = mf.vndf_pdf(wi_u, mt, ax, ax)
+        jac_t = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo_m, mt)), 1e-20)
+        pdf = jnp.where(
+            refl,
+            p_sr * pdf_m * jac_r
+            + p_diff * (1.0 - dtr) * warp.INV_PI * jnp.maximum(cos_o, 0.0),
+            p_st * pdf_mt * jac_t
+            + p_diff * dtr * warp.INV_PI * jnp.maximum(-cos_o, 0.0),
+        )
+        ok = active & (cos_i > 0.0)
+        return (jnp.where(ok[..., None], val, 0.0), jnp.where(ok, pdf, 0.0))
+
+    def sample(self, si, sample1, sample2, active):
+        ax = self._alpha()
+        wi_u, s = self._flip(si)
+        p_sr, p_st = self._probs()
+        dtr = jnp.clip(self.diff_trans, 0.0, 2.0) * 0.5
+        m = mf.sample_vndf(wi_u, sample2, ax, ax)
+        wo_spec_r = 2.0 * dot(wi_u, m)[..., None] * m - wi_u
+        wo_spec_t = wo_spec_r * jnp.asarray([1.0, 1.0, -1.0])
+        wo_diff_r = warp.square_to_cosine_hemisphere(sample2)
+        wo_diff_t = wo_diff_r * jnp.asarray([1.0, 1.0, -1.0])
+        pick_sr = sample1 < p_sr
+        pick_st = (sample1 >= p_sr) & (sample1 < p_sr + p_st)
+        u_d = jnp.clip((sample1 - p_sr - p_st)
+                       / jnp.maximum(1.0 - p_sr - p_st, 1e-9), 0.0, 1.0)
+        pick_dt = ~pick_sr & ~pick_st & (u_d < dtr)
+        wo_u = jnp.where(
+            pick_sr[..., None], wo_spec_r,
+            jnp.where(pick_st[..., None], wo_spec_t,
+                      jnp.where(pick_dt[..., None], wo_diff_t, wo_diff_r)))
+        wo = wo_u * jnp.stack(
+            [jnp.ones_like(s), jnp.ones_like(s), s], axis=-1)
+        val, pdf = self.eval_pdf(si, wo, active)
+        ok = active & (pdf > 0.0)
+        w = jnp.where(ok[..., None],
+                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones(pdf.shape),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_sr | pick_st, Flags.GlossyReflection,
+                Flags.DiffuseReflection).astype(jnp.int32),
+        )
+        return bs, w
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]
+
+
+@pytree
+class PPlastic:
+    """Plastic with a GGX specular coat (src/bsdfs/pplastic.cpp, 478 LoC
+    — its polarized Mueller-matrix layer projects to exactly this in
+    unpolarized RGB mode: dielectric-Fresnel-weighted GGX reflection
+    plus a diffuse base)."""
+
+    diffuse_reflectance: object
+    specular_reflectance: object = None
+    alpha: jnp.ndarray = None
+    eta: jnp.ndarray = None
+    id: str = static("pplastic")
+
+    flags = Flags.GlossyReflection | Flags.DiffuseReflection
+
+    def __post_init__(self):
+        if self.alpha is None:
+            object.__setattr__(self, "alpha", jnp.asarray(0.1))
+        if self.eta is None:
+            object.__setattr__(self, "eta", jnp.asarray(1.49))
+        if self.specular_reflectance is None:
+            from .textures import ConstantTexture
+
+            object.__setattr__(
+                self, "specular_reflectance",
+                ConstantTexture(jnp.ones(3)))
+
+    def _probs(self, si):
+        f_i, *_ = fresnel_dielectric(Frame.cos_theta(si.wi), self.eta)
+        return jnp.clip(f_i, 0.1, 0.9)
+
+    def eval_pdf(self, si, wo, active):
+        ax = jnp.maximum(self.alpha, 1e-3)
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        m = si.wi + wo
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, -1, keepdims=True),
+                                    1e-20))
+        m = m / norm
+        f_m, *_ = fresnel_dielectric(jnp.clip(dot(si.wi, m), -1.0, 1.0),
+                                     self.eta)
+        d = mf.ggx_D(m, ax, ax)
+        g2 = mf.smith_g2(si.wi, wo, m, ax, ax)
+        spec = self.specular_reflectance.eval(si) * (
+            f_m * d * g2 / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+        diff = self.diffuse_reflectance.eval(si) * (
+            warp.INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
+        val = spec + diff
+        p_spec = self._probs(si)
+        pdf_m = mf.vndf_pdf(si.wi, m, ax, ax)
+        jac = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-20)
+        pdf = (p_spec * pdf_m * jac + (1.0 - p_spec)
+               * warp.square_to_cosine_hemisphere_pdf(wo))
+        return (jnp.where(ok[..., None], val, 0.0), jnp.where(ok, pdf, 0.0))
+
+    def sample(self, si, sample1, sample2, active):
+        ax = jnp.maximum(self.alpha, 1e-3)
+        p_spec = self._probs(si)
+        pick_spec = sample1 < p_spec
+        m = mf.sample_vndf(si.wi, sample2, ax, ax)
+        wo_spec = 2.0 * dot(si.wi, m)[..., None] * m - si.wi
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        wo = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
+        val, pdf = self.eval_pdf(si, wo, active)
+        ok = active & (pdf > 0.0) & (Frame.cos_theta(wo) > 0.0) \
+            & (Frame.cos_theta(si.wi) > 0.0)
+        w = jnp.where(ok[..., None],
+                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones(pdf.shape),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_spec, Flags.GlossyReflection,
+                Flags.DiffuseReflection).astype(jnp.int32),
+        )
+        return bs, w
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]

@@ -605,3 +605,111 @@ class SpotEmitter:
             delta=jnp.ones((n,), bool),
         )
         return ray, weight, ps
+
+
+@pytree
+class ProjectorEmitter:
+    """Image projector: delta position emitting a texture through a
+    perspective frustum (src/emitters/projector.cpp).
+
+    ``irradiance``: texture projected onto the scene; ``scale`` a global
+    multiplier.  Directions outside the frustum carry nothing.
+    """
+
+    irradiance: object              # texture
+    position: jnp.ndarray           # (3,)
+    direction: jnp.ndarray          # (3,) optical axis
+    up: jnp.ndarray = None          # (3,)
+    scale: jnp.ndarray = None       # ()
+    fov: float = static(45.0)       # horizontal, degrees
+    aspect: float = static(1.0)     # width / height
+    id: str = static("projector")
+
+    is_delta = True
+    is_infinite = False
+
+    def __post_init__(self):
+        if self.up is None:
+            object.__setattr__(self, "up", jnp.asarray([0.0, 1.0, 0.0]))
+        if self.scale is None:
+            object.__setattr__(self, "scale", jnp.asarray(1.0))
+
+    def _frame(self):
+        import numpy as np
+
+        d = normalize(self.direction)
+        s = normalize(jnp.cross(self.up, d))
+        t = jnp.cross(d, s)
+        return s, t, d
+
+    def _tan(self):
+        import numpy as np
+
+        tx = float(np.tan(np.deg2rad(self.fov) * 0.5))
+        return tx, tx / self.aspect
+
+    def _eval_tex(self, d_out, active):
+        """Texture value for light leaving along world direction d_out."""
+        s, t, dax = self._frame()
+        z = dot(d_out, dax)
+        x = dot(d_out, s)
+        y = dot(d_out, t)
+        tx, ty = self._tan()
+        inside = z > 1e-6
+        zi = jnp.where(inside, z, 1.0)
+        u = 0.5 * (x / (zi * tx) + 1.0)
+        v = 0.5 * (y / (zi * ty) + 1.0)
+        inside = inside & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+        val = self.irradiance.eval(_FakeSI(uv=jnp.stack([u, v], axis=-1)))
+        ok = active & inside if active is not None else inside
+        return jnp.where(ok[..., None], val * self.scale, 0.0)
+
+    def eval(self, si, active):
+        return jnp.zeros(si.uv.shape[:-1] + (3,))
+
+    def sample_direction(self, ref_p, sample1, sample2, geom=None):
+        delta = self.position - ref_p
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        d = delta / dist[..., None]
+        val = self._eval_tex(-d, None)
+        weight = val / dist2[..., None]
+        n = ref_p.shape[0]
+        ds = DirectionSample(
+            p=jnp.broadcast_to(self.position, ref_p.shape), n=-d,
+            uv=jnp.zeros((n, 2)), d=d, dist=dist,
+            pdf=jnp.ones((n,)), delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, weight
+
+    def pdf_direction(self, ref_p, ds, geom=None):
+        return jnp.zeros(ds.pdf.shape)
+
+    def eval_direction(self, ref_p, ds, geom=None, active=None):
+        d2 = jnp.maximum(ds.dist * ds.dist, 1e-12)
+        return self._eval_tex(-ds.d, active) / d2[..., None]
+
+    def sample_ray(self, time, wavelength_sample, direction_sample,
+                   position_sample, geom=None):
+        """Sample a frustum direction uniformly in image space."""
+        from ..core.records import PositionSample, Ray
+
+        n = direction_sample.shape[0]
+        s, t, dax = self._frame()
+        tx, ty = self._tan()
+        x = (direction_sample[..., 0] * 2.0 - 1.0) * tx
+        y = (direction_sample[..., 1] * 2.0 - 1.0) * ty
+        d = normalize(s * x[:, None] + t * y[:, None] + dax[None, :])
+        cos_theta = dot(d, dax)
+        # image-plane area pdf -> solid angle: p = 1/(4 tx ty cos^3)
+        a = 4.0 * tx * ty
+        val = self._eval_tex(d, None)
+        weight = val * (a * cos_theta ** 3)[..., None]
+        p = jnp.broadcast_to(self.position, (n, 3))
+        ray = Ray.make(p, d, time=time)
+        ps = PositionSample(
+            p=p, n=d, uv=jnp.zeros((n, 2)), pdf=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+        )
+        return ray, weight, ps

@@ -21,6 +21,7 @@ free from XLA.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static
@@ -223,6 +224,65 @@ def develop(image, eps: float = 1e-12):
     """Weight-division develop (hdrfilm.cpp:304): (H, W, C+1) -> (H, W, C)."""
     w = image[..., -1:]
     return jnp.where(w > eps, image[..., :-1] / jnp.maximum(w, eps), 0.0)
+
+
+@pytree
+class SpectralFilm:
+    """Spectral-bin film (src/films/specfilm.cpp): accumulates per-lane
+    hero-wavelength radiance into ``n_bins`` uniform wavelength buckets
+    instead of RGB channels.  ``put_spectral`` bins each sample by its
+    wavelength; ``develop`` divides by the weight channel as usual, so
+    the output is an (H, W, n_bins) spectral image."""
+
+    width: int = static(256)
+    height: int = static(256)
+    n_bins: int = static(16)
+    lambda_min: float = static(380.0)
+    lambda_max: float = static(780.0)
+    rfilter: ReconstructionFilter = static(None)
+    id: str = static("specfilm")
+
+    def __post_init__(self):
+        if self.rfilter is None:
+            object.__setattr__(self, "rfilter",
+                               ReconstructionFilter.gaussian())
+
+    @property
+    def size(self):
+        return (self.width, self.height)
+
+    def put_spectral(self, pos, value, wavelengths, active=None):
+        """value: (N,) spectral radiance at each lane's hero wavelength
+        (N,) nm.  Returns (H, W, n_bins+1) with the filter-weight channel
+        appended."""
+        lam = jnp.reshape(wavelengths, (-1,))
+        t = (lam - self.lambda_min) / (self.lambda_max - self.lambda_min)
+        b = jnp.clip((t * self.n_bins).astype(jnp.int32), 0, self.n_bins - 1)
+        onehot = jax.nn.one_hot(b, self.n_bins, dtype=value.dtype)
+        data = onehot * value[:, None]
+        return splat(pos, data, self.height, self.width, self.rfilter,
+                     active)
+
+    def put(self, pos, values, active=None, normalize=False):
+        """RGB fallback (integrators that produce RGB radiance): bins are
+        filled with the channel-mean — allows specfilm to be used with
+        any integrator, spectral ones giving the real distribution."""
+        mean = jnp.mean(values, axis=-1)
+        data = jnp.broadcast_to(mean[:, None], (mean.shape[0], self.n_bins))
+        return splat(pos, data, self.height, self.width, self.rfilter,
+                     active, normalize)
+
+    def put_grouped(self, pos, values, spp, active=None):
+        return self.put(pos, values, active)
+
+    def develop(self, image):
+        return develop(image)
+
+    def bin_wavelengths(self):
+        """Bin-center wavelengths (n_bins,) nm."""
+        edges = jnp.linspace(self.lambda_min, self.lambda_max,
+                             self.n_bins + 1)
+        return 0.5 * (edges[:-1] + edges[1:])
 
 
 @pytree

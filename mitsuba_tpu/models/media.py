@@ -88,6 +88,117 @@ class HGPhase:
         return self.eval(wi_world, wo_world, active)
 
 
+@pytree
+class RayleighPhase:
+    """Rayleigh scattering phase function (src/phase/rayleigh.cpp):
+    p(cos) = 3/(16 pi) (1 + cos^2), cos against propagation."""
+
+    id: str = static("rayleigh")
+
+    def _eval_cos(self, cos_theta):
+        return (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_theta * cos_theta)
+
+    def sample(self, wi_world, sample2, active):
+        # invert the CDF of (1 + cos^2): cos = u - 1/u with
+        # u = cbrt(2z + sqrt(4z^2+1)), z = 2(2 s - 1) (rayleigh.cpp)
+        z = 2.0 * (2.0 * sample2[..., 0] - 1.0)
+        u = jnp.cbrt(2.0 * z + jnp.sqrt(4.0 * z * z + 1.0))
+        cos_theta = jnp.clip(u - 1.0 / u, -1.0, 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta ** 2, 0.0))
+        phi = 2.0 * jnp.pi * sample2[..., 1]
+        frame = Frame.from_normal(normalize(-wi_world))
+        wo_local = jnp.stack(
+            [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta],
+            axis=-1)
+        wo = Frame.to_world(frame, wo_local)
+        return wo, self._eval_cos(cos_theta)
+
+    def eval(self, wi_world, wo_world, active):
+        return self._eval_cos(dot(-wi_world, wo_world))
+
+    def pdf(self, wi_world, wo_world, active):
+        return self.eval(wi_world, wo_world, active)
+
+
+@pytree
+class BlendPhase:
+    """Convex combination of two phase functions
+    (src/phase/blendphase.cpp): weight selects phase2's share."""
+
+    phase1: object
+    phase2: object
+    weight: jnp.ndarray  # () in [0, 1]
+    id: str = static("blendphase")
+
+    def sample(self, wi_world, sample2, active):
+        # stochastic component selection on sample2.x, reused rescaled
+        w = jnp.clip(self.weight, 0.0, 1.0)
+        pick2 = sample2[..., 0] < w
+        u = jnp.where(
+            pick2,
+            sample2[..., 0] / jnp.maximum(w, 1e-9),
+            (sample2[..., 0] - w) / jnp.maximum(1.0 - w, 1e-9),
+        )
+        s2 = jnp.stack([u, sample2[..., 1]], axis=-1)
+        wo1, _ = self.phase1.sample(wi_world, s2, active)
+        wo2, _ = self.phase2.sample(wi_world, s2, active)
+        wo = jnp.where(pick2[..., None], wo2, wo1)
+        return wo, self.pdf(wi_world, wo, active)
+
+    def eval(self, wi_world, wo_world, active):
+        w = jnp.clip(self.weight, 0.0, 1.0)
+        return ((1.0 - w) * self.phase1.eval(wi_world, wo_world, active)
+                + w * self.phase2.eval(wi_world, wo_world, active))
+
+    def pdf(self, wi_world, wo_world, active):
+        w = jnp.clip(self.weight, 0.0, 1.0)
+        return ((1.0 - w) * self.phase1.pdf(wi_world, wo_world, active)
+                + w * self.phase2.pdf(wi_world, wo_world, active))
+
+
+@pytree
+class TabulatedPhase:
+    """Tabulated phase over cos(theta) (src/phase/tabphase.cpp): values
+    on a uniform cos grid in [-1, 1], normalized internally; sampled via
+    the Catmull-Rom spline CDF (core/spline.py)."""
+
+    values: jnp.ndarray  # (N,) nonnegative, cos grid from -1 to 1
+    id: str = static("tabphase")
+
+    def _norm(self):
+        from ..core import spline
+
+        integral = spline.integrate_1d(-1.0, 1.0, self.values)[-1]
+        return 1.0 / jnp.maximum(2.0 * jnp.pi * integral, 1e-12)
+
+    def _eval_cos(self, cos_theta):
+        from ..core import spline
+
+        v = jnp.maximum(
+            spline.eval_1d(-1.0, 1.0, self.values, cos_theta), 0.0)
+        return v * self._norm()
+
+    def sample(self, wi_world, sample2, active):
+        from ..core import spline
+
+        cos_theta, _ = spline.sample_1d(-1.0, 1.0, self.values,
+                                        sample2[..., 0])
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta ** 2, 0.0))
+        phi = 2.0 * jnp.pi * sample2[..., 1]
+        frame = Frame.from_normal(normalize(-wi_world))
+        wo_local = jnp.stack(
+            [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta],
+            axis=-1)
+        wo = Frame.to_world(frame, wo_local)
+        return wo, self._eval_cos(cos_theta)
+
+    def eval(self, wi_world, wo_world, active):
+        return self._eval_cos(dot(-wi_world, wo_world))
+
+    def pdf(self, wi_world, wo_world, active):
+        return self.eval(wi_world, wo_world, active)
+
+
 # ------------------------------------------------------------------ media
 
 @pytree

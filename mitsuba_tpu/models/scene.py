@@ -503,6 +503,12 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         ems.append(e)
     emitters = tuple(ems)
 
+    if getattr(sensor, "needs_scene_bounds", False):
+        sensor = sensor.replace(
+            scene_center=jnp.asarray(center, jnp.float32),
+            scene_radius=jnp.asarray(radius * 1.01, jnp.float32),
+        )
+
     # detached per-emitter face-area distributions (area lights)
     face_distrs = []
     for i, e in enumerate(emitters):

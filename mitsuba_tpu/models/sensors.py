@@ -459,3 +459,64 @@ class BatchSensor:
                     r_i, ray)
                 weight = jnp.where(m[:, None], w_i, weight)
         return ray, weight
+
+
+@pytree
+class DistantSensor:
+    """Distant (directional) radiance sensor (src/sensors/distant.cpp):
+    every ray travels along the fixed ``direction``; film positions map
+    to offsets on the perpendicular plane covering the scene's bounding
+    disk.  ``scene_center``/``scene_radius`` are injected by make_scene
+    (needs_scene_bounds), like infinite emitters.
+    """
+
+    direction: jnp.ndarray            # (3,)
+    scene_center: jnp.ndarray = None  # (3,) injected
+    scene_radius: jnp.ndarray = None  # ()  injected
+    film: Film = static(None)
+    sampler: object = static(None)
+    id: str = static("distant")
+
+    needs_scene_bounds = True
+
+    def __post_init__(self):
+        if self.film is None:
+            object.__setattr__(self, "film", Film(width=1, height=1))
+        if self.sampler is None:
+            from .samplers import IndependentSampler
+
+            object.__setattr__(self, "sampler", IndependentSampler())
+        if self.scene_center is None:
+            object.__setattr__(self, "scene_center", jnp.zeros(3))
+        if self.scene_radius is None:
+            object.__setattr__(self, "scene_radius", jnp.asarray(1.0))
+
+    def sample_ray(self, time, wavelength_sample, position_sample,
+                   aperture_sample):
+        d = normalize(jnp.broadcast_to(
+            self.direction, position_sample.shape[:-1] + (3,)))
+        from ..core.math import coordinate_system
+
+        s, t = coordinate_system(d)
+        # film position -> offset on the perpendicular disk-bounding square
+        off = (position_sample * 2.0 - 1.0) * self.scene_radius
+        o = (self.scene_center[None, :]
+             - d * (2.0 * self.scene_radius)
+             + s * off[..., 0:1] + t * off[..., 1:2])
+        ray = Ray.make(o, d, time=time)
+        weight = jnp.ones(d.shape[:-1] + (3,))
+        return ray, weight
+
+    def sample_direction(self, ref_p, sample2, active):
+        """Delta direction: light tracing cannot connect (pdf = 0)."""
+        from ..core.records import DirectionSample
+
+        n = ref_p.shape[0]
+        z3 = jnp.zeros((n, 3))
+        ds = DirectionSample(
+            p=z3, n=z3, uv=jnp.zeros((n, 2)), d=z3,
+            dist=jnp.zeros((n,)), pdf=jnp.zeros((n,)),
+            delta=jnp.ones((n,), bool),
+            emitter_index=jnp.zeros((n,), jnp.int32),
+        )
+        return ds, jnp.zeros((n, 3))

@@ -141,3 +141,117 @@ class PolarLinesTexture:
 
     def mean(self):
         return 0.5 * (jnp.mean(self.color0) + jnp.mean(self.color1))
+
+
+@pytree
+class Volume3DTexture:
+    """3D volume lookup at the hit POSITION (src/textures/volume.cpp +
+    src/render/volume.cpp): trilinear sample of a (D, H, W, C) grid
+    placed in [bbox_min, bbox_max]; differentiable in ``data``."""
+
+    data: jnp.ndarray      # (D, H, W, C)
+    bbox_min: jnp.ndarray  # (3,)
+    bbox_max: jnp.ndarray  # (3,)
+    id: str = static("volume")
+
+    def eval(self, si):
+        p = si.p
+        u = (p - self.bbox_min) / (self.bbox_max - self.bbox_min)
+        d, h, w = self.data.shape[0], self.data.shape[1], self.data.shape[2]
+        # grid coords (z, y, x) — cell centers at half-integers
+        g = jnp.stack([
+            u[..., 2] * d - 0.5, u[..., 1] * h - 0.5, u[..., 0] * w - 0.5,
+        ], axis=-1)
+        i0 = jnp.floor(g).astype(jnp.int32)
+        f = g - i0
+        out = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    iz = jnp.clip(i0[..., 0] + dz, 0, d - 1)
+                    iy = jnp.clip(i0[..., 1] + dy, 0, h - 1)
+                    ix = jnp.clip(i0[..., 2] + dx, 0, w - 1)
+                    wgt = (
+                        jnp.where(dz, f[..., 0], 1 - f[..., 0])
+                        * jnp.where(dy, f[..., 1], 1 - f[..., 1])
+                        * jnp.where(dx, f[..., 2], 1 - f[..., 2])
+                    )
+                    out = out + wgt[..., None] * self.data[iz, iy, ix]
+        inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
+        return jnp.where(inside[..., None], out, 0.0)
+
+    def mean(self):
+        return jnp.mean(self.data)
+
+
+@pytree
+class MeshAttributeTexture:
+    """Per-vertex mesh attribute, barycentrically interpolated
+    (src/textures/mesh_attribute.cpp).  ``faces``/``attr`` are the
+    GLOBAL face table and per-vertex attribute rows of the scene
+    geometry; lookup uses si.prim_index + the barycentric uv that
+    meshes without explicit UVs expose."""
+
+    attr: jnp.ndarray   # (V, C) per-vertex values (differentiable)
+    faces: jnp.ndarray  # (F, 3) int32
+    id: str = static("mesh_attribute")
+
+    def eval(self, si):
+        f = self.faces[jnp.maximum(si.prim_index, 0)]
+        b1 = si.uv[..., 0]
+        b2 = si.uv[..., 1]
+        b0 = 1.0 - b1 - b2
+        a0 = self.attr[f[..., 0]]
+        a1 = self.attr[f[..., 1]]
+        a2 = self.attr[f[..., 2]]
+        return (b0[..., None] * a0 + b1[..., None] * a1
+                + b2[..., None] * a2)
+
+    def mean(self):
+        return jnp.mean(self.attr)
+
+
+@pytree
+class Comb2DTexture:
+    """[FORK-era debug texture] 2D comb: thin bright lines at regular uv
+    intervals on a dark field (src/textures/comb2d.cpp)."""
+
+    color0: jnp.ndarray  # (C,) background
+    color1: jnp.ndarray  # (C,) lines
+    scale: jnp.ndarray = None   # () lines per unit uv
+    line_width: float = static(0.05)
+    id: str = static("comb2d")
+
+    def __post_init__(self):
+        if self.scale is None:
+            object.__setattr__(self, "scale", jnp.asarray(8.0))
+
+    def eval(self, si):
+        fu = si.uv * self.scale - jnp.floor(si.uv * self.scale)
+        on = jnp.any((fu < self.line_width)
+                     | (fu > 1.0 - self.line_width), axis=-1)
+        return jnp.where(on[..., None], self.color1, self.color0)
+
+    def mean(self):
+        return jnp.mean(self.color0)
+
+
+@pytree
+class StarTexture:
+    """[FORK-era debug texture] Siemens-star sectors around the uv
+    center (src/textures/star.cpp) — resolution target for lens spots."""
+
+    color0: jnp.ndarray  # (C,)
+    color1: jnp.ndarray  # (C,)
+    n_spokes: int = static(16)
+    id: str = static("star")
+
+    def eval(self, si):
+        d = si.uv - 0.5
+        theta = jnp.arctan2(d[..., 1], d[..., 0])
+        sector = jnp.floor(theta / (2.0 * jnp.pi) * self.n_spokes * 2.0)
+        on = (sector % 2.0) == 0.0
+        return jnp.where(on[..., None], self.color1, self.color0)
+
+    def mean(self):
+        return 0.5 * (jnp.mean(self.color0) + jnp.mean(self.color1))

@@ -53,13 +53,15 @@ IOR_NAMES = {
 BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "thindielectric", "roughdielectric", "plastic", "roughplastic",
               "twosided", "mask", "null", "blendbsdf", "principled",
-              "normalmap", "bumpmap", "dispersive_dielectric", "dispersive"}
+              "normalmap", "bumpmap", "dispersive_dielectric", "dispersive",
+              "principledthin", "pplastic"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                "ply", "mesh"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
-                 "directionalarea"}
+                 "directionalarea", "projector"}
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
-                "irradiancemeter", "radialwarp", "realisticlens", "batch"}
+                "irradiancemeter", "radialwarp", "realisticlens", "batch",
+                "distant"}
 INTEGRATOR_TYPES = {"path", "direct", "depth", "prb", "prb_basic", "aov",
                     "moment", "ptracer", "volpath", "prbvolpath"}
 
@@ -79,8 +81,34 @@ def _spectrum(val, default=None):
         if t in ("rgb", "srgb"):
             return jnp.asarray(np.broadcast_to(
                 np.asarray(val["value"], np.float32), (3,)))
-        if t in ("uniform", "spectrum", "d65"):
+        if t in ("uniform", "spectrum"):
             return jnp.full((3,), float(val.get("value", 1.0)))
+        if t == "d65":
+            from ..models.spectra import D65Spectrum
+
+            return D65Spectrum(
+                scale=jnp.asarray(float(val.get("scale", 1.0)))).to_rgb()
+        if t == "blackbody":
+            from ..models.spectra import BlackbodySpectrum
+
+            return BlackbodySpectrum(
+                temperature=jnp.asarray(float(val.get(
+                    "temperature", 6500.0)))).to_rgb()
+        if t == "regular":
+            from ..models.spectra import RegularSpectrum
+
+            return RegularSpectrum(
+                values=jnp.asarray(val["values"], jnp.float32),
+                lambda_min=float(val.get("lambda_min", 380.0)),
+                lambda_max=float(val.get("lambda_max", 780.0)),
+            ).to_rgb()
+        if t == "irregular":
+            from ..models.spectra import IrregularSpectrum
+
+            return IrregularSpectrum(
+                wavelengths=jnp.asarray(val["wavelengths"], jnp.float32),
+                values=jnp.asarray(val["values"], jnp.float32),
+            ).to_rgb()
         raise ValueError(f"unsupported spectrum type {t!r}")
     if isinstance(val, (int, float)):
         return jnp.full((3,), float(val))
@@ -117,6 +145,40 @@ def _texture(val, default):
             return PolarLinesTexture(
                 color0=_spectrum(val.get("color0"), jnp.zeros(3)),
                 color1=_spectrum(val.get("color1"), jnp.ones(3)),
+            )
+        if t == "volume":
+            from ..models.textures import Volume3DTexture
+
+            return Volume3DTexture(
+                data=jnp.asarray(val["data"], jnp.float32),
+                bbox_min=jnp.asarray(val.get("bbox_min", [-1, -1, -1]),
+                                     jnp.float32),
+                bbox_max=jnp.asarray(val.get("bbox_max", [1, 1, 1]),
+                                     jnp.float32),
+            )
+        if t == "mesh_attribute":
+            from ..models.textures import MeshAttributeTexture
+
+            return MeshAttributeTexture(
+                attr=jnp.asarray(val["attr"], jnp.float32),
+                faces=jnp.asarray(val["faces"], jnp.int32),
+            )
+        if t == "comb2d":
+            from ..models.textures import Comb2DTexture
+
+            return Comb2DTexture(
+                color0=_spectrum(val.get("color0"), jnp.zeros(3)),
+                color1=_spectrum(val.get("color1"), jnp.ones(3)),
+                scale=jnp.asarray(float(val.get("scale", 8.0))),
+                line_width=float(val.get("line_width", 0.05)),
+            )
+        if t == "star":
+            from ..models.textures import StarTexture
+
+            return StarTexture(
+                color0=_spectrum(val.get("color0"), jnp.zeros(3)),
+                color1=_spectrum(val.get("color1"), jnp.ones(3)),
+                n_spokes=int(val.get("n_spokes", 16)),
             )
         if t == "bitmap":
             if "data" in val:
@@ -260,6 +322,26 @@ def _make_bsdf(d):
             ext_ior_d=jnp.asarray(float(d.get("ext_ior", 1.000277))),
             ext_V_d=jnp.asarray(float(d.get("ext_V_d", 0.0))),
         )
+    if t == "principledthin":
+        from ..models.bsdfs import PrincipledThin
+
+        return PrincipledThin(
+            base_color=_texture(d.get("base_color"), [0.5, 0.5, 0.5]),
+            roughness=jnp.asarray(float(d.get("roughness", 0.5))),
+            spec_trans=jnp.asarray(float(d.get("spec_trans", 0.0))),
+            diff_trans=jnp.asarray(float(d.get("diff_trans", 0.0))),
+            eta=jnp.asarray(float(d.get("eta", 1.5))),
+        )
+    if t == "pplastic":
+        from ..models.bsdfs import PPlastic
+
+        return PPlastic(
+            diffuse_reflectance=_texture(d.get("diffuse_reflectance"),
+                                         [0.5, 0.5, 0.5]),
+            alpha=jnp.asarray(float(d.get("alpha", 0.1))),
+            eta=jnp.asarray(_ior(d.get("int_ior"), 1.49)
+                            / _ior(d.get("ext_ior"), 1.000277)),
+        )
     raise ValueError(f"unsupported bsdf plugin {t!r}")
 
 
@@ -320,6 +402,16 @@ def _make_film(d):
         "catmullrom": ReconstructionFilter.catmullrom(),
         "lanczos": ReconstructionFilter.lanczos(),
     }[rf]
+    if d.get("type") == "specfilm":
+        from ..models.film import SpectralFilm
+
+        return SpectralFilm(
+            width=int(d.get("width", 256)), height=int(d.get("height", 256)),
+            n_bins=int(d.get("n_bins", 16)),
+            lambda_min=float(d.get("lambda_min", 380.0)),
+            lambda_max=float(d.get("lambda_max", 780.0)),
+            rfilter=rfilter,
+        )
     return Film(width=int(d.get("width", 256)), height=int(d.get("height", 256)),
                 rfilter=rfilter)
 
@@ -412,6 +504,14 @@ def _make_sensor(d):
         children = [_make_sensor(c) for c in d["sensors"]]
         return BatchSensor(sensors=tuple(children), film=film,
                            sampler=sampler)
+    if t == "distant":
+        from ..models.sensors import DistantSensor
+
+        return DistantSensor(
+            direction=jnp.asarray(d.get("direction", [0, 0, -1]),
+                                  jnp.float32),
+            film=film, sampler=sampler,
+        )
     raise ValueError(f"unsupported sensor plugin {t!r}")
 
 
@@ -602,6 +702,28 @@ def load_dict(scene_dict: dict, use_bvh=None):
                     beam_width=float(val.get(
                         "beam_width", 0.75 * float(val.get("cutoff_angle", 20.0)))),
                 ))
+            elif t == "projector":
+                from ..models.emitters import ProjectorEmitter
+
+                if "to_world" in val:
+                    m = np.asarray(val["to_world"], np.float32)
+                    pos = m[:3, 3]
+                    direc = m[:3, 2]
+                    up = m[:3, 1]
+                else:
+                    pos = np.asarray(val.get("position", [0, 0, 0]),
+                                     np.float32)
+                    direc = np.asarray(val.get("direction", [0, 0, 1]),
+                                       np.float32)
+                    up = np.asarray(val.get("up", [0, 1, 0]), np.float32)
+                emitters.append(ProjectorEmitter(
+                    irradiance=_texture(val.get("irradiance"), [1.0, 1.0, 1.0]),
+                    position=jnp.asarray(pos),
+                    direction=jnp.asarray(direc),
+                    up=jnp.asarray(up),
+                    scale=jnp.asarray(float(val.get("scale", 1.0))),
+                    fov=float(val.get("fov", 45.0)),
+                ))
             else:
                 raise ValueError(f"unsupported emitter plugin {t!r}")
         elif t in ("homogeneous", "heterogeneous"):
@@ -628,6 +750,23 @@ def _make_phase(d):
         return IsotropicPhase()
     if t == "hg":
         return HGPhase(g=jnp.asarray(float(d.get("g", 0.0))))
+    if t == "rayleigh":
+        from ..models.media import RayleighPhase
+
+        return RayleighPhase()
+    if t == "blendphase":
+        from ..models.media import BlendPhase
+
+        return BlendPhase(
+            phase1=_make_phase(d.get("phase1", d.get("phase_0"))),
+            phase2=_make_phase(d.get("phase2", d.get("phase_1"))),
+            weight=jnp.asarray(float(d.get("weight", 0.5))),
+        )
+    if t == "tabphase":
+        from ..models.media import TabulatedPhase
+
+        return TabulatedPhase(
+            values=jnp.asarray(d["values"], jnp.float32))
     raise ValueError(f"unsupported phase plugin {t!r}")
 
 
