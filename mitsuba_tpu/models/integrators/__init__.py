@@ -8,4 +8,10 @@ from .prb_basic import PRBBasicIntegrator  # noqa: F401
 from .ptracer import ParticleTracerIntegrator, render_ptracer  # noqa: F401
 from .volpath import VolPathIntegrator  # noqa: F401
 from .prbvolpath import PRBVolPathIntegrator  # noqa: F401
+from .projective import (  # noqa: F401
+    DirectProjectiveIntegrator,
+    PathProjectiveIntegrator,
+    build_silhouette_edges,
+    prb_projective_render,
+)
 from .aov import AOVIntegrator, MomentIntegrator, render_aov, render_moments  # noqa: F401

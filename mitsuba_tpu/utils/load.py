@@ -63,7 +63,8 @@ SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
                 "irradiancemeter", "radialwarp", "realisticlens", "batch",
                 "distant"}
 INTEGRATOR_TYPES = {"path", "direct", "depth", "prb", "prb_basic", "aov",
-                    "moment", "ptracer", "volpath", "prbvolpath"}
+                    "moment", "ptracer", "volpath", "prbvolpath",
+                    "prb_projective", "direct_projective"}
 
 
 def _to_world(val):
@@ -568,6 +569,22 @@ def _make_integrator(d):
             max_depth=int(d.get("max_depth", 8)),
             rr_depth=int(d.get("rr_depth", 6)),
             hide_emitters=bool(d.get("hide_emitters", False)),
+        )
+    if t == "prb_projective":
+        from ..models.integrators import PathProjectiveIntegrator
+
+        return PathProjectiveIntegrator(
+            max_depth=int(d.get("max_depth", 6)),
+            rr_depth=int(d.get("rr_depth", 5)),
+            sppp=int(d.get("sppp", 4096)),
+            guiding=d.get("guiding", "grid"),
+        )
+    if t == "direct_projective":
+        from ..models.integrators import DirectProjectiveIntegrator
+
+        return DirectProjectiveIntegrator(
+            sppp=int(d.get("sppp", 4096)),
+            guiding=d.get("guiding", "grid"),
         )
     if t == "prbvolpath":
         from ..models.integrators import PRBVolPathIntegrator
