@@ -87,3 +87,90 @@ class Marginal2D:
         row = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
         cell = self.pdf_table[row, col]
         return safe_div(cell * (h * w), self.total)
+
+
+@pytree
+class Hierarchical2D:
+    """Hierarchical sample warping over a 2D table (distr_2d.h
+    Hierarchical2D<0>): a mip pyramid of cell masses descended one level
+    at a time, choosing the quadrant proportionally to its mass and
+    rescaling the uniforms.  Equivalent distribution to Marginal2D with
+    a different (locality-preserving) warp; kept for API parity and for
+    workloads that warp-blend nearby samples (measured BSDFs).
+
+    Table sides are padded to the next power of two; levels are a static
+    tuple from finest (0) to the 1x1 root.
+    """
+
+    levels: tuple            # tuple of (H_l, W_l) arrays, fine -> coarse
+    size: tuple = static((1, 1))  # original (H, W)
+
+    @staticmethod
+    def create(table):
+        import numpy as np
+
+        table = jnp.asarray(table, jnp.float32)
+        h, w = int(table.shape[0]), int(table.shape[1])
+        n = 1
+        while n < max(h, w):
+            n *= 2
+        padded = jnp.zeros((n, n), jnp.float32).at[:h, :w].set(table)
+        levels = [padded]
+        while levels[-1].shape[0] > 1:
+            c = levels[-1]
+            levels.append(
+                c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2]
+                + c[1::2, 1::2])
+        return Hierarchical2D(levels=tuple(levels), size=(h, w))
+
+    def sample(self, sample2):
+        """(N,2) uniforms -> ((N,2) uv in [0,1]^2 over the ORIGINAL
+        table extent, (N,) pdf per unit area)."""
+        n_side = self.levels[0].shape[0]
+        u = sample2[..., 0]
+        v = sample2[..., 1]
+        x = jnp.zeros(u.shape, jnp.int32)
+        y = jnp.zeros(u.shape, jnp.int32)
+        # descend from the root: levels[-1] is 1x1
+        for li in range(len(self.levels) - 2, -1, -1):
+            lvl = self.levels[li]
+            x = x * 2
+            y = y * 2
+            c00 = lvl[y, x]
+            c01 = lvl[y, x + 1]
+            c10 = lvl[y + 1, x]
+            c11 = lvl[y + 1, x + 1]
+            left = c00 + c10
+            right = c01 + c11
+            p_left = left / jnp.maximum(left + right, 1e-20)
+            go_right = u >= p_left
+            u = jnp.where(go_right,
+                          (u - p_left) / jnp.maximum(1.0 - p_left, 1e-20),
+                          u / jnp.maximum(p_left, 1e-20))
+            x = x + go_right.astype(jnp.int32)
+            top = jnp.where(go_right, c01, c00)
+            bot = jnp.where(go_right, c11, c10)
+            p_top = top / jnp.maximum(top + bot, 1e-20)
+            go_bot = v >= p_top
+            v = jnp.where(go_bot,
+                          (v - p_top) / jnp.maximum(1.0 - p_top, 1e-20),
+                          v / jnp.maximum(p_top, 1e-20))
+            y = y + go_bot.astype(jnp.int32)
+        u = jnp.clip(u, 0.0, 1.0 - 2 ** -24)
+        v = jnp.clip(v, 0.0, 1.0 - 2 ** -24)
+        h, w = self.size
+        uv = jnp.stack([
+            (x.astype(jnp.float32) + u) / w,
+            (y.astype(jnp.float32) + v) / h,
+        ], axis=-1)
+        pdf = self.pdf(uv)
+        return uv, pdf
+
+    def pdf(self, uv):
+        """Density per unit area of the ORIGINAL [0,1]^2 domain."""
+        h, w = self.size
+        lvl = self.levels[0]
+        x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        total = self.levels[-1][0, 0]
+        return lvl[y, x] / jnp.maximum(total, 1e-20) * (h * w)

@@ -58,6 +58,7 @@ class Scene:
     scene_center: jnp.ndarray     # (3,)
     scene_radius: jnp.ndarray     # ()
     scene_medium: object = None   # scene-wide participating medium
+    scene_sdf: object = None      # optional SDFGrid shape (models/sdf.py)
     # static metadata
     shape_bsdf: tuple = static(())      # per-shape bsdf index
     shape_emitter: tuple = static(())   # per-shape emitter index (-1)
@@ -216,8 +217,42 @@ class Scene:
         (scene.cpp:181 → shape compute_surface_interaction)."""
         if ctx is None:
             ctx = self.trace_ctx()
-        return self.compute_si(
+        si = self.compute_si(
             self.ray_intersect_preliminary(ray, active, ctx), ray, ctx
+        )
+        if self.scene_sdf is not None:
+            si = self._merge_sdf_si(si, ray, active)
+        return si
+
+    def _merge_sdf_si(self, si, ray: Ray, active):
+        """Closest-hit merge with the scene's SDF shape (sdfgrid.cpp
+        compute_surface_interaction; virtual shape slot = len(meshes))."""
+        from ..core.math import Frame, normalize
+
+        sdf = self.scene_sdf
+        ray_d = jax.lax.stop_gradient(ray)
+        act = active if active is not None else jnp.ones(
+            ray.o.shape[:-1], bool)
+        t_sdf, hit = sdf.ray_intersect(ray_d.o, ray_d.d, ray_d.maxt, act)
+        closer = hit & (t_sdf < si.t)
+        x_det = ray_d.o + ray_d.d * t_sdf[:, None]
+        p = sdf.attach_point(x_det, ray_d.d)
+        n = normalize(sdf.grad(jax.lax.stop_gradient(x_det)))
+        s, tt, _ = Frame.from_normal(n)
+        wi = Frame.to_local((s, tt, n), -ray.d)
+        t_att = jnp.sum((p - ray.o) * ray.d, axis=-1)
+        n_lane = si.t.shape[0]
+        si_sdf = SurfaceInteraction(
+            t=t_att, p=p, n=n, sh_n=n, sh_s=s, sh_t=tt,
+            uv=jnp.zeros((n_lane, 2)), wi=wi,
+            shape_index=jnp.full((n_lane,), len(self.meshes), jnp.int32),
+            prim_index=jnp.zeros((n_lane,), jnp.int32),
+            wavelengths=ray.wavelengths, time=ray.time,
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                closer.reshape(closer.shape + (1,) * (a.ndim - 1)), a, b),
+            si_sdf, si,
         )
 
     def ray_test(self, ray: Ray, active=None, ctx=None):
@@ -241,6 +276,13 @@ class Scene:
             hit = ray_test_brute(vd, f, ray, active)
         if active is not None:
             hit = hit & active
+        if self.scene_sdf is not None:
+            ray_d = jax.lax.stop_gradient(ray)
+            _, sdf_hit = self.scene_sdf.ray_intersect(
+                ray_d.o, ray_d.d, ray_d.maxt,
+                active if active is not None
+                else jnp.ones(ray.o.shape[:-1], bool))
+            hit = hit | sdf_hit
         return hit
 
     # ------------------------------------------------------ BSDF dispatch
@@ -458,7 +500,7 @@ class Scene:
 # ------------------------------------------------------------------ build
 
 def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
-               integrator=None, medium=None):
+               integrator=None, medium=None, sdf=None):
     """Assemble a Scene (reference Scene ctor, scene.cpp:22-96).
 
     - ``meshes``: list[Mesh]; each mesh's static ``bsdf_index`` /
@@ -470,8 +512,21 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
     bsdfs = tuple(bsdfs)
     emitters = tuple(emitters)
 
+    if not meshes:
+        # SDF-only scenes: keep the triangle pipeline alive with one
+        # degenerate (zero-area, never-hit) placeholder face
+        from .shapes import Mesh
+
+        meshes = (Mesh.make(np.zeros((3, 3), np.float32),
+                            np.asarray([[0, 1, 2]], np.int32),
+                            bsdf_index=0, id="__placeholder__"),)
+
     shape_bsdf = tuple(int(m.bsdf_index) for m in meshes)
     shape_emitter = tuple(int(m.emitter_index) for m in meshes)
+    if sdf is not None:
+        # virtual shape slot for the SDF (index len(meshes))
+        shape_bsdf = shape_bsdf + (int(sdf.bsdf_index),)
+        shape_emitter = shape_emitter + (-1,)
     emitter_shape = []
     for ei in range(len(emitters)):
         owner = -1
@@ -482,9 +537,14 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         emitter_shape.append(owner)
     emitter_shape = tuple(emitter_shape)
 
-    # scene bounding sphere (host)
-    if meshes:
-        all_v = np.concatenate([np.asarray(m.vertices) for m in meshes])
+    # scene bounding sphere (host; includes the SDF bbox corners)
+    pts = [np.asarray(m.vertices) for m in meshes]
+    if sdf is not None:
+        lo = np.asarray(jax.lax.stop_gradient(sdf.bbox_min))
+        hi = np.asarray(jax.lax.stop_gradient(sdf.bbox_max))
+        pts.append(np.stack([lo, hi]))
+    if pts:
+        all_v = np.concatenate(pts)
         center = all_v.mean(axis=0)
         radius = float(np.max(np.linalg.norm(all_v - center, axis=1)))
         radius = max(radius, 1e-3)
@@ -553,4 +613,5 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         use_bvh=bool(use_bvh),
         integrator=integrator,
         scene_medium=medium,
+        scene_sdf=sdf,
     )

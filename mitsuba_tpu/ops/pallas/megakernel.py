@@ -116,6 +116,8 @@ def megakernel_applicable(scene) -> bool:
 
     if scene.env_index >= 0 or scene.scene_medium is not None:
         return False
+    if getattr(scene, "scene_sdf", None) is not None:
+        return False
     if len(scene.emitters) != 1:
         return False
     e = scene.emitters[0]

@@ -64,7 +64,7 @@ SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
                 "distant"}
 INTEGRATOR_TYPES = {"path", "direct", "depth", "prb", "prb_basic", "aov",
                     "moment", "ptracer", "volpath", "prbvolpath",
-                    "prb_projective", "direct_projective"}
+                    "prb_projective", "direct_projective", "volpathmis"}
 
 
 def _to_world(val):
@@ -562,6 +562,16 @@ def _make_integrator(d):
         nested_d = d.get("integrator")
         nested = _make_integrator(nested_d) if nested_d else None
         return AOVIntegrator(aovs=parsed, nested=nested)
+    if t == "volpathmis":
+        # volpathmis: our volpath already performs the spectral/channel
+        # MIS for distance sampling (volpathmis.cpp) — same estimator
+        from ..models.integrators import VolPathIntegrator
+
+        return VolPathIntegrator(
+            max_depth=int(d.get("max_depth", 8)),
+            rr_depth=int(d.get("rr_depth", 6)),
+            hide_emitters=bool(d.get("hide_emitters", False)),
+        )
     if t == "volpath":
         from ..models.integrators import VolPathIntegrator
 
@@ -618,6 +628,7 @@ def load_dict(scene_dict: dict, use_bvh=None):
     sensor = None
     integrator = None
     medium = None
+    sdf = None
 
     def bsdf_index_of(b):
         """Resolve an inline bsdf dict or a ref to an index in bsdfs."""
@@ -743,6 +754,17 @@ def load_dict(scene_dict: dict, use_bvh=None):
                 ))
             else:
                 raise ValueError(f"unsupported emitter plugin {t!r}")
+        elif t == "sdfgrid":
+            from ..models.sdf import SDFGrid
+
+            sdf = SDFGrid(
+                values=jnp.asarray(val["data"], jnp.float32),
+                bbox_min=jnp.asarray(val.get("bbox_min", [-1, -1, -1]),
+                                     jnp.float32),
+                bbox_max=jnp.asarray(val.get("bbox_max", [1, 1, 1]),
+                                     jnp.float32),
+                bsdf_index=bsdf_index_of(val.get("bsdf")),
+            )
         elif t in ("homogeneous", "heterogeneous"):
             medium = _make_medium(val)
         elif t in SENSOR_TYPES:
@@ -755,7 +777,7 @@ def load_dict(scene_dict: dict, use_bvh=None):
     if sensor is None:
         sensor = PerspectiveCamera(to_world=jnp.eye(4))
     return make_scene(meshes, bsdfs, emitters, sensor, use_bvh=use_bvh,
-                      integrator=integrator, medium=medium)
+                      integrator=integrator, medium=medium, sdf=sdf)
 
 
 def _make_phase(d):

@@ -324,3 +324,51 @@ def test_debug_textures():
     s = StarTexture(color0=jnp.zeros(3), color1=jnp.ones(3))
     out = np.asarray(s.eval(SI()))
     assert np.isfinite(out).all()
+
+
+# ----------------------------------------------- hierarchical2d / tonemap
+
+def test_hierarchical2d_matches_marginal():
+    from mitsuba_tpu.core.distr2d import Hierarchical2D, Marginal2D
+
+    rng_np = np.random.default_rng(0)
+    table = jnp.asarray(rng_np.random((8, 16)).astype(np.float32) + 0.05)
+    h2 = Hierarchical2D.create(table)
+    n = 200000
+    u = rng.sample_2d(11, jnp.arange(n), 0)
+    uv, pdf = h2.sample(u)
+    # pdf consistency: E[1/pdf] over samples == domain area == 1
+    inv = 1.0 / np.maximum(np.asarray(pdf), 1e-12)
+    assert abs(inv.mean() - 1.0) < 0.01
+    # histogram matches the table distribution
+    hist, _, _ = np.histogram2d(
+        np.asarray(uv[:, 1]), np.asarray(uv[:, 0]),
+        bins=(8, 16), range=((0, 1), (0, 1)))
+    expect = np.asarray(table) / np.asarray(table).sum()
+    got = hist / n
+    assert np.abs(got - expect).max() < 0.003
+    # pdf agrees with Marginal2D's normalized table density
+    m2 = Marginal2D.create(table)
+    pm = np.asarray(m2.pdf(uv)) if hasattr(m2, "pdf") else None
+    if pm is not None:
+        np.testing.assert_allclose(np.asarray(pdf), pm, rtol=1e-4)
+
+
+def test_tonemap():
+    from mitsuba_tpu.utils.tonemap import linear_to_srgb, tonemap
+
+    img = jnp.asarray(np.linspace(0, 4, 48).reshape(4, 4, 3),
+                      jnp.float32)
+    out = tonemap(img, mode="reinhard")
+    o = np.asarray(out)
+    assert o.shape == img.shape and (o >= 0).all() and (o <= 1).all()
+    u8 = tonemap(img, mode="linear", to_uint8=True)
+    assert u8.dtype == np.uint8
+    assert abs(float(linear_to_srgb(jnp.asarray(0.5))) - 0.7354) < 1e-3
+
+
+def test_sys_info():
+    from mitsuba_tpu.utils.sys_info import sys_info
+
+    s = sys_info()
+    assert "jax" in s and "backend" in s
