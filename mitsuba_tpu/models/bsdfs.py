@@ -1375,3 +1375,316 @@ class PPlastic:
 
     def pdf(self, si, wo, active):
         return self.eval_pdf(si, wo, active)[1]
+
+
+# ------------------------------------------------------------------- hair
+
+def _bessel_i0(x):
+    """Modified Bessel I0 via its power series (10 terms; x kept small by
+    the log-space branch below)."""
+    out = 0.0
+    x2i = 1.0
+    ifact = 1.0
+    for i in range(10):
+        if i > 0:
+            ifact = ifact * i
+        out = out + x2i / (ifact * ifact)
+        x2i = x2i * 0.25 * x * x
+    return out
+
+
+def _log_bessel_i0(x):
+    big = x > 12.0
+    xs = jnp.where(big, 1.0, x)
+    small = jnp.log(_bessel_i0(xs))
+    xb = jnp.where(big, x, 12.0)
+    large = xb + 0.5 * (-jnp.log(2.0 * jnp.pi) + jnp.log(1.0 / xb)
+                        + 1.0 / (8.0 * xb))
+    return jnp.where(big, large, small)
+
+
+def _hair_mp(cos_i, cos_o, sin_i, sin_o, v):
+    """Longitudinal scattering (d'Eon et al.; hair.cpp Mp)."""
+    a = cos_i * cos_o / v
+    b = sin_i * sin_o / v
+    small = v <= 0.1
+    mp_small = jnp.exp(
+        _log_bessel_i0(a) - b - 1.0 / v + 0.6931
+        + jnp.log(1.0 / (2.0 * v)))
+    sinh = jnp.sinh(1.0 / jnp.maximum(v, 0.02))
+    mp_big = (jnp.exp(-b) * _bessel_i0(jnp.minimum(a, 11.0))
+              / (2.0 * v * sinh))
+    return jnp.where(small, mp_small, mp_big)
+
+
+def _trimmed_logistic(x, s):
+    """Normalized logistic on [-pi, pi] (hair.cpp TrimmedLogistic)."""
+    norm = 1.0 / (1.0 / (1.0 + jnp.exp(-jnp.pi / s))
+                  - 1.0 / (1.0 + jnp.exp(jnp.pi / s)))
+    e = jnp.exp(-jnp.abs(x) / s)
+    return e / (s * (1.0 + e) ** 2) * norm
+
+
+def _sample_trimmed_logistic(u, s):
+    k = 1.0 / (1.0 + jnp.exp(-jnp.pi / s)) - 1.0 / (1.0 + jnp.exp(jnp.pi / s))
+    denom = 1.0 / (1.0 + jnp.exp(jnp.pi / s)) + u * k
+    x = -s * jnp.log(1.0 / jnp.maximum(denom, 1e-12) - 1.0)
+    return jnp.clip(x, -jnp.pi, jnp.pi)
+
+
+def _wrap_phi(phi):
+    return phi - 2.0 * jnp.pi * jnp.round(phi / (2.0 * jnp.pi))
+
+
+@pytree
+class HairBSDF:
+    """Hair fiber scattering (src/bsdfs/hair.cpp, 793 LoC — the Chiang
+    et al. 2016 model): longitudinal von-Mises-like lobes M_p, azimuthal
+    trimmed-logistic lobes N_p for p = R, TT, TRT + a residual lobe,
+    dielectric cuticle with tilt ``alpha`` and interior absorption
+    ``sigma_a``.  Local-frame convention: the fiber axis is +x of the
+    shading frame (sinTheta = direction.x), azimuth in the (y, z) plane;
+    ``h`` in [-1, 1] is the across-fiber offset derived from si.uv.x
+    (the tube parameterization of the curve shapes)."""
+
+    sigma_a: jnp.ndarray           # (3,) absorption per unit length
+    beta_m: jnp.ndarray = None     # () longitudinal roughness [0,1]
+    beta_n: jnp.ndarray = None     # () azimuthal roughness [0,1]
+    alpha: jnp.ndarray = None      # () cuticle tilt (degrees)
+    eta: jnp.ndarray = None        # ()
+    id: str = static("hair")
+
+    flags = Flags.GlossyReflection | Flags.GlossyTransmission
+
+    def __post_init__(self):
+        if self.beta_m is None:
+            object.__setattr__(self, "beta_m", jnp.asarray(0.3))
+        if self.beta_n is None:
+            object.__setattr__(self, "beta_n", jnp.asarray(0.3))
+        if self.alpha is None:
+            object.__setattr__(self, "alpha", jnp.asarray(2.0))
+        if self.eta is None:
+            object.__setattr__(self, "eta", jnp.asarray(1.55))
+
+    def _v(self):
+        bm = jnp.clip(self.beta_m, 0.05, 1.0)
+        v0 = (0.726 * bm + 0.812 * bm ** 2 + 3.7 * bm ** 20) ** 2
+        return (v0, 0.25 * v0, 4.0 * v0, 4.0 * v0)
+
+    def _s(self):
+        bn = jnp.clip(self.beta_n, 0.05, 1.0)
+        return 0.626657069 * (0.265 * bn + 1.194 * bn ** 2
+                              + 5.372 * bn ** 22)
+
+    def _angles(self, w):
+        sin_t = jnp.clip(w[..., 0], -1.0, 1.0)
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin_t ** 2, 1e-9))
+        phi = jnp.arctan2(w[..., 2], w[..., 1])
+        return sin_t, cos_t, phi
+
+    def _common(self, si, wo):
+        """Per-lane quantities shared by eval/pdf/sample weight."""
+        sin_i, cos_i, phi_i = self._angles(si.wi)
+        sin_o, cos_o, phi_o = self._angles(wo)
+        h = jnp.clip(jnp.sin(2.0 * jnp.pi * si.uv[..., 0]), -0.999, 0.999)
+        eta = self.eta
+        sin_tt = sin_i / eta
+        cos_tt = jnp.sqrt(jnp.maximum(1.0 - sin_tt ** 2, 1e-9))
+        etap = jnp.sqrt(jnp.maximum(eta ** 2 - sin_i ** 2, 1e-9)) / cos_i
+        sin_gt = h / etap
+        cos_gt = jnp.sqrt(jnp.maximum(1.0 - sin_gt ** 2, 1e-9))
+        gamma_o = jnp.arcsin(h)
+        gamma_t = jnp.arcsin(jnp.clip(sin_gt, -1.0, 1.0))
+        # attenuations
+        f0, *_ = fresnel_dielectric(cos_i * jnp.sqrt(
+            jnp.maximum(1.0 - h ** 2, 1e-9)), eta)
+        T = jnp.exp(-self.sigma_a[None, :]
+                    * (2.0 * cos_gt / cos_tt)[..., None])
+        a0 = jnp.broadcast_to(f0[..., None], T.shape)
+        a1 = (1.0 - f0[..., None]) ** 2 * T
+        a2 = a1 * T * f0[..., None]
+        a3 = a2 * T * f0[..., None] / jnp.maximum(
+            1.0 - T * f0[..., None], 1e-4)
+        ap = (a0, a1, a2, a3)
+        phi = phi_o - phi_i
+        return (sin_i, cos_i, sin_o, cos_o, phi, gamma_o, gamma_t, ap)
+
+    def _tilted(self, sin_i, cos_i, p):
+        """Cuticle-tilt adjusted incident angles for lobe p."""
+        import numpy as np
+
+        a = jnp.deg2rad(self.alpha)
+        s1, c1 = jnp.sin(a), jnp.cos(a)
+        s2 = 2.0 * c1 * s1
+        c2 = c1 * c1 - s1 * s1
+        s4 = 2.0 * c2 * s2
+        c4 = c2 * c2 - s2 * s2
+        if p == 0:
+            return sin_i * c2 - cos_i * s2, jnp.abs(
+                cos_i * c2 + sin_i * s2)
+        if p == 1:
+            return sin_i * c1 + cos_i * s1, jnp.abs(
+                cos_i * c1 - sin_i * s1)
+        if p == 2:
+            return sin_i * c4 + cos_i * s4, jnp.abs(
+                cos_i * c4 - sin_i * s4)
+        return sin_i, cos_i
+
+    def eval_pdf(self, si, wo, active):
+        (sin_i, cos_i, sin_o, cos_o, phi, gamma_o, gamma_t,
+         ap) = self._common(si, wo)
+        v = self._v()
+        s = self._s()
+        ap_lum = [jnp.mean(a, -1) for a in ap]
+        total = jnp.maximum(sum(ap_lum), 1e-12)
+        val = 0.0
+        pdf = 0.0
+        for p in range(4):
+            sin_ip, cos_ip = self._tilted(sin_i, cos_i, p)
+            mp = _hair_mp(cos_ip, cos_o, sin_ip, sin_o, v[p])
+            if p < 3:
+                dphi = _wrap_phi(
+                    phi - (2.0 * p * gamma_t - 2.0 * gamma_o + p * jnp.pi))
+                np_ = _trimmed_logistic(dphi, s) 
+            else:
+                np_ = jnp.full_like(phi, 1.0 / (2.0 * jnp.pi))
+            val = val + mp[..., None] * ap[p] * np_[..., None]
+            pdf = pdf + mp * (ap_lum[p] / total) * np_
+        ok = active
+        return (jnp.where(ok[..., None], val, 0.0),
+                jnp.where(ok, jnp.maximum(pdf, 0.0), 0.0))
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]
+
+    def sample(self, si, sample1, sample2, active):
+        (sin_i, cos_i, _, _, _, gamma_o, gamma_t,
+         ap) = self._common(si, si.wi)
+        v = self._v()
+        s = self._s()
+        ap_lum = [jnp.mean(a, -1) for a in ap]
+        total = jnp.maximum(sum(ap_lum), 1e-12)
+        # lobe selection by attenuation mass
+        c0 = ap_lum[0] / total
+        c1 = c0 + ap_lum[1] / total
+        c2 = c1 + ap_lum[2] / total
+        p_sel = (jnp.where(sample1 < c0, 0,
+                 jnp.where(sample1 < c1, 1,
+                           jnp.where(sample1 < c2, 2, 3)))
+                 .astype(jnp.int32))
+        # extra decorrelated uniforms from the two provided
+        u0 = jnp.clip(sample2[..., 0], 1e-5, 1.0 - 1e-5)
+        u1 = sample2[..., 1]
+        u2 = jnp.clip((sample1 * 4096.0) % 1.0, 1e-5, 1.0 - 1e-5)
+        wo = 0.0
+        for p in range(4):
+            sin_ip, cos_ip = self._tilted(sin_i, cos_i, p)
+            vv = v[p]
+            cos_th = 1.0 + vv * jnp.log(
+                u0 + (1.0 - u0) * jnp.exp(-2.0 / vv))
+            sin_th = jnp.sqrt(jnp.maximum(1.0 - cos_th ** 2, 0.0))
+            cos_ph = jnp.cos(2.0 * jnp.pi * u2)
+            sin_o = -cos_th * sin_ip + sin_th * cos_ph * cos_ip
+            cos_o = jnp.sqrt(jnp.maximum(1.0 - sin_o ** 2, 1e-9))
+            if p < 3:
+                dphi = (2.0 * p * gamma_t - 2.0 * gamma_o + p * jnp.pi
+                        + _sample_trimmed_logistic(u1, s))
+            else:
+                dphi = 2.0 * jnp.pi * u1
+            _, _, phi_i = self._angles(si.wi)
+            phi_o = phi_i + dphi
+            wo_p = jnp.stack([
+                sin_o, cos_o * jnp.cos(phi_o), cos_o * jnp.sin(phi_o),
+            ], axis=-1)
+            wo = jnp.where((p_sel == p)[..., None], wo_p, wo)
+        val, pdf = self.eval_pdf(si, wo, active)
+        ok = active & (pdf > 1e-9)
+        w = jnp.where(ok[..., None],
+                      val / jnp.maximum(pdf, 1e-9)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones(pdf.shape),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.full(pdf.shape, Flags.GlossyReflection,
+                                  jnp.int32),
+        )
+        return bs, w
+
+
+@pytree
+class MeasuredBSDF:
+    """Data-driven isotropic BRDF from a (n_ti, n_to, n_pd) table
+    (src/bsdfs/measured.cpp, 503 LoC — the Dupuy-Jakob representation;
+    here the table is supplied directly as arrays of f_r values over
+    (theta_i, theta_o, phi_diff), trilinearly interpolated, with
+    cosine-hemisphere sampling).  Loading the binary .bsdf container is
+    file-format work layered on top of this plugin."""
+
+    data: jnp.ndarray   # (n_ti, n_to, n_pd, 3) BRDF values
+    id: str = static("measured")
+
+    flags = Flags.GlossyReflection
+
+    def _lookup(self, si, wo):
+        nti, nto, npd = (self.data.shape[0], self.data.shape[1],
+                         self.data.shape[2])
+        cos_i = jnp.clip(Frame.cos_theta(si.wi), 1e-6, 1.0)
+        cos_o = jnp.clip(Frame.cos_theta(wo), 1e-6, 1.0)
+        ti = jnp.arccos(cos_i) / (0.5 * jnp.pi)
+        to = jnp.arccos(cos_o) / (0.5 * jnp.pi)
+        pd = jnp.abs(_wrap_phi(
+            jnp.arctan2(wo[..., 1], wo[..., 0])
+            - jnp.arctan2(si.wi[..., 1], si.wi[..., 0]))) / jnp.pi
+
+        def tri(t, n):
+            g = jnp.clip(t * (n - 1), 0.0, n - 1 - 1e-6)
+            i = g.astype(jnp.int32)
+            return i, g - i
+
+        i0, f0 = tri(ti, nti)
+        i1, f1 = tri(to, nto)
+        i2, f2 = tri(pd, npd)
+        out = 0.0
+        for d0 in (0, 1):
+            for d1 in (0, 1):
+                for d2 in (0, 1):
+                    w = (jnp.where(d0, f0, 1 - f0)
+                         * jnp.where(d1, f1, 1 - f1)
+                         * jnp.where(d2, f2, 1 - f2))
+                    out = out + w[..., None] * self.data[
+                        jnp.minimum(i0 + d0, nti - 1),
+                        jnp.minimum(i1 + d1, nto - 1),
+                        jnp.minimum(i2 + d2, npd - 1)]
+        return out
+
+    def eval_pdf(self, si, wo, active):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
+        val = self._lookup(si, wo) * jnp.maximum(cos_o, 0.0)[..., None]
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+        return (jnp.where(ok[..., None], val, 0.0), jnp.where(ok, pdf, 0.0))
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]
+
+    def sample(self, si, sample1, sample2, active):
+        wo = warp.square_to_cosine_hemisphere(sample2)
+        val, pdf = self.eval_pdf(si, wo, active)
+        ok = active & (pdf > 0.0)
+        w = jnp.where(ok[..., None],
+                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones(pdf.shape),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.full(pdf.shape, Flags.GlossyReflection,
+                                  jnp.int32),
+        )
+        return bs, w

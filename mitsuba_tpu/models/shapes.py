@@ -299,3 +299,100 @@ def instance_meshes(mesh, transforms):
             id=f"{mesh.id}_inst{k}",
         ))
     return out
+
+
+def _sweep_tube(centers, radii, n_seg, to_world=None):
+    """Sweep a circular cross-section along a polyline with smooth
+    normals and parallel-transported frames (shared tube builder for the
+    curve shapes)."""
+    centers = np.asarray(centers, np.float32)
+    radii = np.broadcast_to(np.asarray(radii, np.float32),
+                            (centers.shape[0],))
+    k = centers.shape[0]
+    assert k >= 2
+    # tangents (central differences) + parallel-transported frame
+    tang = np.zeros_like(centers)
+    tang[0] = centers[1] - centers[0]
+    tang[-1] = centers[-1] - centers[-2]
+    tang[1:-1] = centers[2:] - centers[:-2]
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
+    h = np.array([1.0, 0, 0]) if abs(tang[0][0]) < 0.9 else \
+        np.array([0, 1.0, 0])
+    s = np.cross(tang[0], h)
+    s /= np.linalg.norm(s)
+    frames = [(s, np.cross(tang[0], s))]
+    for i in range(1, k):
+        s_prev = frames[-1][0]
+        s_i = s_prev - tang[i] * np.dot(tang[i], s_prev)
+        nrm = np.linalg.norm(s_i)
+        if nrm < 1e-8:
+            hh = np.array([1.0, 0, 0]) if abs(tang[i][0]) < 0.9 else \
+                np.array([0, 1.0, 0])
+            s_i = np.cross(tang[i], hh)
+            nrm = np.linalg.norm(s_i)
+        s_i /= nrm
+        frames.append((s_i, np.cross(tang[i], s_i)))
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    vs, ns, uvs = [], [], []
+    for i in range(k):
+        s_i, t_i = frames[i]
+        ring_n = (np.outer(np.cos(ang), s_i) + np.outer(np.sin(ang), t_i))
+        vs.append(centers[i][None] + ring_n * radii[i])
+        ns.append(ring_n)
+        uvs.append(np.stack([ang / (2 * np.pi),
+                             np.full(n_seg, i / (k - 1))], -1))
+    v = np.concatenate(vs).astype(np.float32)
+    n = np.concatenate(ns).astype(np.float32)
+    uv = np.concatenate(uvs).astype(np.float32)
+    f = []
+    for i in range(k - 1):
+        for a in range(n_seg):
+            b = (a + 1) % n_seg
+            i0, i1 = i * n_seg + a, i * n_seg + b
+            j0, j1 = (i + 1) * n_seg + a, (i + 1) * n_seg + b
+            f.append([i0, j0, j1])
+            f.append([i0, j1, i1])
+    f = np.asarray(f, np.int32)
+    return _apply_to_world(v, f, n, uv, to_world)
+
+
+def linear_curve_mesh(control_points, radii, n_seg: int = 8,
+                      to_world=None):
+    """Linear curve segments swept into a tube
+    (src/shapes/linearcurve.cpp — the reference ray-traces the swept
+    surface analytically; here the static tessellation IS the shape,
+    which the triangle pipeline then traces)."""
+    return _sweep_tube(control_points, radii, n_seg, to_world)
+
+
+def bspline_curve_mesh(control_points, radii, n_seg: int = 8,
+                       subdiv: int = 4, to_world=None):
+    """Cubic B-spline curve swept into a tube
+    (src/shapes/bsplinecurve.cpp): uniform cubic B-spline evaluated at
+    ``subdiv`` points per span (positions AND radii), then tessellated.
+    Endpoints are clamped by repeating the first/last control point."""
+    cp = np.asarray(control_points, np.float32)
+    r = np.broadcast_to(np.asarray(radii, np.float32), (cp.shape[0],))
+    cp = np.concatenate([cp[:1], cp, cp[-1:]])
+    r = np.concatenate([r[:1], r, r[-1:]])
+    k = cp.shape[0]
+    ts = np.linspace(0.0, 1.0, subdiv, endpoint=False)
+    pts, rads = [], []
+    for i in range(k - 3):
+        p = cp[i:i + 4]
+        rr = r[i:i + 4]
+        for t in ts:
+            b0 = (1 - t) ** 3 / 6.0
+            b1 = (3 * t ** 3 - 6 * t ** 2 + 4) / 6.0
+            b2 = (-3 * t ** 3 + 3 * t ** 2 + 3 * t + 1) / 6.0
+            b3 = t ** 3 / 6.0
+            w = np.array([b0, b1, b2, b3], np.float32)
+            pts.append(w @ p)
+            rads.append(float(w @ rr))
+    # close the curve end exactly
+    pts.append(cp[-2] / 6.0 + 2.0 / 3.0 * cp[-1] + cp[-1] / 6.0
+               - cp[-1] / 6.0 + cp[-2] * 0.0)
+    pts[-1] = (cp[-3] + 4.0 * cp[-2] + cp[-1]) / 6.0
+    rads.append(float((r[-3] + 4.0 * r[-2] + r[-1]) / 6.0))
+    return _sweep_tube(np.asarray(pts, np.float32),
+                       np.asarray(rads, np.float32), n_seg, to_world)

@@ -54,9 +54,9 @@ BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "thindielectric", "roughdielectric", "plastic", "roughplastic",
               "twosided", "mask", "null", "blendbsdf", "principled",
               "normalmap", "bumpmap", "dispersive_dielectric", "dispersive",
-              "principledthin", "pplastic"}
+              "principledthin", "pplastic", "hair", "measured"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
-               "ply", "mesh"}
+               "ply", "mesh", "linearcurve", "bsplinecurve"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
                  "directionalarea", "projector"}
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
@@ -323,6 +323,20 @@ def _make_bsdf(d):
             ext_ior_d=jnp.asarray(float(d.get("ext_ior", 1.000277))),
             ext_V_d=jnp.asarray(float(d.get("ext_V_d", 0.0))),
         )
+    if t == "hair":
+        from ..models.bsdfs import HairBSDF
+
+        return HairBSDF(
+            sigma_a=_spectrum(d.get("sigma_a"), jnp.full((3,), 0.06)),
+            beta_m=jnp.asarray(float(d.get("beta_m", 0.3))),
+            beta_n=jnp.asarray(float(d.get("beta_n", 0.3))),
+            alpha=jnp.asarray(float(d.get("alpha", 2.0))),
+            eta=jnp.asarray(_ior(d.get("int_ior"), 1.55)),
+        )
+    if t == "measured":
+        from ..models.bsdfs import MeasuredBSDF
+
+        return MeasuredBSDF(data=jnp.asarray(d["data"], jnp.float32))
     if t == "principledthin":
         from ..models.bsdfs import PrincipledThin
 
@@ -378,6 +392,19 @@ def _make_shape_mesh(d, bsdf_index, emitter_index):
             if d.get("face_normals", False):
                 n = None
         geo = (v, f, n, uv)
+    elif t == "linearcurve":
+        geo = shp.linear_curve_mesh(
+            np.asarray(d["control_points"], np.float32),
+            np.asarray(d.get("radius", 0.05), np.float32),
+            n_seg=int(d.get("n_seg", 8)), to_world=w,
+        )
+    elif t == "bsplinecurve":
+        geo = shp.bspline_curve_mesh(
+            np.asarray(d["control_points"], np.float32),
+            np.asarray(d.get("radius", 0.05), np.float32),
+            n_seg=int(d.get("n_seg", 8)),
+            subdiv=int(d.get("subdiv", 4)), to_world=w,
+        )
     elif t == "mesh":
         geo = (np.asarray(d["vertices"], np.float32),
                np.asarray(d["faces"], np.int32),
