@@ -9,7 +9,12 @@ render loop, integrator.cpp:247-330); each lane traces up to max_depth
 segments, so segment throughput is ~2-3x higher.
 """
 import json
+import os
 import time
+
+# persistent XLA/Mosaic cache: the megakernel's cold AOT compile over the
+# tunnel takes minutes; warm runs are seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp

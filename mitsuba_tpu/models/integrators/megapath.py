@@ -37,10 +37,14 @@ class MegakernelPathIntegrator:
             return PathIntegrator(
                 max_depth=self.max_depth, rr_depth=self.rr_depth
             ).sample(scene, ray, lane, seed, active)
+        from ...models.bsdfs import SmoothDiffuse
+
         tris, light, n_faces, n_lights = pack_scene(scene)
         interpret = jax.default_backend() != "tpu"
+        multi = any(not isinstance(b, SmoothDiffuse) for b in scene.bsdfs)
         return megakernel_trace(
             tris, light, lane, ray.o, ray.d, active, seed,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
-            n_faces=n_faces, n_lights=n_lights, interpret=interpret,
+            n_faces=n_faces, n_lights=n_lights, multi=multi,
+            interpret=interpret,
         )

@@ -62,7 +62,15 @@ SLOT_RR = 4
 # triangle table columns
 #   0:3 p0, 3:6 e1, 6:9 e2, 9:12 reflectance, 12:15 emission,
 #   15 is_light, 16 pdf_area (1/total light area)
-TRI_COLS = 17
+# triangle table columns:
+#   0:3 p0, 3:6 e1, 6:9 e2, 9:12 reflectance, 12:15 emission,
+#   15 is_light, 16 pdf_area, 17 bsdf_type (0 diffuse / 1 conductor /
+#   2 dielectric), 18:21 + 21:24 type params (conductor: eta, k rgb;
+#   dielectric: eta scalar in col 18)
+TRI_COLS = 24
+BSDF_DIFFUSE = 0.0
+BSDF_CONDUCTOR = 1.0
+BSDF_DIELECTRIC = 2.0
 # light table columns: 0:3 p0, 3:6 e1, 6:9 e2, 9:12 n, 12 cdf,
 #   13 pdf_area, 14:17 Le
 LIGHT_COLS = 17
@@ -109,8 +117,14 @@ def _rng1(seed_x, lane, dim):
 # ------------------------------------------------------------ scene packing
 
 def megakernel_applicable(scene) -> bool:
-    """True iff the scene is within this kernel's supported plugin set."""
-    from ...models.bsdfs import SmoothDiffuse
+    """True iff the scene is within this kernel's supported plugin set:
+    diffuse / smooth-conductor / smooth-dielectric surfaces (constant
+    parameters), one constant area light, no env/media/SDF."""
+    from ...models.bsdfs import (
+        SmoothConductor,
+        SmoothDielectric,
+        SmoothDiffuse,
+    )
     from ...models.emitters import AreaEmitter
     from ...models.textures import ConstantTexture
 
@@ -125,8 +139,17 @@ def megakernel_applicable(scene) -> bool:
             not isinstance(e.radiance, ConstantTexture):
         return False
     for b in scene.bsdfs:
-        if not isinstance(b, SmoothDiffuse) or \
-                not isinstance(b.reflectance, ConstantTexture):
+        if isinstance(b, SmoothDiffuse):
+            if not isinstance(b.reflectance, ConstantTexture):
+                return False
+        elif isinstance(b, SmoothConductor):
+            if b.specular_reflectance is not None:
+                return False
+        elif isinstance(b, SmoothDielectric):
+            if (b.specular_reflectance is not None
+                    or b.specular_transmittance is not None):
+                return False
+        else:
             return False
     if scene.emitter_shape[0] < 0:
         return False
@@ -161,9 +184,33 @@ def pack_scene(scene):
     p0 = v[f[:, 0]]
     e1 = v[f[:, 1]] - p0
     e2 = v[f[:, 2]] - p0
-    refl_tab = jnp.stack(
-        [jnp.asarray(b.reflectance.value, jnp.float32) for b in scene.bsdfs])
-    refl = refl_tab[jnp.asarray(bsdf_idx)]
+
+    # per-BSDF rows: [refl(3) | type(1) | params(6)]
+    from ...models.bsdfs import SmoothConductor, SmoothDielectric
+
+    rows = []
+    for b in scene.bsdfs:
+        if isinstance(b, SmoothConductor):
+            rows.append(jnp.concatenate([
+                jnp.zeros(3), jnp.asarray([BSDF_CONDUCTOR]),
+                jnp.asarray(b.eta, jnp.float32).reshape(3),
+                jnp.asarray(b.k, jnp.float32).reshape(3),
+            ]))
+        elif isinstance(b, SmoothDielectric):
+            rows.append(jnp.concatenate([
+                jnp.zeros(3), jnp.asarray([BSDF_DIELECTRIC]),
+                jnp.asarray(b.eta, jnp.float32).reshape(1), jnp.zeros(5),
+            ]))
+        else:
+            rows.append(jnp.concatenate([
+                jnp.asarray(b.reflectance.value, jnp.float32).reshape(3),
+                jnp.asarray([BSDF_DIFFUSE]), jnp.zeros(6),
+            ]))
+    bsdf_tab = jnp.stack(rows)                    # (n_bsdf, 10)
+    per_face = bsdf_tab[jnp.asarray(bsdf_idx)]    # (F, 10)
+    refl = per_face[:, 0:3]
+    btype = per_face[:, 3:4]
+    bparams = per_face[:, 4:10]
     le = jnp.asarray(scene.emitters[0].radiance.value, jnp.float32)
     is_light = jnp.asarray(is_light_np, jnp.float32)
     emission = is_light[:, None] * le[None, :]
@@ -176,6 +223,7 @@ def pack_scene(scene):
     tris = jnp.concatenate([
         p0, e1, e2, refl, emission,
         is_light[:, None], pdf_area[:, None],
+        btype, bparams,
     ], axis=1)
     tris = jnp.pad(tris, ((0, F_pad - F), (0, 0)))
 
@@ -264,7 +312,8 @@ def _tri_test(c, ox, oy, oz, dx, dy, dz, maxt):
 UNROLL = 4
 
 
-def _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz):
+def _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
+                 n_attr=TRI_COLS):
     """Loop over triangles carrying only (best_t, best_index) — two vregs,
     no spills; the winner's 17 attributes are resolved afterwards with a
     cheap masked-accumulate loop.  The table's zero rows (padding) have
@@ -295,8 +344,9 @@ def _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz):
         )
 
     z = jnp.zeros(shape, jnp.float32)
-    attrs = jax.lax.fori_loop(0, n_faces, resolve, (z,) * TRI_COLS)
-    return (bt,) + attrs
+    attrs = jax.lax.fori_loop(0, n_faces, resolve, (z,) * n_attr)
+    # pad unresolved columns with zeros so callers unpack uniformly
+    return (bt,) + attrs + (z,) * (TRI_COLS - n_attr)
 
 
 def _any_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz, maxt):
@@ -323,7 +373,8 @@ def _mis(pa, pb):
     return jnp.where(pa > 0.0, w, 0.0)
 
 
-def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
+def _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
+               multi):
 
     def kernel(tris_ref, light_ref, lane_ref, seed_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
@@ -340,22 +391,34 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
         Br = jnp.ones_like(ox)
         Bg = jnp.ones_like(ox)
         Bb = jnp.ones_like(ox)
+        eta_acc = jnp.ones_like(ox)
         prev_pdf = jnp.ones_like(ox)
-        prev_delta = jnp.ones_like(ox) > 0.0
+        # prev_delta carried as f32 0/1 (Mosaic mislays i1 in selects)
+        prev_delta = jnp.ones_like(ox)
 
         for depth in range(max_depth):
             dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
-            hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz)
+            hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
+                               TRI_COLS if multi else 17)
             (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
-             Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA) = hit
+             Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA,
+             Btype, C0, C1, C2, C3, C4, C5) = hit
             valid = jnp.isfinite(t) & act
+            if multi:
+                is_diff = Btype < 0.5
+                is_cond = (Btype >= 0.5) & (Btype < 1.5)
+                is_diel = Btype >= 1.5
+            else:
+                is_diff = jnp.ones_like(act)
+                is_cond = is_diel = jnp.zeros_like(act)
 
             px = ox + dx * t
             py = oy + dy * t
             pz = oz + dz * t
             ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
             ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
-            # one-sided diffuse/area conventions: front iff -d.n > 0
+            # one-sided diffuse/conductor conventions: front iff -d.n > 0;
+            # dielectrics are two-sided (glass interiors)
             cos_wi = -(dx * ngx + dy * ngy + dz * ngz)
             front = cos_wi > 0.0
 
@@ -364,13 +427,18 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
             pdf_hit = jnp.where(
                 cos_wi > 1e-6,
                 PdfA * dist2 / jnp.maximum(cos_wi, 1e-6), 0.0)
-            m_h = jnp.where(prev_delta, 1.0, _mis(prev_pdf, pdf_hit))
+            m_h = jnp.where(prev_delta > 0.5, 1.0,
+                            _mis(prev_pdf, pdf_hit))
             wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
             Lr = Lr + Br * Er * wgt
             Lg = Lg + Bg * Eg * wgt
             Lb = Lb + Bb * Eb * wgt
 
-            act_next = valid & front & (depth + 1 < max_depth)
+            if multi:
+                act_next = (valid & (front | is_diel)
+                            & (depth + 1 < max_depth))
+            else:
+                act_next = valid & front & (depth + 1 < max_depth)
 
             # spawn-ray offset scale (records.py spawn_ray)
             off = RAY_EPS * jnp.maximum(
@@ -412,7 +480,12 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
                 cos_l > 1e-6,
                 lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
             cos_s = sdx * ngx + sdy * ngy + sdz * ngz
+            # NEE only pays off diffuse vertices (delta BSDFs eval to 0,
+            # path.py:99 bsdf_eval_pdf); samples are drawn regardless so
+            # the dimension layout matches the wavefront path
             ok_nee = act_next & (pdf_nee > 0.0) & (cos_s > 0.0)
+            if multi:
+                ok_nee = ok_nee & is_diff & front
             sgn_s = jnp.where(cos_s >= 0.0, 1.0, -1.0)
             occ = _any_hit(
                 tris_ref, n_faces,
@@ -430,32 +503,120 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
             Lg = Lg + Bg * Rg * contrib * Leg
             Lb = Lb + Bb * Rb * contrib * Leb
 
-            # ---- cosine BSDF sampling (bsdfs.py SmoothDiffuse) ----
+            # ---- BSDF sampling (diffuse / conductor / dielectric) ----
+            if multi:
+                u_lobe = _rng1(seed_x, lane, dbase + SLOT_BSDF_LOBE)
             ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
+
+            # diffuse: cosine hemisphere (SmoothDiffuse.sample)
             dxl, dyl = _concentric_disk(ub1, ub2)
             dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
             sx, sy, sz, tx, ty, tz = _frame(ngx, ngy, ngz)
-            ndx = sx * dxl + tx * dyl + ngx * dzl
-            ndy = sy * dxl + ty * dyl + ngy * dzl
-            ndz = sz * dxl + tz * dyl + ngz * dzl
-            pdf_b = INV_PI * dzl
-            Br = jnp.where(act_next, Br * Rr, Br)
-            Bg = jnp.where(act_next, Bg * Rg, Bg)
-            Bb = jnp.where(act_next, Bb * Rb, Bb)
+            ddx = sx * dxl + tx * dyl + ngx * dzl
+            ddy = sy * dxl + ty * dyl + ngy * dzl
+            ddz = sz * dxl + tz * dyl + ngz * dzl
+            pdf_diff = INV_PI * dzl
+
+            if multi:
+                # mirror direction (conductor + dielectric-reflect)
+                rx = dx + 2.0 * cos_wi * ngx
+                ry = dy + 2.0 * cos_wi * ngy
+                rz = dz + 2.0 * cos_wi * ngz
+
+                # conductor Fresnel per channel (core/fresnel.py)
+                def fr_cond(c, e, k):
+                    c2 = c * c
+                    s2 = 1.0 - c2
+                    e2 = e * e
+                    k2 = k * k
+                    t0 = e2 - k2 - s2
+                    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+                    t1 = a2b2 + c2
+                    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+                    t2 = 2.0 * a * jnp.abs(c)
+                    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+                    t3 = c2 * a2b2 + s2 * s2
+                    t4 = t2 * s2
+                    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+                    return 0.5 * (rp + rs)
+
+                Fc_r = fr_cond(cos_wi, C0, C3)
+                Fc_g = fr_cond(cos_wi, C1, C4)
+                Fc_b = fr_cond(cos_wi, C2, C5)
+
+                # dielectric Fresnel with signed cosine (fresnel_dielectric)
+                eta_rel = jnp.maximum(C0, 1e-3)
+                outside = cos_wi >= 0.0
+                eta_it = jnp.where(outside, eta_rel, 1.0 / eta_rel)
+                eta_ti = jnp.where(outside, 1.0 / eta_rel, eta_rel)
+                cti = jnp.abs(cos_wi)
+                sin2_t = eta_ti * eta_ti * jnp.maximum(1.0 - cti * cti, 0.0)
+                tir = sin2_t >= 1.0
+                ctt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                frs = (cti - eta_it * ctt) / jnp.maximum(
+                    cti + eta_it * ctt, 1e-20)
+                frp = (eta_it * cti - ctt) / jnp.maximum(
+                    eta_it * cti + ctt, 1e-20)
+                Fd = 0.5 * (frs * frs + frp * frp)
+                Fd = jnp.where(tir, 1.0, Fd)
+                Fd = jnp.where(jnp.abs(eta_rel - 1.0) < 1e-6, 0.0, Fd)
+                cos_t = jnp.where(tir, 0.0,
+                                  -jnp.sign(cos_wi) * ctt)
+                # refracted world direction (fresnel.py refract, world form)
+                tfac = eta_ti * cos_wi + cos_t
+                wtx = eta_ti * dx + tfac * ngx
+                wty = eta_ti * dy + tfac * ngy
+                wtz = eta_ti * dz + tfac * ngz
+                pick_refl = u_lobe <= Fd
+                pdf_diel = jnp.where(pick_refl, Fd, 1.0 - Fd)
+                w_diel = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
+                eta_mult = jnp.where(pick_refl, 1.0, eta_it)
+                gdx = jnp.where(pick_refl, rx, wtx)
+                gdy = jnp.where(pick_refl, ry, wty)
+                gdz = jnp.where(pick_refl, rz, wtz)
+
+            # combine by surface type
+            if multi:
+                ndx = jnp.where(is_diff, ddx, jnp.where(is_cond, rx, gdx))
+                ndy = jnp.where(is_diff, ddy, jnp.where(is_cond, ry, gdy))
+                ndz = jnp.where(is_diff, ddz, jnp.where(is_cond, rz, gdz))
+                wR = jnp.where(is_diff, Rr,
+                               jnp.where(is_cond, Fc_r, w_diel))
+                wG = jnp.where(is_diff, Rg,
+                               jnp.where(is_cond, Fc_g, w_diel))
+                wB = jnp.where(is_diff, Rb,
+                               jnp.where(is_cond, Fc_b, w_diel))
+                pdf_fwd = jnp.where(is_diff, pdf_diff,
+                                    jnp.where(is_cond, 1.0, pdf_diel))
+            else:
+                ndx, ndy, ndz = ddx, ddy, ddz
+                wR, wG, wB = Rr, Rg, Rb
+                pdf_fwd = pdf_diff
+            Br = jnp.where(act_next, Br * wR, Br)
+            Bg = jnp.where(act_next, Bg * wG, Bg)
+            Bb = jnp.where(act_next, Bb * wB, Bb)
+            if multi:
+                eta_acc = jnp.where(act_next & is_diel,
+                                    eta_acc * eta_mult, eta_acc)
             bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
-            act_next = act_next & (pdf_b > 0.0) & (bmax > 0.0)
+            act_next = act_next & (pdf_fwd > 0.0) & (bmax > 0.0)
             sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
                               1.0, -1.0)
             ox = px + sgn_b * off * ngx
             oy = py + sgn_b * off * ngy
             oz = pz + sgn_b * off * ngz
             dx, dy, dz = ndx, ndy, ndz
-            prev_pdf = jnp.where(act_next, pdf_b, prev_pdf)
-            prev_delta = prev_delta & ~act_next
+            prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
+            if multi:
+                prev_delta = jnp.where(act_next,
+                                       jnp.where(is_diff, 0.0, 1.0),
+                                       prev_delta)
+            else:
+                prev_delta = jnp.where(act_next, 0.0, prev_delta)
 
-            # ---- russian roulette (path.py:117-128) ----
+            # ---- russian roulette (path.py:117-128; eta^2 factor) ----
             if depth + 1 >= rr_depth:
-                rr_p = jnp.minimum(bmax, 0.95)
+                rr_p = jnp.minimum(bmax * eta_acc * eta_acc, 0.95)
                 u_rr = _rng1(seed_x, lane, dbase + SLOT_RR)
                 survive = u_rr < rr_p
                 inv_p = 1.0 / jnp.maximum(rr_p, 1e-8)
@@ -474,10 +635,11 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights):
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_faces", "n_lights",
-                          "interpret"))
+                          "multi", "interpret"))
 def megakernel_trace(tris, light, lane, o, d, active, seed,
                      max_depth: int, rr_depth: int, n_faces: int,
-                     n_lights: int, interpret: bool = False):
+                     n_lights: int, multi: bool = False,
+                     interpret: bool = False):
     """Run the path-tracing megakernel.  Returns per-lane L (N, 3)."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -499,7 +661,8 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
     grid = (rows // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    kernel = _mk_kernel(max_depth, rr_depth, n_faces, n_lights)
+    kernel = _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
+                        multi)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,

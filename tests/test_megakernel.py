@@ -63,9 +63,40 @@ def test_fallback_out_of_scope():
     from mitsuba_tpu.utils.scenes import cornell_box_dict
 
     dd = cornell_box_dict(width=16, height=16)
-    # swap one wall to a conductor -> out of scope
-    dd["red-wall"]["bsdf"] = {"type": "conductor"}
+    # swap one wall to a rough conductor -> out of scope
+    dd["red-wall"]["bsdf"] = {"type": "roughconductor", "alpha": 0.3}
     sc = load_dict(dd)
     assert not megakernel_applicable(sc)
     img = render(sc, MegakernelPathIntegrator(max_depth=3), seed=0, spp=2)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_conductor_dielectric_matches_wavefront():
+    """Extended megakernel subset: metal + glass boxes must agree with
+    the wavefront path (same sample stream)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.models.bsdfs import SmoothConductor, SmoothDielectric
+    from mitsuba_tpu.models.scene import make_scene
+
+    base = cornell_box(width=24, height=24)
+    bsdfs = list(base.bsdfs) + [
+        SmoothConductor(eta=jnp.asarray([0.2, 0.92, 1.1]),
+                        k=jnp.asarray([3.9, 2.45, 2.14])),
+        SmoothDielectric(eta=jnp.asarray(1.5)),
+    ]
+    meshes = list(base.meshes)
+    meshes[6] = meshes[6].replace(bsdf_index=3)   # small box -> metal
+    meshes[7] = meshes[7].replace(bsdf_index=4)   # large box -> glass
+    scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor,
+                       use_bvh=False)
+    assert megakernel_applicable(scene)
+
+    img_ref = render(scene, PathIntegrator(max_depth=6, rr_depth=16),
+                     seed=0, spp=16)
+    img_mk = render(scene, MegakernelPathIntegrator(max_depth=6,
+                                                    rr_depth=16),
+                    seed=0, spp=16)
+    a, b = np.asarray(img_ref), np.asarray(img_mk)
+    rel = np.abs(a - b).mean() / a.mean()
+    assert np.isfinite(b).all()
+    assert rel < 2e-2, rel
