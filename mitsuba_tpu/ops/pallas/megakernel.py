@@ -1,4 +1,4 @@
-"""Pallas path-tracing megakernel for diffuse triangle scenes.
+"""Pallas path-tracing megakernel for smooth-BSDF triangle scenes.
 
 The renderer's speed-of-light mode (PERF.md item 1; the analogue of the
 reference's dr::Loop megakernel path tracer, src/integrators/path.cpp):
@@ -9,11 +9,13 @@ VMEM/registers; HBM traffic is O(rays + triangles) per pass instead of
 the wavefront path's O(rays x shading-chain) (the 152 GB/pass HBM-bound
 profile documented in PERF.md).
 
-Scope (checked by ``megakernel_applicable``): every surface is
-SmoothDiffuse with a ConstantTexture, one AreaEmitter with constant
-radiance, no environment, no media.  This covers the Cornell-box
-benchmark family; everything else falls back to the general wavefront
-integrator.
+Scope (checked by ``megakernel_applicable``): surfaces are smooth
+diffuse / conductor / dielectric with constant parameters, one
+AreaEmitter with constant radiance, no environment/media/SDF.  This
+covers the Cornell-box benchmark family including its metal/glass
+variants; everything else falls back to the general wavefront
+integrator.  The kernel specializes statically on the BSDF set, so
+pure-diffuse scenes pay nothing for the extra lobes.
 
 Sampling matches the wavefront path EXACTLY: the same PCG3D counter RNG
 (core/rng.py) with the same (seed, lane, dim) layout
@@ -59,9 +61,6 @@ SLOT_BSDF_LOBE = 2
 SLOT_BSDF_DIR = 3
 SLOT_RR = 4
 
-# triangle table columns
-#   0:3 p0, 3:6 e1, 6:9 e2, 9:12 reflectance, 12:15 emission,
-#   15 is_light, 16 pdf_area (1/total light area)
 # triangle table columns:
 #   0:3 p0, 3:6 e1, 6:9 e2, 9:12 reflectance, 12:15 emission,
 #   15 is_light, 16 pdf_area, 17 bsdf_type (0 diffuse / 1 conductor /

@@ -56,7 +56,7 @@ BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "normalmap", "bumpmap", "dispersive_dielectric", "dispersive",
               "principledthin", "pplastic", "hair", "measured"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
-               "ply", "mesh", "linearcurve", "bsplinecurve"}
+               "ply", "mesh", "linearcurve", "bsplinecurve", "serialized"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
                  "directionalarea", "projector"}
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
@@ -382,6 +382,17 @@ def _make_shape_mesh(d, bsdf_index, emitter_index):
             r = float(d.get("radius", 1.0))
             w = np.asarray(tf.compose(tf.translate(c), tf.scale(r)), np.float32)
         geo = shp.sphere_mesh(int(d.get("subdiv", 4)), w)
+    elif t == "serialized":
+        from .mesh_io import load_serialized
+
+        v, f, n, uv = load_serialized(d["filename"],
+                                      int(d.get("shape_index", 0)))
+        if w is not None:
+            v, f, n, uv = shp._apply_to_world(
+                v, f, n if n is not None else np.zeros_like(v),
+                uv if uv is not None else np.zeros((v.shape[0], 2),
+                                                   np.float32), w)
+        geo = (v, f, n, uv)
     elif t in ("obj", "ply"):
         from .mesh_io import load_mesh_file
 
@@ -656,6 +667,7 @@ def load_dict(scene_dict: dict, use_bvh=None):
     integrator = None
     medium = None
     sdf = None
+    shapegroups = {}
 
     def bsdf_index_of(b):
         """Resolve an inline bsdf dict or a ref to an index in bsdfs."""
@@ -781,6 +793,33 @@ def load_dict(scene_dict: dict, use_bvh=None):
                 ))
             else:
                 raise ValueError(f"unsupported emitter plugin {t!r}")
+        elif t == "shapegroup":
+            group = []
+            for ck, cv in val.items():
+                if not isinstance(cv, dict) or ck in ("type", "id"):
+                    continue
+                b_idx = bsdf_index_of(cv.get("bsdf"))
+                group.append(_make_shape_mesh(
+                    dict(cv, id=cv.get("id", ck)), b_idx, -1))
+            shapegroups[val.get("id", key)] = group
+        elif t == "instance":
+            ref = val.get("shapegroup")
+            gid = ref["id"] if isinstance(ref, dict) else ref
+            w_i = _to_world(val.get("to_world"))
+            for m in shapegroups[gid]:
+                v_, f_, n_, uv_ = shp._apply_to_world(
+                    np.asarray(m.vertices), np.asarray(m.faces),
+                    np.asarray(m.normals) if m.normals is not None
+                    else np.zeros_like(np.asarray(m.vertices)),
+                    np.asarray(m.uvs) if m.uvs is not None
+                    else np.zeros((np.asarray(m.vertices).shape[0], 2),
+                                  np.float32),
+                    w_i,
+                )
+                meshes.append(shp.Mesh.make(
+                    v_, f_, normals=n_, uvs=uv_,
+                    bsdf_index=m.bsdf_index,
+                    id=f"{m.id}@{key}"))
         elif t == "sdfgrid":
             from ..models.sdf import SDFGrid
 

@@ -161,3 +161,106 @@ def load_mesh_file(path):
     if p.lower().endswith(".ply"):
         return load_ply(p)
     raise ValueError(f"unsupported mesh format: {p}")
+
+
+# ------------------------------------------------------- .serialized format
+
+_SER_MAGIC = 0x041C
+_SER_HAS_NORMALS = 0x0001
+_SER_HAS_TEXCOORDS = 0x0002
+_SER_HAS_COLORS = 0x0008
+_SER_FACE_NORMALS = 0x0010
+_SER_SINGLE = 0x1000
+_SER_DOUBLE = 0x2000
+
+
+def load_serialized(path, shape_index: int = 0):
+    """Load one mesh from a Mitsuba ``.serialized`` container
+    (src/shapes/serialized.cpp): little-endian uint16 magic 0x041C +
+    uint16 version per mesh, zlib-deflated payload of
+    [flags u32][name (v4, null-terminated)][vertex_count u64]
+    [face_count u64][positions][normals?][uvs?][colors?][faces u32].
+    The footer is [offset u64 x count][count u32].
+
+    Returns (vertices, faces, normals|None, uvs|None).
+    """
+    import struct
+    import zlib
+
+    data = open(path, "rb").read()
+    (count,) = struct.unpack_from("<I", data, len(data) - 4)
+    assert 0 <= shape_index < count, (shape_index, count)
+    table_off = len(data) - 4 - 8 * count
+    (start,) = struct.unpack_from("<Q", data, table_off + 8 * shape_index)
+    magic, version = struct.unpack_from("<HH", data, start)
+    assert magic == _SER_MAGIC, hex(magic)
+    end = (struct.unpack_from("<Q", data,
+                              table_off + 8 * (shape_index + 1))[0]
+           if shape_index + 1 < count else table_off)
+    raw = zlib.decompress(data[start + 4:end])
+
+    pos = 0
+    (flags,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    if version >= 4:
+        nul = raw.index(b"\0", pos)
+        pos = nul + 1
+    vc, fc = struct.unpack_from("<QQ", raw, pos)
+    pos += 16
+    dt = np.float64 if (flags & _SER_DOUBLE) else np.float32
+    isz = np.dtype(dt).itemsize
+
+    def arr(n):
+        nonlocal pos
+        a = np.frombuffer(raw, dt, count=n, offset=pos).astype(np.float32)
+        pos += n * isz
+        return a
+
+    v = arr(3 * vc).reshape(vc, 3)
+    n = arr(3 * vc).reshape(vc, 3) if (flags & _SER_HAS_NORMALS) else None
+    uv = arr(2 * vc).reshape(vc, 2) if (flags & _SER_HAS_TEXCOORDS) else None
+    if flags & _SER_HAS_COLORS:
+        arr(3 * vc)  # vertex colors: parsed and dropped (unused downstream)
+    f = np.frombuffer(raw, np.uint32, count=3 * fc,
+                      offset=pos).astype(np.int32).reshape(fc, 3)
+    if flags & _SER_FACE_NORMALS:
+        n = None
+    return v, f, n, uv
+
+
+def write_serialized(path, meshes):
+    """Write meshes (list of (v, f, n|None, uv|None)) as a version-4
+    ``.serialized`` container (round-trip/test helper)."""
+    import struct
+    import zlib
+
+    blobs = []
+    for v, f, n, uv in meshes:
+        flags = _SER_SINGLE
+        payload = b""
+        if n is not None:
+            flags |= _SER_HAS_NORMALS
+        if uv is not None:
+            flags |= _SER_HAS_TEXCOORDS
+        payload += struct.pack("<I", flags)
+        payload += b"mesh\0"
+        payload += struct.pack("<QQ", v.shape[0], f.shape[0])
+        payload += np.asarray(v, np.float32).tobytes()
+        if n is not None:
+            payload += np.asarray(n, np.float32).tobytes()
+        if uv is not None:
+            payload += np.asarray(uv, np.float32).tobytes()
+        payload += np.asarray(f, np.uint32).tobytes()
+        blobs.append(struct.pack("<HH", _SER_MAGIC, 4)
+                     + zlib.compress(payload))
+    out = b""
+    offsets = []
+    for b in blobs:
+        offsets.append(len(out))
+        out += b
+    import struct as st
+
+    for o in offsets:
+        out += st.pack("<Q", o)
+    out += st.pack("<I", len(blobs))
+    open(path, "wb").write(out)

@@ -102,3 +102,51 @@ def test_exr_roundtrip(tmp_path):
         pytest.skip("cv2 built without EXR support")
     back = read_image(str(p))
     np.testing.assert_allclose(back, img, atol=1e-3)
+
+
+def test_serialized_roundtrip(tmp_path):
+    """Mitsuba .serialized container: write -> load -> identical mesh."""
+    import numpy as np
+    from mitsuba_tpu.utils.mesh_io import load_serialized, write_serialized
+
+    rng = np.random.default_rng(0)
+    v = rng.random((10, 3)).astype(np.float32)
+    f = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    n = rng.random((10, 3)).astype(np.float32)
+    uv = rng.random((10, 2)).astype(np.float32)
+    path = str(tmp_path / "test.serialized")
+    write_serialized(path, [(v, f, n, uv), (v * 2.0, f, None, None)])
+
+    v2, f2, n2, uv2 = load_serialized(path, 0)
+    np.testing.assert_allclose(v2, v)
+    np.testing.assert_array_equal(f2, f)
+    np.testing.assert_allclose(n2, n)
+    np.testing.assert_allclose(uv2, uv)
+    v3, f3, n3, uv3 = load_serialized(path, 1)
+    np.testing.assert_allclose(v3, v * 2.0)
+    assert n3 is None and uv3 is None
+
+
+def test_shapegroup_instance():
+    import numpy as np
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.utils.load import load_dict
+
+    scene = load_dict({
+        "type": "scene",
+        "grp": {"type": "shapegroup", "id": "grp",
+                "box": {"type": "cube",
+                        "to_world": np.asarray(tf.scale(0.2), np.float32),
+                        "bsdf": {"type": "diffuse"}}},
+        "i1": {"type": "instance", "shapegroup": {"type": "ref", "id": "grp"},
+               "to_world": np.asarray(tf.translate([1, 0, 0]), np.float32)},
+        "i2": {"type": "instance", "shapegroup": {"type": "ref", "id": "grp"},
+               "to_world": np.asarray(tf.translate([-1, 0, 0]), np.float32)},
+        "sensor": {"type": "perspective"},
+    })
+    # two instances of the 12-face cube, group itself not added
+    assert len(scene.meshes) == 2
+    assert int(scene.meshes[0].faces.shape[0]) == 12
+    c0 = np.asarray(scene.meshes[0].vertices).mean(0)
+    c1 = np.asarray(scene.meshes[1].vertices).mean(0)
+    assert abs(c0[0] - 1.0) < 1e-5 and abs(c1[0] + 1.0) < 1e-5
