@@ -28,9 +28,11 @@ point along +m grows the (-m)-side region, so dI = (L(-m side) -
 L(+m side)) x (m . du/dtheta) per unit screen length.
 
 Scope: primarily-visible silhouettes (camera discontinuities) with
-uniform or grid-guided edge sampling (guiding.py).  Indirect
-(shadow/secondary) boundaries are future work — the reference gates
-those behind its octree guiding modes as well.
+uniform or grid-guided edge sampling (guiding.py), plus one-bounce
+shadow (indirect-visibility) boundaries via the light->edge->receiver
+construction (indirect_boundary_grads).  Deeper-bounce visibility
+boundaries and receiver-motion terms are future work — the reference
+gates those behind its octree guiding modes as well.
 """
 from __future__ import annotations
 
@@ -229,6 +231,192 @@ def primary_boundary_grads(scene, edges: EdgeTable, integrator, grad_image,
     return jax.grad(S)(floats)
 
 
+def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
+                            n_samples: int = 4096, eps_frac: float = 0.01):
+    """Shadow (indirect-visibility) boundary gradients for direct
+    illumination (projective.py:228-373 indirect silhouettes, one-bounce
+    scope).
+
+    Sampling follows the light->edge->receiver construction: a light
+    point y and a silhouette edge point x_e (silhouette AS SEEN FROM y)
+    define the ray whose continuation hits the receiver at the shadow
+    boundary x_B.  The boundary term of the direct-lighting integral is
+
+        sum  A_L/(p_edge N) x Delta[W f G Le](x_B) x |dx_B/dl_e|
+             x (n_r . dx_B/dtheta)
+
+    with x_B attached through BOTH the edge and light vertices (blocker
+    and light motion), the receiver plane detached, W the ptracer-style
+    camera connection (sensor weight x adjoint BSDF eval at the
+    receiver), and Delta estimated by visibility rays on both sides of
+    the curve — the in-plane normal orientation cancels as in the
+    primary case.  Receiver motion is a further term (future work).
+    """
+    scene_det = jax.lax.stop_gradient(scene)
+    floats, rebuild, _ = _float_partition(scene)
+    ctx_det = scene_det.trace_ctx()
+    sensor_det = scene_det.sensor
+    film = sensor_det.film
+    w_px, h_px = film.width, film.height
+    light_shape = scene_det.emitter_shape[0]
+    le = scene_det.emitters[0].radiance.value  # constant-radiance scope
+
+    verts, faces, *_ = scene_det.geometry()
+    p0_all = verts[edges.v0]
+    p1_all = verts[edges.v1]
+    lengths = jnp.sqrt(jnp.maximum(
+        jnp.sum((p1_all - p0_all) ** 2, -1), 1e-20))
+    fn = _face_normals(verts, faces)
+    distr = UniformDistr.create(lengths)
+
+    # light-face set (static) + area-weighted face sampling
+    counts = [int(m.faces.shape[0]) for m in scene_det.meshes]
+    fshape_np = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
+    lfaces = np.nonzero(fshape_np == light_shape)[0]
+    lf = faces[jnp.asarray(lfaces)]
+    lv0 = verts[lf[:, 0]]
+    lv1 = verts[lf[:, 1]]
+    lv2 = verts[lf[:, 2]]
+    lareas = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(
+        jnp.cross(lv1 - lv0, lv2 - lv0) ** 2, -1), 1e-30))
+    A_L = jnp.sum(lareas)
+    ldistr = UniformDistr.create(lareas)
+
+    lane = jnp.arange(n_samples, dtype=jnp.int32)
+    seed_b = jnp.uint32(seed) ^ jnp.uint32(0x1D1BEC7)
+
+    # ---- detached sampling: light point y + edge point x_e ----
+    u_lf = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB))
+    u_ly = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 1))
+    lidx, _ = ldistr.sample(u_lf)
+    st = jnp.sqrt(jnp.maximum(1.0 - u_ly[:, 0], 0.0))
+    b0 = 1.0 - st
+    b1 = st * u_ly[:, 1]
+    y = (lv0[lidx] * (1.0 - b0 - b1)[:, None] + lv1[lidx] * b0[:, None]
+         + lv2[lidx] * b1[:, None])
+    n_y = jnp.cross(lv1[lidx] - lv0[lidx], lv2[lidx] - lv0[lidx])
+    n_y = n_y / jnp.sqrt(jnp.maximum(
+        jnp.sum(n_y ** 2, -1, keepdims=True), 1e-20))
+
+    u_e = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_EDGE))
+    t_e = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_T))
+    idx, pmf = distr.sample(u_e)
+    p0 = p0_all[idx]
+    p1 = p1_all[idx]
+    x_e = p0 * (1.0 - t_e[:, None]) + p1 * t_e[:, None]
+
+    d_ye = x_e - y
+    dist_e = jnp.sqrt(jnp.maximum(jnp.sum(d_ye * d_ye, -1), 1e-20))
+    d_ye = d_ye / dist_e[:, None]
+    # the edge must be a silhouette as seen from the light point
+    c0 = jnp.sum(fn[edges.f0[idx]] * d_ye, -1)
+    c1 = jnp.sum(fn[jnp.maximum(edges.f1[idx], 0)] * d_ye, -1)
+    sil = (c0 * c1 < 0.0) | (edges.f1[idx] < 0)
+    # the light must emit toward the edge (front side)
+    emit_ok = jnp.sum(d_ye * n_y, -1) > 1e-6
+    # segment y -> x_e unoccluded
+    seg = Ray.make(y + d_ye * 1e-4, d_ye, maxt=dist_e * (1.0 - 1e-3))
+    act0 = jnp.ones((n_samples,), bool)
+    occ_e = scene_det.ray_test(seg, act0, ctx_det)
+    valid = sil & emit_ok & ~occ_e
+
+    # ---- receiver: continuation hit past the edge ----
+    cont = Ray.make(x_e + d_ye * (1e-3 * dist_e[:, None] + 1e-4), d_ye)
+    si_r = scene_det.ray_intersect(cont, valid, ctx_det)
+    recv_ok = si_r.is_valid() & (si_r.shape_index != light_shape)
+    valid = valid & recv_ok
+    x_b = si_r.p
+    r_tot = jnp.sqrt(jnp.maximum(jnp.sum((x_b - y) ** 2, -1), 1e-20))
+
+    # ---- camera connection (ptracer-style) ----
+    uv, in_frustum, cam_p = _project(sensor_det, x_b, valid)
+    d_cam = cam_p - x_b
+    dist_c = jnp.sqrt(jnp.maximum(jnp.sum(d_cam * d_cam, -1), 1e-20))
+    d_cam = d_cam / dist_c[:, None]
+    off = 1e-4 * jnp.maximum(1.0, jnp.max(jnp.abs(x_b), -1, keepdims=True))
+    sgn_c = jnp.sign(jnp.sum(d_cam * si_r.n, -1, keepdims=True))
+    sh_cam = Ray.make(x_b + sgn_c * off * si_r.n, d_cam,
+                      maxt=dist_c * (1.0 - 1e-3))
+    occ_cam = scene_det.ray_test(sh_cam, valid, ctx_det)
+    valid = valid & in_frustum & ~occ_cam
+    n2 = x_b.shape[0]
+    ds_cam, sw = sensor_det.sample_direction(
+        x_b, jnp.full((n2, 2), 0.5), valid)
+    # adjoint BSDF eval at the receiver: wi = from the light, wo = camera
+    wo_cam = si_r.to_local(ds_cam.d)
+    f_val, _ = scene_det.bsdf_eval_pdf(si_r, wo_cam, valid)
+
+    # ---- receiver-curve tangent/normal + edge-length Jacobian ----
+    edir = (p1 - p0) / lengths[idx][:, None]
+    n_recv = si_r.n
+    p_recv = jax.lax.stop_gradient(x_b)
+
+    def to_receiver(xe, yy):
+        d = xe - yy
+        dn = jnp.sum(d * n_recv, -1)
+        tau = jnp.sum((p_recv - yy) * n_recv, -1) / jnp.where(
+            jnp.abs(dn) > 1e-9, dn, 1e-9)
+        return yy + tau[:, None] * d
+
+    dxb_dl = jax.jvp(lambda xe: to_receiver(xe, y), (x_e,), (edir,))[1]
+    speed = jnp.sqrt(jnp.maximum(jnp.sum(dxb_dl ** 2, -1), 1e-20))
+    t_hat = dxb_dl / speed[:, None]
+    m_hat = jnp.cross(n_recv, t_hat)
+    m_hat = m_hat / jnp.sqrt(jnp.maximum(
+        jnp.sum(m_hat ** 2, -1, keepdims=True), 1e-20))
+
+    # ---- visibility difference across the curve ----
+    eps = eps_frac * jnp.maximum(scene_det.scene_radius, 1e-3)
+
+    def vis(xp):
+        d = y - xp
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-20))
+        dn = d / dist[:, None]
+        sgn_v = jnp.sign(jnp.sum(dn * n_recv, -1, keepdims=True))
+        o = xp + sgn_v * off * n_recv
+        sh = Ray.make(o, dn, maxt=dist * (1.0 - 2e-3))
+        return 1.0 - scene_det.ray_test(sh, valid, ctx_det).astype(
+            jnp.float32)
+
+    dV = vis(x_b + eps * m_hat) - vis(x_b - eps * m_hat)
+
+    # ---- assemble the detached coefficient ----
+    cos_xy = jnp.abs(jnp.sum(
+        (y - x_b) / r_tot[:, None] * n_recv, -1))
+    cos_y = jnp.abs(jnp.sum(d_ye * n_y, -1))
+    G = cos_xy * cos_y / jnp.maximum(r_tot ** 2, 1e-12)
+    px = jnp.clip(jnp.floor(uv[:, 0]).astype(jnp.int32), 0, w_px - 1)
+    py = jnp.clip(jnp.floor(uv[:, 1]).astype(jnp.int32), 0, h_px - 1)
+    delta = grad_image[py, px]
+    inv_pdf = lengths[idx] / jnp.maximum(pmf, 1e-20)
+    # transport sign: dI = -(V_plus - V_minus) F v; the ptracer measure
+    # identity I_p = (W H) E_paths[value 1{p}] supplies the pixel factor
+    coeff = jnp.where(
+        valid,
+        -(w_px * h_px)
+        * jnp.sum(delta * sw * f_val * le[None, :], -1)
+        * G * dV * speed * inv_pdf * A_L / n_samples,
+        0.0,
+    )
+
+    lidx_d = lidx
+    idx_d = idx
+
+    def S(fl):
+        sc = rebuild(fl)
+        v_att, *_ = sc.geometry()
+        xe_att = (v_att[edges.v0[idx_d]] * (1.0 - t_e[:, None])
+                  + v_att[edges.v1[idx_d]] * t_e[:, None])
+        lf_att = lf[lidx_d]
+        y_att = (v_att[lf_att[:, 0]] * (1.0 - b0 - b1)[:, None]
+                 + v_att[lf_att[:, 1]] * b0[:, None]
+                 + v_att[lf_att[:, 2]] * b1[:, None])
+        xb_att = to_receiver(xe_att, y_att)
+        xb_att = jnp.nan_to_num(xb_att)
+        return jnp.sum(coeff * jnp.sum(m_hat * xb_att, -1))
+
+    return jax.grad(S)(floats)
+
 # --------------------------------------------------------- integrators
 
 @pytree
@@ -242,6 +430,8 @@ class PathProjectiveIntegrator:
     sppp: int = static(4096)       # boundary samples
     n_sub: int = static(4)
     guiding: str = static("grid")
+    indirect: bool = static(True)  # shadow-boundary term
+    sppi: int = static(16384)      # shadow-boundary samples
     id: str = static("prb_projective")
 
     def sample(self, scene, ray, lane, seed, active):
@@ -261,6 +451,8 @@ class DirectProjectiveIntegrator:
     sppp: int = static(4096)
     n_sub: int = static(4)
     guiding: str = static("grid")
+    indirect: bool = static(True)
+    sppi: int = static(16384)
     id: str = static("direct_projective")
 
     max_depth = 2
@@ -331,6 +523,20 @@ def _ppr_bwd(integrator, spp, res, grad_image):
     )
 
     total = [a + b for a, b in zip(cont, bnd)]
+
+    # shadow (indirect-visibility) boundary, one-bounce scope: requires
+    # a constant-radiance area emitter
+    if integrator.indirect and len(scene_det.emitters) == 1:
+        from ...models.emitters import AreaEmitter
+        from ...models.textures import ConstantTexture
+
+        e = scene_det.emitters[0]
+        if isinstance(e, AreaEmitter) and \
+                isinstance(e.radiance, ConstantTexture):
+            ind = indirect_boundary_grads(
+                scene, edges, grad_image, seed_u,
+                n_samples=integrator.sppi)
+            total = [a + b for a, b in zip(total, ind)]
     _, _, cotangent = _float_partition(scene)
     edges_ct = jax.tree_util.tree_map(
         lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0), edges)

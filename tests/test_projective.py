@@ -122,3 +122,73 @@ def test_boundary_samples_find_silhouette():
         jnp.uint32(0), n_samples=2048, n_sub=2)
     floats_nonzero = sum(float(jnp.sum(jnp.abs(x))) for x in g)
     assert np.isfinite(floats_nonzero) and floats_nonzero > 0.0
+
+
+def _shadow_scene(bx=0.0):
+    """Floor seen top-down; area light high above; small blocker between
+    them, OUTSIDE the camera frustum — only its SHADOW is visible, so
+    the x-translation gradient is purely the indirect boundary term."""
+    floor = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0, 0, 0]), tf.scale(2.0)), np.float32)),
+        bsdf_index=0, id="floor")
+    # small blocker + small light: the shadow edge (not full umbra)
+    # crosses the viewed floor region (half-size ~0.23)
+    blocker = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([bx, 0.0, 1.0]), tf.scale(0.12)),
+        np.float32)), bsdf_index=0, id="blocker")
+    light = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0, 0, 2.0]), tf.rotate([1, 0, 0], 180),
+                   tf.scale(0.1)), np.float32)),
+        bsdf_index=0, emitter_index=0, id="light")
+    em = AreaEmitter(radiance=ConstantTexture(jnp.full((3,), 120.0)))
+    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), 0.8)))
+    # camera close to the floor, narrow fov: blocker at z=1 is behind it
+    cam = PerspectiveCamera(
+        to_world=jnp.asarray(tf.look_at([0, 0, 0.5], [0, 0, 0],
+                                        [0, 1, 0])),
+        fov=50.0,
+        film=Film(width=32, height=32,
+                  rfilter=ReconstructionFilter.box()),
+    )
+    return make_scene([floor, blocker, light], [white], [em], cam,
+                      use_bvh=False)
+
+
+@pytest.mark.slow
+def test_shadow_boundary_gradient_matches_fd():
+    spp = 32
+    seed = 0
+    W = _loss_weights()
+
+    scene = _shadow_scene()
+    edges = build_silhouette_edges(scene)
+    integ = PathProjectiveIntegrator(max_depth=2, sppp=4096, n_sub=2)
+
+    def grad_at(s):
+        g = jax.grad(
+            lambda sc: jnp.sum(
+                prb_projective_render(sc, edges, integ, seed, spp) * W),
+            allow_int=True)(s)
+        return float(jnp.sum(g.meshes[1].vertices[:, 0]))
+
+    ad = grad_at(scene)
+
+    h = 0.03
+    def primal(bx):
+        s = _shadow_scene(bx)
+        return float(jnp.sum(
+            prb_projective_render(s, edges, integ, seed, spp) * W))
+
+    fd = (primal(h) - primal(-h)) / (2 * h)
+    assert np.isfinite(ad), ad
+    assert abs(ad - fd) < 0.3 * abs(fd) + 0.05, (ad, fd)
+
+    # with the indirect term disabled, the gradient mostly vanishes
+    integ0 = PathProjectiveIntegrator(max_depth=2, sppp=4096, n_sub=2,
+                                      indirect=False)
+    g0 = jax.grad(
+        lambda sc: jnp.sum(
+            prb_projective_render(sc, edges, integ0, seed, spp) * W),
+        allow_int=True)(scene)
+    ad0 = float(jnp.sum(g0.meshes[1].vertices[:, 0]))
+    assert abs(ad0) < 0.3 * abs(fd), (ad0, fd)
