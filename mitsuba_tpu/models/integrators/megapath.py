@@ -17,8 +17,11 @@ import jax
 from ...core.pytree import pytree, static
 from ...ops.pallas.megakernel import (
     megakernel_applicable,
+    megakernel_bvh_applicable,
     megakernel_trace,
+    megakernel_trace_bvh,
     pack_scene,
+    pack_scene_bvh,
 )
 from .path import PathIntegrator
 
@@ -31,7 +34,8 @@ class MegakernelPathIntegrator:
     id: str = static("megapath")
 
     def sample(self, scene, ray, lane, seed, active):
-        if not megakernel_applicable(scene):
+        brute = megakernel_applicable(scene)
+        if not brute and not megakernel_bvh_applicable(scene):
             if self.strict:
                 raise ValueError("scene outside megakernel plugin subset")
             return PathIntegrator(
@@ -39,12 +43,22 @@ class MegakernelPathIntegrator:
             ).sample(scene, ray, lane, seed, active)
         from ...models.bsdfs import SmoothDiffuse
 
-        tris, light, n_faces, n_lights = pack_scene(scene)
         interpret = jax.default_backend() != "tpu"
         multi = any(not isinstance(b, SmoothDiffuse) for b in scene.bsdfs)
-        return megakernel_trace(
-            tris, light, lane, ray.o, ray.d, active, seed,
+        if brute:
+            tris, light, n_faces, n_lights = pack_scene(scene)
+            return megakernel_trace(
+                tris, light, lane, ray.o, ray.d, active, seed,
+                max_depth=self.max_depth, rr_depth=self.rr_depth,
+                n_faces=n_faces, n_lights=n_lights, multi=multi,
+                interpret=interpret,
+            )
+        acc = scene.packet_accel
+        rows, light, n_lights = pack_scene_bvh(scene, acc)
+        return megakernel_trace_bvh(
+            acc.node_box, acc.node_meta, rows, light,
+            lane, ray.o, ray.d, active, seed,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
-            n_faces=n_faces, n_lights=n_lights, multi=multi,
+            n_nodes=acc.n_nodes, n_lights=n_lights, multi=multi,
             interpret=interpret,
         )

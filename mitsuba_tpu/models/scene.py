@@ -59,6 +59,7 @@ class Scene:
     scene_radius: jnp.ndarray     # ()
     scene_medium: object = None   # scene-wide participating medium
     scene_sdf: object = None      # optional SDFGrid shape (models/sdf.py)
+    packet_accel: object = None   # PacketAccel (>MAX_FACES scenes, TPU)
     # static metadata
     shape_bsdf: tuple = static(())      # per-shape bsdf index
     shape_emitter: tuple = static(())   # per-shape emitter index (-1)
@@ -131,10 +132,18 @@ class Scene:
             tri_data=tri_data,
             fshape=fshape,
         )
-        if jax.default_backend() == "tpu" and not self.use_bvh:
-            from ..ops.pallas.intersect_pallas import pack_triangles
+        if jax.default_backend() == "tpu":
+            if self.packet_accel is not None:
+                # packet-BVH traversal path (ops/pallas/traverse.py)
+                from ..ops.pallas.traverse import (
+                    pack_leaf_rows, tri_columns)
 
-            ctx["tris_packed"] = pack_triangles(vd, f)
+                ctx["packet_rows"] = pack_leaf_rows(
+                    tri_columns(vd, f), self.packet_accel)
+            elif not self.use_bvh:
+                from ..ops.pallas.intersect_pallas import pack_triangles
+
+                ctx["tris_packed"] = pack_triangles(vd, f)
         return ctx
 
     # -------------------------------------------------------- ray queries
@@ -146,7 +155,24 @@ class Scene:
             ctx = self.trace_ctx()
         vd, f = ctx["verts_detached"], ctx["faces"]
         ray_d = jax.lax.stop_gradient(ray)
-        if "tris_packed" in ctx:
+        if "packet_rows" in ctx:
+            from ..ops.pallas.traverse import packet_closest_hit
+
+            acc = self.packet_accel
+            n = ray_d.o.shape[0]
+            act = active if active is not None else jnp.ones((n,), bool)
+            t, fid = packet_closest_hit(
+                acc.node_box, acc.node_meta,
+                ctx["packet_rows"],
+                ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
+            )
+            pi = PreliminaryIntersection(
+                t=t,
+                prim_index=jnp.maximum(fid, 0),
+                prim_uv=jnp.zeros((n, 2)),
+                shape_index=jnp.where(jnp.isfinite(t), 0, -1),
+            )
+        elif "tris_packed" in ctx:
             from ..ops.pallas.intersect_pallas import intersect_packed
 
             t, prim, u, v_ = intersect_packed(
@@ -260,7 +286,19 @@ class Scene:
         if ctx is None:
             ctx = self.trace_ctx()
         vd, f = ctx["verts_detached"], ctx["faces"]
-        if "tris_packed" in ctx:
+        if "packet_rows" in ctx:
+            from ..ops.pallas.traverse import packet_any_hit
+
+            ray_d = jax.lax.stop_gradient(ray)
+            acc = self.packet_accel
+            n = ray_d.o.shape[0]
+            act = active if active is not None else jnp.ones((n,), bool)
+            hit = packet_any_hit(
+                acc.node_box, acc.node_meta,
+                ctx["packet_rows"],
+                ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
+            )
+        elif "tris_packed" in ctx:
             from ..ops.pallas.intersect_pallas import intersect_packed
 
             ray_d = jax.lax.stop_gradient(ray)
@@ -588,13 +626,27 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
     if use_bvh is None:
         use_bvh = total_tris > BRUTE_FORCE_MAX_TRIS
     accel = None
-    if use_bvh:
-        offsets = np.cumsum([0] + [int(m.vertices.shape[0]) for m in meshes])
+    packet_accel = None
+    offsets = np.cumsum([0] + [int(m.vertices.shape[0]) for m in meshes])
+    if use_bvh or total_tris > 1024:
         faces_np = np.concatenate([
-            np.asarray(m.faces) + offsets[i] for i, m in enumerate(meshes)
+            np.asarray(jax.lax.stop_gradient(m.faces)) + offsets[i]
+            for i, m in enumerate(meshes)
         ])
-        verts_np = np.concatenate([np.asarray(m.vertices) for m in meshes])
-        accel = bvh_mod.build_bvh(verts_np, faces_np)
+        verts_np = np.concatenate([
+            np.asarray(jax.lax.stop_gradient(m.vertices)) for m in meshes
+        ])
+        if use_bvh:
+            accel = bvh_mod.build_bvh(verts_np, faces_np)
+        if total_tris > 1024:
+            # packet-traversal accel (ops/pallas/traverse.py) for the
+            # Pallas kernels; skipped when the node table would overflow
+            # the SMEM budget (falls back to the pure-JAX traversal)
+            from ..ops.pallas.traverse import MAX_NODES, build_packet_bvh
+
+            pa = build_packet_bvh(verts_np, faces_np)
+            if pa.n_nodes <= MAX_NODES:
+                packet_accel = pa
 
     return Scene(
         meshes=meshes,
@@ -614,4 +666,5 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         integrator=integrator,
         scene_medium=medium,
         scene_sdf=sdf,
+        packet_accel=packet_accel,
     )

@@ -115,10 +115,10 @@ def _rng1(seed_x, lane, dim):
 
 # ------------------------------------------------------------ scene packing
 
-def megakernel_applicable(scene) -> bool:
-    """True iff the scene is within this kernel's supported plugin set:
-    diffuse / smooth-conductor / smooth-dielectric surfaces (constant
-    parameters), one constant area light, no env/media/SDF."""
+def _plugin_subset_ok(scene) -> bool:
+    """Shared plugin-set gate for both megakernels: diffuse /
+    smooth-conductor / smooth-dielectric surfaces (constant parameters),
+    one constant area light with few faces, no env/media/SDF."""
     from ...models.bsdfs import (
         SmoothConductor,
         SmoothDielectric,
@@ -152,10 +152,18 @@ def megakernel_applicable(scene) -> bool:
             return False
     if scene.emitter_shape[0] < 0:
         return False
-    n_faces = sum(int(m.faces.shape[0]) for m in scene.meshes)
     light_shape = scene.emitter_shape[0]
     n_light_faces = int(scene.meshes[light_shape].faces.shape[0])
-    return n_faces <= MAX_FACES and n_light_faces <= MAX_LIGHT_FACES
+    return n_light_faces <= MAX_LIGHT_FACES
+
+
+def megakernel_applicable(scene) -> bool:
+    """True iff the scene fits the brute-force megakernel: supported
+    plugin subset AND at most MAX_FACES triangles (SMEM table cap)."""
+    if not _plugin_subset_ok(scene):
+        return False
+    n_faces = sum(int(m.faces.shape[0]) for m in scene.meshes)
+    return n_faces <= MAX_FACES
 
 
 def pack_scene(scene):
@@ -372,37 +380,41 @@ def _mis(pa, pb):
     return jnp.where(pa > 0.0, w, 0.0)
 
 
-def _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
-               multi):
+def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
+                lane, seed_x, ox, oy, oz, dx, dy, dz, act):
+    """Fused path-trace bounce loop over one (8, 128) ray tile, shared by
+    the brute-force and BVH-packet megakernels.
 
-    def kernel(tris_ref, light_ref, lane_ref, seed_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
-               lr_ref, lg_ref, lb_ref):
-        lane = lane_ref[:]
-        seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        act = act_ref[:] > 0.5
+    - ``closest(ox..dz) -> (valid, t, ngx, ngy, ngz, Rr, Rg, Rb, IsL,
+      PdfA, Btype, C0..C5)`` — closest-hit with resolved shading attrs
+      (ng = unit geometric normal, Btype/C* zero when ``not multi``);
+    - ``anyhit(ox..dz, maxt) -> bool`` — shadow occlusion;
+    - ``lc(j, k)`` — scalar accessor into the packed light table.
+    """
+    Lr = jnp.zeros_like(ox)
+    Lg = jnp.zeros_like(ox)
+    Lb = jnp.zeros_like(ox)
+    Br = jnp.ones_like(ox)
+    Bg = jnp.ones_like(ox)
+    Bb = jnp.ones_like(ox)
+    eta_acc = jnp.ones_like(ox)
+    prev_pdf = jnp.ones_like(ox)
+    # prev_delta carried as f32 0/1 (Mosaic mislays i1 in selects)
+    prev_delta = jnp.ones_like(ox)
 
-        Lr = jnp.zeros_like(ox)
-        Lg = jnp.zeros_like(ox)
-        Lb = jnp.zeros_like(ox)
-        Br = jnp.ones_like(ox)
-        Bg = jnp.ones_like(ox)
-        Bb = jnp.ones_like(ox)
-        eta_acc = jnp.ones_like(ox)
-        prev_pdf = jnp.ones_like(ox)
-        # prev_delta carried as f32 0/1 (Mosaic mislays i1 in selects)
-        prev_delta = jnp.ones_like(ox)
-
+    if True:  # (keeps the historical loop body indentation)
         for depth in range(max_depth):
             dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
-            hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
-                               TRI_COLS if multi else 17)
-            (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
-             Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA,
-             Btype, C0, C1, C2, C3, C4, C5) = hit
-            valid = jnp.isfinite(t) & act
+            (valid, t, ngx, ngy, ngz, Rr, Rg, Rb, IsL, PdfA,
+             Btype, C0, C1, C2, C3, C4, C5) = closest(
+                ox, oy, oz, dx, dy, dz)
+            valid = valid & act
+            # single-emitter constant radiance: emission = is_light * Le
+            # (pack_scene wrote the emission column as exactly this
+            # product, so the arithmetic is unchanged)
+            Er = IsL * lc(0, 14)
+            Eg = IsL * lc(0, 15)
+            Eb = IsL * lc(0, 16)
             if multi:
                 is_diff = Btype < 0.5
                 is_cond = (Btype >= 0.5) & (Btype < 1.5)
@@ -414,8 +426,6 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
             px = ox + dx * t
             py = oy + dy * t
             pz = oz + dz * t
-            ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
-            ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
             # one-sided diffuse/conductor conventions: front iff -d.n > 0;
             # dielectrics are two-sided (glass interiors)
             cos_wi = -(dx * ngx + dy * ngy + dz * ngz)
@@ -449,7 +459,6 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
             ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
             z = jnp.zeros_like(u_sel)
             idx = z
-            lc = lambda j, k: light_ref[j, k]
             for j in range(n_lights):
                 idx = idx + (lc(j, 12) < u_sel).astype(jnp.float32)
             sel = [z] * LIGHT_COLS
@@ -486,8 +495,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
             if multi:
                 ok_nee = ok_nee & is_diff & front
             sgn_s = jnp.where(cos_s >= 0.0, 1.0, -1.0)
-            occ = _any_hit(
-                tris_ref, n_faces,
+            occ = anyhit(
                 px + sgn_s * off * ngx, py + sgn_s * off * ngy,
                 pz + sgn_s * off * ngz,
                 sdx, sdy, sdz, sdist * (1.0 - 1e-3))
@@ -625,6 +633,97 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
                 act_next = act_next & survive
             act = act_next
 
+    return Lr, Lg, Lb
+
+
+def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
+    """Brute-force megakernel: SMEM triangle table, O(F) sweep per query
+    (the right shape for scenes up to MAX_FACES)."""
+
+    def kernel(tris_ref, light_ref, lane_ref, seed_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+               lr_ref, lg_ref, lb_ref):
+        lane = lane_ref[:]
+        seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
+
+        def closest(ox, oy, oz, dx, dy, dz):
+            hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
+                               TRI_COLS if multi else 17)
+            (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
+             Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA,
+             Btype, C0, C1, C2, C3, C4, C5) = hit
+            ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
+            ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
+            return (jnp.isfinite(t), t, ngx, ngy, ngz, Rr, Rg, Rb,
+                    IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
+
+        def anyhit(ox, oy, oz, dx, dy, dz, maxt):
+            return _any_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
+                            maxt)
+
+        lc = lambda j, k: light_ref[j, k]
+        Lr, Lg, Lb = _trace_loop(
+            closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
+            lane, seed_x,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:], act_ref[:] > 0.5)
+        lr_ref[:] = Lr
+        lg_ref[:] = Lg
+        lb_ref[:] = Lb
+
+    return kernel
+
+
+def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi):
+    """BVH-packet megakernel: same fused path loop, but ray queries run
+    the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
+    lifts the MAX_FACES cap to the SMEM node budget (~300k triangles)."""
+    from .traverse import traverse_any, traverse_closest
+
+    def kernel(node_box_ref, node_meta_ref, light_ref,
+               rows_ref, lane_ref, seed_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+               lr_ref, lg_ref, lb_ref, qbuf, sems):
+        lane = lane_ref[:]
+        seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
+        act0 = act_ref[:] > 0.5
+        shape = lane.shape
+        zero = jnp.zeros(shape)
+
+        # 25-col leaf-row layout (traverse.py): 9:12 refl | 12:15 ng |
+        # 15 is_light | 16 pdf_area | 17 btype | 18:24 bparams
+        res_cols = tuple(range(9, 24)) if multi else tuple(range(9, 17))
+
+        def closest(ox, oy, oz, dx, dy, dz):
+            found, t, attrs = traverse_closest(
+                node_box_ref, node_meta_ref, rows_ref,
+                qbuf, sems, n_nodes,
+                ox, oy, oz, dx, dy, dz,
+                jnp.full(shape, jnp.inf), act0,
+                resolve_cols=res_cols)
+            if multi:
+                (Rr, Rg, Rb, ngx, ngy, ngz, IsL, PdfA,
+                 Btype, C0, C1, C2, C3, C4, C5) = attrs
+            else:
+                Rr, Rg, Rb, ngx, ngy, ngz, IsL, PdfA = attrs
+                Btype = C0 = C1 = C2 = C3 = C4 = C5 = zero
+            valid = found > 0.0
+            t = jnp.where(valid, t, jnp.inf)
+            return (valid, t, ngx, ngy, ngz, Rr, Rg, Rb,
+                    IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
+
+        def anyhit(ox, oy, oz, dx, dy, dz, maxt):
+            return traverse_any(
+                node_box_ref, node_meta_ref, rows_ref,
+                qbuf, sems, n_nodes,
+                ox, oy, oz, dx, dy, dz, maxt, act0) > 0.5
+
+        lc = lambda j, k: light_ref[j, k]
+        Lr, Lg, Lb = _trace_loop(
+            closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
+            lane, seed_x,
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:], act0)
         lr_ref[:] = Lr
         lg_ref[:] = Lg
         lb_ref[:] = Lb
@@ -673,6 +772,101 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
         interpret=interpret,
     )(tris, light, *args)
+
+    flat = lambda x: x.reshape(n_pad)[:n]
+    return jnp.stack([flat(lr), flat(lg), flat(lb)], axis=-1)
+
+
+# ----------------------------------------------------- BVH-packet variant
+
+def megakernel_bvh_applicable(scene) -> bool:
+    """Plugin-subset check for the BVH megakernel: same BSDF/emitter
+    constraints as ``megakernel_applicable`` but faces bounded only by the
+    SMEM node budget (requires scene.packet_accel, built at make_scene)."""
+    from .traverse import MAX_NODES
+
+    accel = getattr(scene, "packet_accel", None)
+    if accel is None or accel.n_nodes > MAX_NODES:
+        return False
+    return _plugin_subset_ok(scene)
+
+
+def pack_scene_bvh(scene, layout):
+    """Packed leaf-row table + light table for the BVH megakernel.
+
+    Reuses pack_scene's face shading assembly, re-laid out into the
+    25-column traverse.py slot format (refl | ng | is_light | pdf_area |
+    btype | bparams | face_id) and permuted into HBM leaf rows."""
+    from .traverse import pack_leaf_rows
+
+    tris, light, F, L = pack_scene(scene)
+    t = tris[:F]
+    e1 = t[:, 3:6]
+    e2 = t[:, 6:9]
+    ng = jnp.cross(e1, e2)
+    ng = ng / jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1, keepdims=True),
+                                   1e-30))
+    cols = jnp.concatenate([
+        t[:, 0:9],                 # p0 | e1 | e2
+        t[:, 9:12],                # refl
+        ng,                        # unit geometric normal
+        t[:, 15:24],               # is_light | pdf_area | btype | bparams
+        jnp.arange(F, dtype=jnp.float32)[:, None],
+    ], axis=1)
+    rows = pack_leaf_rows(cols, layout)
+    return rows, light, L
+
+
+@partial(jax.jit,
+         static_argnames=("max_depth", "rr_depth", "n_nodes", "n_lights",
+                          "multi", "interpret"))
+def megakernel_trace_bvh(node_box, node_meta, rows, light,
+                         lane, o, d, active, seed,
+                         max_depth: int, rr_depth: int, n_nodes: int,
+                         n_lights: int, multi: bool = False,
+                         interpret: bool = False):
+    """Path-tracing megakernel with packet-BVH ray queries; same sample
+    streams / image as megakernel_trace, unbounded by MAX_FACES."""
+    from .traverse import RPL
+
+    n = o.shape[0]
+    n_pad = -(-n // R_TILE) * R_TILE
+    pad = n_pad - n
+    rows_t = n_pad // LANES
+
+    def comp(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            rows_t, LANES)
+
+    lane_t = comp(lane.astype(jnp.uint32)).astype(jnp.uint32)
+    seed_t = jnp.full((rows_t, LANES), jnp.asarray(seed, jnp.uint32))
+    args = [
+        lane_t, seed_t,
+        comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+        comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+        comp(active.astype(jnp.float32)),
+    ]
+    grid = (rows_t // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi)
+    lr, lg, lb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box (packed)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta (packed)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # light
+            pl.BlockSpec(memory_space=pltpu.ANY),    # leaf rows (HBM)
+        ] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows_t, LANES), jnp.float32)] * 3,
+        scratch_shapes=[
+            pltpu.SMEM((2, RPL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(node_box, node_meta, light, rows, *args)
 
     flat = lambda x: x.reshape(n_pad)[:n]
     return jnp.stack([flat(lr), flat(lg), flat(lb)], axis=-1)

@@ -1,0 +1,540 @@
+"""Pallas packet BVH traversal — accelerated ray queries for large scenes.
+
+TPU-native replacement for the reference's accelerated traversal backends
+(Embree scene_embree.inl:113-160, native kd-tree kdtree.h:371,1827,
+OptiX scene_optix.inl:65): the round-1 megakernel tested every triangle
+from an SMEM table, capping scenes at 1024 faces; this module removes the
+cap with a two-level scheme shaped around the TPU memory system:
+
+- **Host build** (numpy + the native C++ SAH builder, native/bvh_builder
+  .cpp) with a large leaf size ("cluster", default 40 triangles).  Nodes
+  are flattened in DFS order with threaded miss links, so traversal needs
+  no stack — just a scalar cursor.
+- **Node table in SMEM**: bbox + meta as scalars.  A ray *packet* — one
+  (8, 128) vreg tile, 1024 rays — walks the tree with a single scalar
+  cursor; each node visit is one full-width VPU slab test and a scalar
+  any-lane reduction.  512 KB of SMEM fits ~15k nodes (~300k triangles
+  at the default cluster size).
+- **Leaf triangles in HBM**, packed 5-per-row into (rows, 128) f32 so DMA
+  slices stay lane-aligned.  When the packet enters a leaf its block is
+  DMA'd into a 2-slot SMEM queue; node traversal continues while the copy
+  is in flight (double buffering), then the leaf is intersected with the
+  same scalar-splat Moller-Trumbore loop the megakernel uses (PERF.md:
+  scalar->vector splats are the cheap path for loop constants).
+- Shading attributes of the winning triangle are resolved with a masked
+  select loop over the winning leaf only — O(cluster), not O(F).
+
+Divergence note: a packet shares one traversal, so efficiency depends on
+ray coherence.  Lanes are pixel-major (integrators/common.py), which
+keeps primary + shadow packets tight; bounce packets pay more node
+visits but remain O(visited clusters), never O(F).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.pytree import pytree, static
+
+SUB = 8
+LANES = 128
+R_TILE = SUB * LANES
+DET_EPS = 1e-9            # matches megakernel._tri_test
+
+PACK = 5          # triangles per 128-float row (stride 25, 3 cols pad)
+STRIDE = 25
+RPL = 8           # rows per leaf block (8-row aligned DMA slices)
+TB = PACK * RPL   # triangles per leaf/cluster (40)
+
+# triangle row columns (within a 25-float slot):
+#   0:3 p0 | 3:6 e1 | 6:9 e2 | 9:12 refl | 12:15 ng (unit geo normal)
+#   15 is_light | 16 pdf_area | 17 btype | 18:24 bparams | 24 face_id
+COL_FACE_ID = 24
+N_COLS = 25
+
+
+# ----------------------------------------------------------------- build
+
+# traversal nodes are SMEM-resident scalars; cap the node table at a safe
+# fraction of the ~512 KB SMEM budget (verified on v5e): 14336 nodes =
+# 448 KB, ~280k triangles at the default cluster size
+MAX_NODES = 14336
+
+
+class _StaticPerm:
+    """Identity-hashed wrapper so a large numpy permutation can sit in a
+    pytree's static treedef without array-equality headaches."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = np.asarray(a, np.int32)
+
+    def __eq__(self, other):
+        return self is other or (isinstance(other, _StaticPerm)
+                                 and self.a is other.a)
+
+    def __hash__(self):
+        return id(self.a)
+
+
+@pytree
+class PacketAccel:
+    """Packet-traversal acceleration structure (detached; the traced leaf
+    TABLE content is packed separately per trace via pack_leaf_rows).
+
+    SMEM rows are 512-byte granular, so nodes are packed along lanes:
+    node_box (ceil(M/16), 128) f32 — node j at cols (j%16)*8:
+    [lox loy loz hix hiy hiz _ _]; node_meta (ceil(M/32), 128) i32 —
+    node j at cols (j%32)*4: [row_start | -1, count, miss_link, _].
+    perm: per-slot face id (-1 pad).
+    """
+    node_box: jnp.ndarray
+    node_meta: jnp.ndarray
+    perm: object = static(None)
+    n_nodes: int = static(0)
+    n_leaves: int = static(0)
+
+
+def build_packet_bvh(verts_np, faces_np, leaf_size: int = TB) -> PacketAccel:
+    """Host SAH build + cluster layout (reference accel build,
+    scene_embree.inl:113; runs at make_scene time like scene.cpp:70).
+    Stays in numpy end to end — no device round-trips."""
+    from ...native import build_bvh_native
+
+    assert leaf_size == TB
+    out = build_bvh_native(verts_np, faces_np, TB)
+    if out is None:
+        from ..bvh import _build_bvh_median
+
+        b = _build_bvh_median(verts_np, faces_np, TB)
+        out = tuple(
+            np.asarray(x)
+            for x in (b.bbox_lo, b.bbox_hi, b.first, b.count, b.miss,
+                      b.prims))
+    lo, hi, first, count, miss, prims = out
+    M = lo.shape[0]
+
+    meta = np.zeros((M, 4), np.int32)
+    perm = []
+    n_leaves = 0
+    for i in range(M):
+        if count[i] > 0:
+            meta[i, 0] = n_leaves * RPL
+            meta[i, 1] = count[i]
+            slot = prims[first[i]:first[i] + count[i]].astype(np.int32)
+            perm.append(np.pad(slot, (0, TB - len(slot)),
+                               constant_values=-1))
+            n_leaves += 1
+        else:
+            meta[i, 0] = -1
+        meta[i, 2] = miss[i]
+    perm = (np.concatenate(perm) if perm
+            else np.full((TB,), -1, np.int32))
+
+    # SMEM-friendly packing (512 B rows): 16 nodes per f32 box row,
+    # 32 nodes per i32 meta row
+    box = np.zeros((M, 8), np.float32)
+    box[:, 0:3] = lo
+    box[:, 3:6] = hi
+    rows16 = -(-M // 16)
+    box = np.pad(box, ((0, rows16 * 16 - M), (0, 0))).reshape(rows16, 128)
+    rows32 = -(-M // 32)
+    meta = np.pad(meta, ((0, rows32 * 32 - M), (0, 0))).reshape(rows32, 128)
+    return PacketAccel(
+        node_box=jnp.asarray(box), node_meta=jnp.asarray(meta),
+        perm=_StaticPerm(perm),
+        n_nodes=M, n_leaves=max(n_leaves, 1))
+
+
+def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
+    """Permute a per-face (F, 25) column matrix into the HBM leaf-row
+    layout (n_leaves * RPL, 128).  Traceable (columns may be tracers);
+    the permutation itself is static."""
+    F = tri_cols.shape[0]
+    assert tri_cols.shape[1] == N_COLS
+    # padding slots read row 0 of a zero matrix (det = 0 -> never hit)
+    safe = jnp.concatenate(
+        [tri_cols, jnp.zeros((1, N_COLS), tri_cols.dtype)], axis=0)
+    perm = layout.perm.a
+    idx = np.where(perm < 0, F, perm)
+    slots = safe[idx]                                   # (n_leaves*TB, 25)
+    rows = slots.reshape(layout.n_leaves * RPL, PACK * N_COLS)
+    return jnp.pad(rows, ((0, 0), (0, 128 - PACK * N_COLS)))
+
+
+def tri_columns(v, f, extra=None):
+    """Default (F, 25) geometry columns from concatenated verts/faces:
+    p0 | e1 | e2 | zeros(refl) | unit ng | zeros(meta) | face_id.
+    ``extra`` optionally overrides cols 9:24 with shading data (F, 15)."""
+    p0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - p0
+    e2 = v[f[:, 2]] - p0
+    ng = jnp.cross(e1, e2)
+    ng = ng / jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1, keepdims=True),
+                                   1e-30))
+    F = f.shape[0]
+    mid = (extra if extra is not None
+           else jnp.concatenate(
+               [jnp.zeros((F, 3)), ng, jnp.zeros((F, 9))], axis=1))
+    fid = jnp.arange(F, dtype=jnp.float32)[:, None]
+    return jnp.concatenate([p0, e1, e2, mid, fid], axis=1)
+
+
+# ---------------------------------------------------------- kernel pieces
+
+def _slab(lo, hi, ox, oy, oz, ix, iy, iz, t_hi):
+    """Packet-vs-node AABB test; node bounds are SMEM scalars splat
+    against the (8, 128) ray tile.  Returns f32 0/1 hit mask."""
+    tx0 = (lo[0] - ox) * ix
+    tx1 = (hi[0] - ox) * ix
+    ty0 = (lo[1] - oy) * iy
+    ty1 = (hi[1] - oy) * iy
+    tz0 = (lo[2] - oz) * iz
+    tz1 = (hi[2] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                 jnp.minimum(ty0, ty1)),
+                     jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                 jnp.maximum(ty0, ty1)),
+                     jnp.minimum(jnp.maximum(tz0, tz1), t_hi))
+    return (tn <= tf).astype(jnp.float32)
+
+
+def _leaf_tri_test(c, ox, oy, oz, dx, dy, dz, maxt):
+    """Moller-Trumbore, one SMEM-scalar triangle vs the ray tile
+    (megakernel._tri_test with a leaf-buffer accessor)."""
+    e1x, e1y, e1z = c(3), c(4), c(5)
+    e2x, e2y, e2z = c(6), c(7), c(8)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    ok = jnp.abs(det) > DET_EPS
+    inv = 1.0 / jnp.where(ok, det, 1.0)
+    tvx = ox - c(0)
+    tvy = oy - c(1)
+    tvz = oz - c(2)
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    vv = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = (ok & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+           & (t > 0.0) & (t <= maxt))
+    return hit, t
+
+
+def _node_box(node_box, nid):
+    """Unpack node nid's bbox from the 16-nodes-per-row SMEM table."""
+    r = nid // 16
+    b = (nid % 16) * 8
+    lo = (node_box[r, b], node_box[r, b + 1], node_box[r, b + 2])
+    hi = (node_box[r, b + 3], node_box[r, b + 4], node_box[r, b + 5])
+    return lo, hi
+
+
+def _node_meta(node_meta, nid):
+    """Unpack (row_start, count, miss_link) from the 32-per-row table."""
+    r = nid // 32
+    b = (nid % 32) * 4
+    return node_meta[r, b], node_meta[r, b + 1], node_meta[r, b + 2]
+
+
+def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
+                     n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
+                     resolve_cols=(COL_FACE_ID,)):
+    """Packet closest-hit traversal subroutine (kernel-internal).
+
+    node_box/node_meta are packed SMEM refs (see PacketAccel); rows_hbm
+    an ANY/HBM ref; qbuf an SMEM (2, RPL, 128) scratch; sems a DMA
+    semaphore pair.  Returns (found, best_t, attrs) where ``found`` is an
+    f32 0/1 tile, plus one (8, 128) f32 tile per requested resolve
+    column; lanes with no hit keep best_t at its maxt init and attrs =
+    -1 for COL_FACE_ID, 0 otherwise.
+    """
+    shape = ox.shape
+    eps = jnp.float32(1e-30)
+    ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
+                         jnp.where(dx >= 0, eps, -eps))
+    iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy,
+                         jnp.where(dy >= 0, eps, -eps))
+    iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz,
+                         jnp.where(dz >= 0, eps, -eps))
+    actf = act.astype(jnp.float32)
+
+    n_res = len(resolve_cols)
+    init_attrs = tuple(
+        jnp.full(shape, -1.0) if col == COL_FACE_ID else jnp.zeros(shape)
+        for col in resolve_cols)
+
+    def start_dma(row_start, slot):
+        dma = pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(row_start, RPL)],
+            qbuf.at[slot],
+            sems.at[slot],
+        )
+        dma.start()
+
+    def process(row_start, cnt, slot, found, best_t, attrs):
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(row_start, RPL)],
+            qbuf.at[slot], sems.at[slot],
+        ).wait()
+
+        def tri_body(j, carry):
+            lt, lj = carry
+            r = j // PACK
+            cbase = (j % PACK) * STRIDE
+            c = lambda k: qbuf[slot, r, cbase + k]
+            hit, t = _leaf_tri_test(c, ox, oy, oz, dx, dy, dz, lt)
+            win = hit & (t < lt)
+            lt = jnp.where(win, t, lt)
+            lj = jnp.where(win, j.astype(jnp.float32), lj)
+            return lt, lj
+
+        lt, lj = jax.lax.fori_loop(
+            0, cnt, tri_body, (best_t, jnp.full(shape, -1.0)))
+        improved = lj >= 0.0
+
+        def res_body(j, acc):
+            r = j // PACK
+            cbase = (j % PACK) * STRIDE
+            m = improved & (lj == j.astype(jnp.float32))
+            return tuple(
+                jnp.where(m, qbuf[slot, r, cbase + col], a)
+                for col, a in zip(resolve_cols, acc))
+
+        attrs = jax.lax.fori_loop(0, cnt, res_body, attrs)
+        best_t = jnp.where(improved, lt, best_t)
+        found = jnp.maximum(found, improved.astype(jnp.float32))
+        return found, best_t, attrs
+
+    def cond(s):
+        cursor, pend_valid = s[0], s[3]
+        return (cursor >= 0) | (pend_valid > 0)
+
+    def body(s):
+        (cursor, pend_row, pend_cnt, pend_valid, slot, found, best_t) = s[:7]
+        attrs = s[7:]
+        nid = jnp.maximum(cursor, 0)
+        is_node = cursor >= 0
+        lo, hi = _node_box(node_box, nid)
+        hitmask = _slab(lo, hi, ox, oy, oz, ix, iy, iz, best_t) * actf
+        anyhit = (jnp.max(hitmask) > 0.0) & is_node
+        row_start, cnt, miss = _node_meta(node_meta, nid)
+        is_leaf = row_start >= 0
+        enqueue = anyhit & is_leaf
+        nxt = jnp.where(is_node,
+                        jnp.where(anyhit & ~is_leaf, nid + 1, miss),
+                        cursor)
+
+        # start the new leaf's DMA first (into the free slot), so the
+        # copy overlaps processing of the pending leaf
+        new_slot = jnp.where(pend_valid > 0, 1 - slot, slot)
+
+        @pl.when(enqueue)
+        def _():
+            start_dma(row_start, new_slot)
+
+        do_process = (pend_valid > 0) & (enqueue | ~is_node)
+        found, best_t, attrs = jax.lax.cond(
+            do_process,
+            lambda fd, bt, at: process(pend_row, pend_cnt, slot, fd, bt, at),
+            lambda fd, bt, at: (fd, bt, at),
+            found, best_t, attrs)
+
+        pend_row = jnp.where(enqueue, row_start, pend_row)
+        pend_cnt = jnp.where(enqueue, cnt, pend_cnt)
+        slot = jnp.where(enqueue, new_slot, slot)
+        pend_valid = jnp.where(
+            enqueue, 1, jnp.where(do_process, 0, pend_valid))
+        return (nxt, pend_row, pend_cnt, pend_valid, slot, found,
+                best_t) + attrs
+
+    z = jnp.int32(0)
+    init = (z, z, z, z, z, jnp.zeros(shape), maxt) + init_attrs
+    out = jax.lax.while_loop(cond, body, init)
+    return out[5], out[6], out[7:7 + n_res]
+
+
+def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
+                 n_nodes, ox, oy, oz, dx, dy, dz, maxt, act):
+    """Packet any-hit (shadow) traversal.  Returns f32 0/1 occluded tile.
+    Occluded lanes drop out of the live mask, shrinking later node visits
+    (scene.cpp:203 ray_test)."""
+    shape = ox.shape
+    eps = jnp.float32(1e-30)
+    ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
+                         jnp.where(dx >= 0, eps, -eps))
+    iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy,
+                         jnp.where(dy >= 0, eps, -eps))
+    iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz,
+                         jnp.where(dz >= 0, eps, -eps))
+    actf = act.astype(jnp.float32)
+
+    def process(row_start, cnt, slot, occ):
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(row_start, RPL)],
+            qbuf.at[slot], sems.at[slot],
+        ).wait()
+
+        def tri_body(j, occ):
+            r = j // PACK
+            cbase = (j % PACK) * STRIDE
+            c = lambda k: qbuf[slot, r, cbase + k]
+            hit, _ = _leaf_tri_test(c, ox, oy, oz, dx, dy, dz, maxt)
+            return jnp.maximum(occ, hit.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, cnt, tri_body, occ)
+
+    def cond(s):
+        return (s[0] >= 0) | (s[3] > 0)
+
+    def body(s):
+        cursor, pend_row, pend_cnt, pend_valid, slot, occ = s
+        nid = jnp.maximum(cursor, 0)
+        is_node = cursor >= 0
+        lo, hi = _node_box(node_box, nid)
+        live = actf * (1.0 - occ)
+        hitmask = _slab(lo, hi, ox, oy, oz, ix, iy, iz, maxt) * live
+        anyhit = (jnp.max(hitmask) > 0.0) & is_node
+        row_start, cnt, miss = _node_meta(node_meta, nid)
+        is_leaf = row_start >= 0
+        enqueue = anyhit & is_leaf
+        nxt = jnp.where(is_node,
+                        jnp.where(anyhit & ~is_leaf, nid + 1, miss),
+                        cursor)
+        new_slot = jnp.where(pend_valid > 0, 1 - slot, slot)
+
+        @pl.when(enqueue)
+        def _():
+            dma = pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(row_start, RPL)],
+                qbuf.at[new_slot], sems.at[new_slot])
+            dma.start()
+
+        do_process = (pend_valid > 0) & (enqueue | ~is_node)
+        occ = jax.lax.cond(
+            do_process,
+            lambda o: process(pend_row, pend_cnt, slot, o),
+            lambda o: o, occ)
+        pend_row = jnp.where(enqueue, row_start, pend_row)
+        pend_cnt = jnp.where(enqueue, cnt, pend_cnt)
+        slot = jnp.where(enqueue, new_slot, slot)
+        pend_valid = jnp.where(
+            enqueue, 1, jnp.where(do_process, 0, pend_valid))
+        return (nxt, pend_row, pend_cnt, pend_valid, slot, occ)
+
+    z = jnp.int32(0)
+    occ = jax.lax.while_loop(
+        cond, body, (z, z, z, z, z, jnp.zeros(shape)))[5]
+    return occ * actf
+
+
+# ------------------------------------------------------ standalone calls
+
+def _tile(x, n_pad, rows, fill=0.0):
+    return jnp.pad(x, (0, n_pad - x.shape[0]),
+                   constant_values=fill).reshape(rows, LANES)
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "interpret"))
+def packet_closest_hit(node_box, node_meta, rows_hbm,
+                       o, d, maxt, active, n_nodes: int,
+                       interpret: bool = False):
+    """Standalone closest-hit wavefront query: (N,3) rays -> (t (N,),
+    prim (N,) i32).  Misses return t = inf (scene.cpp:181)."""
+    n = o.shape[0]
+    n_pad = -(-n // R_TILE) * R_TILE
+    rows = n_pad // LANES
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
+
+    def kernel(box_ref, meta_ref, rows_ref,
+               ox, oy, oz, dx, dy, dz, mt, act,
+               t_ref, fid_ref, qbuf, sems):
+        found, best_t, (fid,) = traverse_closest(
+            box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
+            ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
+            act[:] > 0.5)
+        t_ref[:] = jnp.where(found > 0.0, best_t, jnp.inf)
+        fid_ref[:] = fid
+
+    t, fid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.SMEM((2, RPL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(node_box, node_meta, rows_hbm,
+      _tile(o[:, 0], n_pad, rows), _tile(o[:, 1], n_pad, rows),
+      _tile(o[:, 2], n_pad, rows),
+      _tile(d[:, 0], n_pad, rows), _tile(d[:, 1], n_pad, rows),
+      _tile(d[:, 2], n_pad, rows, fill=1.0),
+      _tile(maxt_t, n_pad, rows),
+      _tile(active.astype(jnp.float32), n_pad, rows))
+    flat = lambda x: x.reshape(n_pad)[:n]
+    return flat(t), flat(fid).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "interpret"))
+def packet_any_hit(node_box, node_meta, rows_hbm,
+                   o, d, maxt, active, n_nodes: int,
+                   interpret: bool = False):
+    """Standalone any-hit query -> occluded (N,) bool (scene.cpp:203)."""
+    n = o.shape[0]
+    n_pad = -(-n // R_TILE) * R_TILE
+    rows = n_pad // LANES
+    grid = (rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
+
+    def kernel(box_ref, meta_ref, rows_ref,
+               ox, oy, oz, dx, dy, dz, mt, act, occ_ref, qbuf, sems):
+        occ_ref[:] = traverse_any(
+            box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
+            ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
+            act[:] > 0.5)
+
+    occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ] + [ray_spec] * 8,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((2, RPL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(node_box, node_meta, rows_hbm,
+      _tile(o[:, 0], n_pad, rows), _tile(o[:, 1], n_pad, rows),
+      _tile(o[:, 2], n_pad, rows),
+      _tile(d[:, 0], n_pad, rows), _tile(d[:, 1], n_pad, rows),
+      _tile(d[:, 2], n_pad, rows, fill=1.0),
+      _tile(maxt_t, n_pad, rows),
+      _tile(active.astype(jnp.float32), n_pad, rows))
+    return occ.reshape(n_pad)[:n] > 0.5

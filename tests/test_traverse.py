@@ -1,0 +1,170 @@
+"""Packet-BVH traversal correctness (interpret mode on CPU).
+
+The Pallas packet traversal (ops/pallas/traverse.py) replaces the
+reference's accelerated backends (scene_embree.inl:113-160, kdtree.h:371)
+for >MAX_FACES scenes.  These tests pin it against brute-force
+intersection and against the wavefront path integrator (identical
+sample streams, like test_megakernel.py).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mitsuba_tpu.ops.pallas.traverse import (
+    build_packet_bvh,
+    pack_leaf_rows,
+    packet_any_hit,
+    packet_closest_hit,
+    tri_columns,
+)
+
+
+def _random_soup(F, seed=0):
+    rng = np.random.default_rng(seed)
+    c = rng.random((F, 3), np.float32) * 2 - 1
+    jit = lambda: 0.12 * (rng.random((F, 3), np.float32) - 0.5)
+    v0, v1, v2 = c + jit(), c + jit(), c + jit()
+    verts = np.concatenate([v0, v1, v2]).astype(np.float32)
+    faces = np.stack(
+        [np.arange(F), np.arange(F) + F, np.arange(F) + 2 * F], 1
+    ).astype(np.int32)
+    return verts, faces
+
+
+def _brute(verts, faces, o, d):
+    p0 = verts[faces[:, 0]]
+    e1 = verts[faces[:, 1]] - p0
+    e2 = verts[faces[:, 2]] - p0
+    pv = np.cross(d[:, None, :], e2[None])
+    det = np.einsum("fk,nfk->nf", e1, pv)
+    ok = np.abs(det) > 1e-9
+    inv = 1.0 / np.where(ok, det, 1.0)
+    tv = o[:, None, :] - p0[None]
+    u = np.einsum("nfk,nfk->nf", tv, pv) * inv
+    qv = np.cross(tv, e1[None])
+    vv = np.einsum("nk,nfk->nf", d, qv) * inv
+    tt = np.einsum("fk,nfk->nf", e2, qv) * inv
+    hit = ok & (u >= 0) & (vv >= 0) & (u + vv <= 1) & (tt > 0)
+    tt = np.where(hit, tt, np.inf)
+    tmin = tt.min(1)
+    return tmin, np.where(np.isfinite(tmin), tt.argmin(1), -1)
+
+
+@pytest.mark.parametrize("F", [37, 500, 2000])
+def test_packet_closest_matches_brute(F):
+    verts, faces = _random_soup(F, seed=F)
+    acc = build_packet_bvh(verts, faces)
+    rows = pack_leaf_rows(
+        tri_columns(jnp.asarray(verts), jnp.asarray(faces)), acc)
+
+    rng = np.random.default_rng(1)
+    N = 1500
+    o = (rng.random((N, 3), np.float32) * 4 - 2)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    act = jnp.ones((N,), bool)
+
+    t, fid = packet_closest_hit(
+        acc.node_box, acc.node_meta, rows,
+        jnp.asarray(o), jnp.asarray(d), jnp.inf, act,
+        n_nodes=acc.n_nodes, interpret=True)
+    t, fid = np.asarray(t), np.asarray(fid)
+    tr, fr = _brute(verts, faces, o, d)
+
+    assert (np.isfinite(t) == np.isfinite(tr)).all()
+    m = np.isfinite(tr)
+    assert np.allclose(t[m], tr[m], atol=1e-4)
+    assert (fid[m] == fr[m]).all()
+
+    occ = np.asarray(packet_any_hit(
+        acc.node_box, acc.node_meta, rows,
+        jnp.asarray(o), jnp.asarray(d), 1e9, act,
+        n_nodes=acc.n_nodes, interpret=True))
+    assert (occ == np.isfinite(tr)).all()
+
+
+def test_packet_respects_maxt_and_active():
+    verts, faces = _random_soup(300, seed=9)
+    acc = build_packet_bvh(verts, faces)
+    rows = pack_leaf_rows(
+        tri_columns(jnp.asarray(verts), jnp.asarray(faces)), acc)
+    rng = np.random.default_rng(2)
+    N = 600
+    o = (rng.random((N, 3), np.float32) * 4 - 2)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tr, _ = _brute(verts, faces, o, d)
+
+    # maxt clips hits beyond it
+    maxt = np.float32(np.nanmedian(np.where(np.isfinite(tr), tr, np.nan)))
+    t, _ = packet_closest_hit(
+        acc.node_box, acc.node_meta, rows,
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.full((N,), maxt), jnp.ones((N,), bool),
+        n_nodes=acc.n_nodes, interpret=True)
+    t = np.asarray(t)
+    expect = np.where(tr < maxt, tr, np.inf)
+    # exclude lanes where tr sits exactly at the clip boundary (strict-vs-
+    # non-strict comparison is unspecified there)
+    off_boundary = np.abs(tr - maxt) > 1e-6 * maxt
+    assert (np.isfinite(t) == np.isfinite(expect))[off_boundary].all()
+
+    # inactive lanes never hit
+    act = np.zeros((N,), bool)
+    t2, _ = packet_closest_hit(
+        acc.node_box, acc.node_meta, rows,
+        jnp.asarray(o), jnp.asarray(d), jnp.inf, jnp.asarray(act),
+        n_nodes=acc.n_nodes, interpret=True)
+    assert not np.isfinite(np.asarray(t2)).any()
+
+
+@pytest.fixture(scope="module")
+def big_scene():
+    """Cornell box + diffuse icosphere: >MAX_FACES, inside the megakernel
+    plugin subset -> exercises the BVH megakernel."""
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.shapes import Mesh, sphere_mesh
+    from mitsuba_tpu.utils.scenes import cornell_box
+
+    base = cornell_box(width=16, height=16)
+    v, f, n, uv = sphere_mesh(
+        3, np.asarray(tf.compose(tf.translate([0.3, 0.2, 0.2]),
+                                 tf.scale(0.35))))
+    ball = Mesh.make(v, f, normals=n, uvs=uv, bsdf_index=0, id="ball")
+    meshes = list(base.meshes) + [ball]
+    return make_scene(meshes, list(base.bsdfs), list(base.emitters),
+                      base.sensor)
+
+
+def test_bvh_megakernel_applicable(big_scene):
+    from mitsuba_tpu.ops.pallas.megakernel import (
+        megakernel_applicable, megakernel_bvh_applicable)
+
+    total = sum(int(m.faces.shape[0]) for m in big_scene.meshes)
+    assert total > 1024
+    assert big_scene.packet_accel is not None
+    assert not megakernel_applicable(big_scene)
+    assert megakernel_bvh_applicable(big_scene)
+
+
+def test_bvh_megakernel_matches_wavefront(big_scene):
+    from mitsuba_tpu.models.integrators import (
+        MegakernelPathIntegrator, PathIntegrator, sample_rays)
+
+    seed = jnp.uint32(5)
+    ray, weight, film_pos, lane = sample_rays(big_scene, seed, 2)
+    active = jnp.ones((ray.o.shape[0],), bool)
+
+    L_ref = PathIntegrator(max_depth=3).sample(
+        big_scene, ray, lane, seed, active)
+    L_mk = MegakernelPathIntegrator(max_depth=3).sample(
+        big_scene, ray, lane, seed, active)
+    ref, mk = np.asarray(L_ref), np.asarray(L_mk)
+    close = np.isclose(mk, ref, rtol=2e-3, atol=2e-3).all(axis=-1)
+    # dense tessellated sphere -> more rays graze shared edges, where the
+    # BVH traversal order breaks the equal-t tie differently from the
+    # brute sweep; those lanes diverge but stay unbiased (mean check)
+    assert close.mean() > 0.96, f"only {close.mean():.4f} lanes match"
+    assert np.abs(mk.mean() - ref.mean()) / ref.mean() < 5e-3
