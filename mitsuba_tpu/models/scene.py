@@ -200,14 +200,32 @@ class Scene:
             fshape.append(jnp.full((m.faces.shape[0],), i, jnp.int32))
         return jnp.concatenate(fshape)
 
-    def compute_si(self, pi, ray: Ray, ctx=None) -> SurfaceInteraction:
+    def compute_si(self, pi, ray: Ray, ctx=None,
+                   mode: str = "attach") -> SurfaceInteraction:
         """Differentiable SI recomputation from a detached preliminary
-        intersection (shape.h:526,571 / mesh.cpp:1376) — one packed gather."""
+        intersection (shape.h:526,571 / mesh.cpp:1376) — one packed gather.
+
+        ``mode`` reproduces the reference's RayFlags differentiability
+        modes (interaction.h:19-68):
+
+        - ``"attach"`` (default): (t, u, v) re-derived differentiably from
+          the attached ray *and* vertices — si.p slides along the fixed
+          ray to stay on the moving surface.
+        - ``"follow_shape"``: barycentrics detached, vertices attached —
+          si.p rigidly follows the shape's motion (d si.uv/d shape = 0);
+          t is recomputed from the attached p.
+        - ``"detach_shape"``: vertices (and derived normals/uvs) detached
+          — no gradient w.r.t. shape parameters; si.p still tracks the
+          ray.
+        """
         if ctx is None:
             ctx = self.trace_ctx()
+        assert mode in ("attach", "follow_shape", "detach_shape")
         valid = pi.is_valid()
         prim = jnp.where(valid, pi.prim_index, 0)
         td = ctx["tri_data"][prim]          # (N, 26) single gather
+        if mode == "detach_shape":
+            td = jax.lax.stop_gradient(td)
         p0, p1, p2 = td[:, 0:3], td[:, 3:6], td[:, 6:9]
         n0, n1, n2 = td[:, 9:12], td[:, 12:15], td[:, 15:18]
         uv0, uv1, uv2 = td[:, 18:20], td[:, 20:22], td[:, 22:24]
@@ -221,8 +239,18 @@ class Scene:
         t = jnp.where(ok, t, pi.t)
         u = jnp.clip(jnp.where(ok, u, pi.prim_uv[..., 0]), 0.0, 1.0)
         v_ = jnp.clip(jnp.where(ok, v_, pi.prim_uv[..., 1]), 0.0, 1.0)
+        if mode == "follow_shape":
+            u = jax.lax.stop_gradient(u)
+            v_ = jax.lax.stop_gradient(v_)
         b0 = 1.0 - u - v_
         p = p0 * b0[:, None] + p1 * u[:, None] + p2 * v_[:, None]
+        if mode == "follow_shape":
+            # t from the attached hit point (mesh.cpp:1376 follow_shape
+            # branch): the interaction sticks to the surface point
+            from ..core.math import dot as _dot
+            t = jnp.sqrt(
+                jnp.maximum(_dot(p - ray.o, p - ray.o), 1e-30)
+                / jnp.maximum(_dot(ray.d, ray.d), 1e-30))
         ng = normalize(cross(p1 - p0, p2 - p0))
         ns = normalize(n0 * b0[:, None] + n1 * u[:, None] + n2 * v_[:, None])
         sh_n = jnp.where(smooth[:, None], ns, ng)
@@ -238,13 +266,16 @@ class Scene:
             time=ray.time,
         )
 
-    def ray_intersect(self, ray: Ray, active=None, ctx=None):
+    def ray_intersect(self, ray: Ray, active=None, ctx=None,
+                      mode: str = "attach"):
         """Closest-hit query + differentiable SI recomputation
-        (scene.cpp:181 → shape compute_surface_interaction)."""
+        (scene.cpp:181 → shape compute_surface_interaction); ``mode``
+        selects the RayFlags differentiability semantics (compute_si)."""
         if ctx is None:
             ctx = self.trace_ctx()
         si = self.compute_si(
-            self.ray_intersect_preliminary(ray, active, ctx), ray, ctx
+            self.ray_intersect_preliminary(ray, active, ctx), ray, ctx,
+            mode=mode
         )
         if self.scene_sdf is not None:
             si = self._merge_sdf_si(si, ray, active)

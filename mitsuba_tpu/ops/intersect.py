@@ -128,13 +128,25 @@ def compute_surface_interaction(
     pi: PreliminaryIntersection,
     vertex_normals=None,
     vertex_uvs=None,
+    mode: str = "attach",
 ):
     """Differentiable SI from a detached preliminary intersection.
 
     Re-runs Moller-Trumbore with differentiable `vertices` on the single
-    gathered triangle per lane (reference semantics: mesh.cpp:1376,
-    RayFlags default = detached ray, attached shape).
+    gathered triangle per lane (reference semantics: mesh.cpp:1376).
+    ``mode`` selects the RayFlags differentiability semantics
+    (interaction.h:19-68): "attach" (default — SI slides along the fixed
+    ray to stay on the moving surface), "follow_shape" (SI rigidly
+    follows shape motion; detached barycentrics), "detach_shape" (shape
+    detached from the AD graph).
     """
+    assert mode in ("attach", "follow_shape", "detach_shape")
+    if mode == "detach_shape":
+        vertices = jax.lax.stop_gradient(vertices)
+        if vertex_normals is not None:
+            vertex_normals = jax.lax.stop_gradient(vertex_normals)
+        if vertex_uvs is not None:
+            vertex_uvs = jax.lax.stop_gradient(vertex_uvs)
     valid = pi.is_valid()
     prim = jnp.where(valid, pi.prim_index, 0)
     fidx = faces[prim]  # (N, 3)
@@ -150,9 +162,16 @@ def compute_surface_interaction(
     t = jnp.where(ok, t, pi.t)
     u = jnp.clip(jnp.where(ok, u, pi.prim_uv[..., 0]), 0.0, 1.0)
     v = jnp.clip(jnp.where(ok, v, pi.prim_uv[..., 1]), 0.0, 1.0)
+    if mode == "follow_shape":
+        u = jax.lax.stop_gradient(u)
+        v = jax.lax.stop_gradient(v)
 
     b0 = 1.0 - u - v
     p = p0 * b0[:, None] + p1 * u[:, None] + p2 * v[:, None]
+    if mode == "follow_shape":
+        t = jnp.sqrt(
+            jnp.maximum(dot(p - ray.o, p - ray.o), 1e-30)
+            / jnp.maximum(dot(ray.d, ray.d), 1e-30))
 
     ng = normalize(cross(p1 - p0, p2 - p0))
     if vertex_normals is not None:

@@ -144,3 +144,53 @@ def test_cube_winding_outward():
     centers = tri.mean(axis=1)
     # geometric normal must point away from the origin (outward)
     assert ((ng * centers).sum(-1) > 0).all()
+
+
+def test_rayflags_modes_translating_plane():
+    """RayFlags differentiability modes (interaction.h:19-68): translate a
+    plane along z under a tilted ray and compare d si/d translation."""
+    verts_np, faces, _, _ = shapes.rectangle()
+    faces = jnp.asarray(faces)
+    # tilted ray: d = (0.6, 0, 0.8)
+    ray = Ray.make(jnp.array([[-0.3, 0.1, -1.0]]),
+                   jnp.array([[0.6, 0.0, 0.8]]))
+
+    def si_parts(dz, mode):
+        v = jnp.asarray(verts_np).at[:, 2].add(dz)
+        pi = jax.lax.stop_gradient(xs.intersect_brute(v, faces, ray))
+        si = xs.compute_surface_interaction(
+            v, faces, jnp.zeros(faces.shape[0], jnp.int32), ray, pi,
+            mode=mode)
+        return jnp.concatenate([si.p[0], si.uv[0]])
+
+    # primal agrees across modes
+    vals = {m: np.asarray(si_parts(0.0, m))
+            for m in ("attach", "follow_shape", "detach_shape")}
+    assert np.allclose(vals["attach"], vals["follow_shape"], atol=1e-5)
+    assert np.allclose(vals["attach"], vals["detach_shape"], atol=1e-5)
+
+    g = {m: np.asarray(jax.jacfwd(si_parts)(0.0, m))
+         for m in ("attach", "follow_shape", "detach_shape")}
+    # attach: hit point slides along the fixed ray: dp/dz = d/d_z
+    assert np.allclose(g["attach"][:3], [0.6 / 0.8, 0.0, 1.0], atol=1e-4)
+    # follow_shape: point rides rigidly with the shape: dp/dz = (0,0,1),
+    # and the surface uv is frozen
+    assert np.allclose(g["follow_shape"][:3], [0.0, 0.0, 1.0], atol=1e-4)
+    assert np.allclose(g["follow_shape"][3:], 0.0, atol=1e-6)
+    # detach_shape: no shape gradient at all
+    assert np.allclose(g["detach_shape"], 0.0, atol=1e-6)
+    # attach mode's uv gradient is nonzero (surface slides under the ray)
+    assert np.abs(g["attach"][3:]).max() > 1e-4
+
+
+def test_rayflags_mode_scene_threading():
+    """scene.ray_intersect(mode=...) threads the flag; primal invariant."""
+    from mitsuba_tpu.utils.scenes import cornell_box
+
+    scene = cornell_box(width=8, height=8)
+    ray = Ray.make(jnp.array([[0.0, 0.0, 3.0]]), jnp.array([[0.0, 0.0, -1.0]]))
+    sis = [scene.ray_intersect(ray, mode=m)
+           for m in ("attach", "follow_shape", "detach_shape")]
+    for si in sis[1:]:
+        assert np.allclose(np.asarray(si.p), np.asarray(sis[0].p), atol=1e-5)
+        assert np.allclose(np.asarray(si.t), np.asarray(sis[0].t), atol=1e-5)
