@@ -38,6 +38,21 @@ def bounce_dim(depth, slot):
     return DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE + slot
 
 
+def sampler_spec(scene):
+    """Static stratification spec for the scene's sampler, threaded into
+    rng.sample_1d/2d so *every* requested dimension is stratified (the
+    reference stratifies each request, stratified.cpp:195 /
+    sampler.h:64-172 — not just the film jitter).  None = independent;
+    non-power-of-two sample counts fall back to independent streams."""
+    s = getattr(scene.sensor, "sampler", None)
+    if s is None or getattr(s, "id", "independent") == "independent":
+        return None
+    spp = int(s.sample_count)
+    if spp <= 1 or (spp & (spp - 1)):
+        return None
+    return (s.id, spp)
+
+
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic (beta=2), ad/integrators/common.py:1318."""
     a2 = pdf_a * pdf_a
@@ -73,8 +88,9 @@ def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
     film_pos = jnp.stack([px, py], axis=-1) + jitter
     pos_unit = film_pos / jnp.asarray([w, h], jnp.float32)
 
-    aperture = rng.sample_2d(seed, lane, jnp.int32(DIM_APERTURE))
-    wav = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH))
+    spec = sampler_spec(scene)
+    aperture = rng.sample_2d(seed, lane, jnp.int32(DIM_APERTURE), spec)
+    wav = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH), spec)
     time = jnp.zeros((n,))
     ray, weight = sensor.sample_ray(time, wav, pos_unit, aperture)
     return ray, weight, film_pos, lane

@@ -13,6 +13,7 @@ from ...core import rng
 from ...core.pytree import pytree, static
 from ...core.records import Ray
 from .common import (
+    sampler_spec,
     SLOT_BSDF_DIR,
     SLOT_BSDF_LOBE,
     SLOT_EM_POS,
@@ -40,6 +41,7 @@ class DirectIntegrator:
 
         L = jnp.zeros((n, 3))
         ctx = scene.trace_ctx()
+        spec = sampler_spec(scene)
         si = scene.ray_intersect(ray, active, ctx)
 
         # directly visible emitters / environment
@@ -54,8 +56,8 @@ class DirectIntegrator:
 
         # ---- emitter sampling strategy ----
         for k in range(self.emitter_samples):
-            s1 = rng.sample_1d(seed, lane, bounce_dim(k, SLOT_EM_SELECT))
-            s2 = rng.sample_2d(seed, lane, bounce_dim(k, SLOT_EM_POS))
+            s1 = rng.sample_1d(seed, lane, bounce_dim(k, SLOT_EM_SELECT), spec)
+            s2 = rng.sample_2d(seed, lane, bounce_dim(k, SLOT_EM_POS), spec)
             ds, em_weight, ok = scene.sample_emitter_direction(si, s1, s2, act, ctx=ctx)
             wo = si.to_local(ds.d)
             bsdf_val, bsdf_pdf = scene.bsdf_eval_pdf(si, wo, ok)
@@ -70,8 +72,8 @@ class DirectIntegrator:
 
         # ---- BSDF sampling strategy ----
         for k in range(self.bsdf_samples):
-            s1 = rng.sample_1d(seed, lane, bounce_dim(k, SLOT_BSDF_LOBE))
-            s2 = rng.sample_2d(seed, lane, bounce_dim(k, SLOT_BSDF_DIR))
+            s1 = rng.sample_1d(seed, lane, bounce_dim(k, SLOT_BSDF_LOBE), spec)
+            s2 = rng.sample_2d(seed, lane, bounce_dim(k, SLOT_BSDF_DIR), spec)
             bs, bsdf_w = scene.bsdf_sample(si, s1, s2, act)
             ray2 = si.spawn_ray(si.to_world(bs.wo))
             ok = act & (bs.pdf > 0.0)

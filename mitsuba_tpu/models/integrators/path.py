@@ -20,6 +20,7 @@ from ...core import rng
 from ...core.pytree import pytree, static
 from ...core.records import Ray
 from .common import (
+    sampler_spec,
     SLOT_BSDF_DIR,
     SLOT_BSDF_LOBE,
     SLOT_EM_POS,
@@ -42,6 +43,7 @@ class PathIntegrator:
         n = ray.o.shape[0]
         nee_enabled = len(scene.emitters) > 0
         ctx = scene.trace_ctx()  # loop-invariant packed geometry
+        spec = sampler_spec(scene)
 
         state = dict(
             depth=jnp.int32(0),
@@ -90,8 +92,8 @@ class PathIntegrator:
 
             # ---- next-event estimation (path.cpp:195-230) ----
             if nee_enabled:
-                s1 = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_EM_SELECT))
-                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                s1 = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_EM_SELECT), spec)
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS), spec)
                 ds, em_weight, ok = scene.sample_emitter_direction(
                     si, s1, s2, act_next, ctx=ctx
                 )
@@ -105,8 +107,8 @@ class PathIntegrator:
                 )[:, None]
 
             # ---- BSDF sampling (path.cpp:216 eval_pdf_sample) ----
-            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
-            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE), spec)
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR), spec)
             bs, bsdf_w = scene.bsdf_sample(si, s1b, s2b, act_next)
             new_ray = si.spawn_ray(si.to_world(bs.wo))
             beta = beta * bsdf_w
@@ -118,7 +120,7 @@ class PathIntegrator:
             beta_max = jnp.max(beta, axis=-1) * eta * eta
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_active = depth + 1 >= self.rr_depth
-            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR), spec)
             survive = jnp.where(rr_active, u < rr_prob, True)
             beta = jnp.where(
                 (rr_active & act_next)[..., None],

@@ -36,6 +36,7 @@ from ...core import rng
 from ...core.pytree import pytree, static
 from ...core.records import Ray
 from .common import (
+    sampler_spec,
     SLOT_BSDF_DIR,
     SLOT_BSDF_LOBE,
     SLOT_EM_POS,
@@ -105,6 +106,7 @@ class PRBIntegrator:
         ctx_det = scene_det.trace_ctx()
         floats, rebuild, _ = _float_partition(scene)
         nee_enabled = len(scene.emitters) > 0
+        spec = sampler_spec(scene)
 
         state = dict(
             depth=jnp.int32(0),
@@ -148,8 +150,8 @@ class PRBIntegrator:
             act_next = act_hit & (depth + 1 < self.max_depth)
 
             if nee_enabled:
-                s1 = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_EM_SELECT))
-                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                s1 = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_EM_SELECT), spec)
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS), spec)
                 ds, _, ok = scene_det.sample_emitter_direction(
                     si_d, s1, s2, act_next, ctx=ctx_det
                 )
@@ -161,8 +163,8 @@ class PRBIntegrator:
                 mis_em = jnp.where(ok, mis_em, 0.0)
                 inv_ds_pdf = jnp.where(ds.pdf > 0.0, 1.0 / ds.pdf, 0.0)
 
-            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
-            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE), spec)
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR), spec)
             bs, bsdf_w_d = scene_det.bsdf_sample(si_d, s1b, s2b, act_next)
 
             # ---------- attached re-evaluation + local gradient
@@ -209,7 +211,7 @@ class PRBIntegrator:
             beta_max = jnp.max(beta, axis=-1) * eta * eta
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_active = depth + 1 >= self.rr_depth
-            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR), spec)
             survive = jnp.where(rr_active, u < rr_prob, True)
             beta = jnp.where(
                 (rr_active & act_next)[..., None],
@@ -248,6 +250,7 @@ class PRBIntegrator:
         ctx_det = scene_det.trace_ctx()
         floats, rebuild, _ = _float_partition(scene)
         nee_enabled = len(scene.emitters) > 0
+        spec = sampler_spec(scene)
 
         state = dict(
             depth=jnp.int32(0),
@@ -291,8 +294,8 @@ class PRBIntegrator:
 
             if nee_enabled:
                 s1 = rng.sample_1d(seed, lane,
-                                   bounce_dim(depth, SLOT_EM_SELECT))
-                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                                   bounce_dim(depth, SLOT_EM_SELECT), spec)
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS), spec)
                 ds, _, ok = scene_det.sample_emitter_direction(
                     si_d, s1, s2, act_next, ctx=ctx_det)
                 wo_em_d = si_d.to_local(ds.d)
@@ -302,8 +305,8 @@ class PRBIntegrator:
                 mis_em = jnp.where(ok, mis_em, 0.0)
                 inv_ds_pdf = jnp.where(ds.pdf > 0.0, 1.0 / ds.pdf, 0.0)
 
-            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
-            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE), spec)
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR), spec)
             bs, bsdf_w_d = scene_det.bsdf_sample(si_d, s1b, s2b, act_next)
 
             def contrib_fn(fl):
@@ -341,7 +344,7 @@ class PRBIntegrator:
             beta_max = jnp.max(beta, axis=-1) * eta * eta
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_on = depth + 1 >= self.rr_depth
-            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR), spec)
             survive = jnp.where(rr_on, u < rr_prob, True)
             beta = jnp.where((rr_on & act_next)[..., None],
                              beta / jnp.maximum(rr_prob, 1e-8)[..., None],

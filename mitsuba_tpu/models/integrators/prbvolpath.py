@@ -30,6 +30,7 @@ from ...core.pytree import pytree, static
 from ...core.records import Ray
 from ..media import HomogeneousMedium
 from .common import (
+    sampler_spec,
     SLOT_BSDF_DIR,
     SLOT_BSDF_LOBE,
     SLOT_EM_POS,
@@ -80,6 +81,7 @@ class PRBVolPathIntegrator:
         ctx_det = scene_det.trace_ctx()
         floats, rebuild, _ = _float_partition(scene)
         nee_enabled = len(scene.emitters) > 0
+        spec = sampler_spec(scene)
 
         state = dict(
             depth=jnp.int32(0),
@@ -109,8 +111,8 @@ class PRBVolPathIntegrator:
             si_d = scene_det.compute_si(pi, ray, ctx_det)
             dist_max = jnp.where(si_d.is_valid(), si_d.t, 1e8)
 
-            s_ch = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_CH))
-            s_t = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_T))
+            s_ch = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_CH), spec)
+            s_t = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_T), spec)
             t_med, is_med, w_med_d = medium_det.sample_interaction(
                 dist_max, s_ch, s_t, act)
             p_med = ray.o + ray.d * t_med[:, None]
@@ -131,8 +133,8 @@ class PRBVolPathIntegrator:
 
             if nee_enabled:
                 s1 = rng.sample_1d(seed, lane,
-                                   bounce_dim(depth, SLOT_EM_SELECT))
-                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                                   bounce_dim(depth, SLOT_EM_SELECT), spec)
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS), spec)
                 ref_si = si_d.replace(
                     p=jnp.where(is_med[:, None], p_med, si_d.p))
                 ds, _, ok = scene_det.sample_emitter_direction(
@@ -146,8 +148,8 @@ class PRBVolPathIntegrator:
                 mis_em = jnp.where(ok, mis_em, 0.0)
                 inv_ds_pdf = jnp.where(ds.pdf > 0.0, 1.0 / ds.pdf, 0.0)
 
-            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
-            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE), spec)
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR), spec)
             wo_phase, pdf_phase = phase_det.sample(
                 -ray.d, s2b, act_next & is_med)
             bs, bsdf_w_d = scene_det.bsdf_sample(
@@ -213,7 +215,7 @@ class PRBVolPathIntegrator:
             beta_max = jnp.max(beta, axis=-1)
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_on = depth + 1 >= self.rr_depth
-            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR), spec)
             survive = jnp.where(rr_on, u < rr_prob, True)
             beta = jnp.where((rr_on & act_next)[:, None],
                              beta / jnp.maximum(rr_prob, 1e-8)[:, None],

@@ -30,6 +30,7 @@ from ...core.math import Frame, dot
 from ...core.pytree import pytree, static
 from ...core.records import Ray
 from ...core.spectrum import rgb_response, sample_wavelength_visible
+from .common import sampler_spec
 
 # dimension layout (disjoint use of the camera-level dims)
 DIM_EM_SELECT = 0
@@ -158,11 +159,12 @@ class ParticleTracerIntegrator:
         n = lane.shape[0]
         film = sensor.film
         ctx = scene.trace_ctx()
+        spec = sampler_spec(scene)
         time = jnp.zeros((n,))
 
-        sel = rng.sample_1d(seed, lane, jnp.int32(DIM_EM_SELECT))
-        pos_s = rng.sample_2d(seed, lane, jnp.int32(DIM_EM_POS))
-        dir_s = rng.sample_2d(seed, lane, jnp.int32(DIM_EM_DIR))
+        sel = rng.sample_1d(seed, lane, jnp.int32(DIM_EM_SELECT), spec)
+        pos_s = rng.sample_2d(seed, lane, jnp.int32(DIM_EM_POS), spec)
+        dir_s = rng.sample_2d(seed, lane, jnp.int32(DIM_EM_DIR), spec)
 
         active0 = jnp.ones((n,), bool)
         ray, throughput, ps, em_idx = scene.sample_emitter_ray(
@@ -171,7 +173,7 @@ class ParticleTracerIntegrator:
         if self.spectral:
             # hero wavelength per light path; the CIE response/pdf weight
             # folds into the throughput so every connection inherits it
-            wu = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH))
+            wu = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH), spec)
             lam, lam_pdf = sample_wavelength_visible(wu)
             throughput = throughput * (
                 rgb_response(lam) / jnp.maximum(lam_pdf, 1e-12)[..., None]
@@ -201,7 +203,7 @@ class ParticleTracerIntegrator:
                 # Le/pdf -> divide by pi (the cosine goes into
                 # foreshortening at connection time)
                 conn_w = jnp.where(m[:, None], throughput / jnp.pi, conn_w)
-            s2 = rng.sample_2d(seed, lane, jnp.int32(DIM_DIRECT_SENSOR))
+            s2 = rng.sample_2d(seed, lane, jnp.int32(DIM_DIRECT_SENSOR), spec)
             frame = Frame.from_normal(ps.n)
             img = self._connect_sensor(
                 scene, sensor, ps.p, ps.n, frame,
@@ -232,7 +234,7 @@ class ParticleTracerIntegrator:
             bidx = scene.lane_bsdf_index(si)
 
             # connect this vertex to the sensor
-            s2 = rng.sample_2d(seed, lane, _bdim(depth, SLOT_SENSOR))
+            s2 = rng.sample_2d(seed, lane, _bdim(depth, SLOT_SENSOR), spec)
             img2 = self._connect_sensor(
                 scene, sensor, si.p, si.n, si.sh_frame, si.wi, bidx,
                 jnp.ones((n,), bool), s["beta"], s2, act, s["img"], film,
@@ -240,8 +242,8 @@ class ParticleTracerIntegrator:
             )
 
             # continue the walk: importance-mode BSDF sampling
-            s1b = rng.sample_1d(seed, lane, _bdim(depth, SLOT_BSDF_LOBE))
-            s2b = rng.sample_2d(seed, lane, _bdim(depth, SLOT_BSDF_DIR))
+            s1b = rng.sample_1d(seed, lane, _bdim(depth, SLOT_BSDF_LOBE), spec)
+            s2b = rng.sample_2d(seed, lane, _bdim(depth, SLOT_BSDF_DIR), spec)
             bs, bw = scene.bsdf_sample(si, s1b, s2b, act)
             # remove the radiance-only eta^2 factor (importance transport)
             bw = bw * (bs.eta**2)[..., None]
@@ -256,7 +258,7 @@ class ParticleTracerIntegrator:
             )
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_active = depth + 1 >= self.rr_depth
-            u = rng.sample_1d(seed, lane, _bdim(depth, SLOT_RR))
+            u = rng.sample_1d(seed, lane, _bdim(depth, SLOT_RR), spec)
             survive = jnp.where(rr_active, u < rr_prob, True)
             beta = jnp.where(
                 (rr_active & act)[..., None],

@@ -20,6 +20,7 @@ from ...core.pytree import pytree, static
 from ...core.records import Ray
 from ..media import GridMedium, HomogeneousMedium
 from .common import (
+    sampler_spec,
     SLOT_BSDF_DIR,
     SLOT_BSDF_LOBE,
     SLOT_EM_POS,
@@ -57,6 +58,7 @@ class VolPathIntegrator:
         assert medium is not None, "volpath needs scene_medium"
         n = ray.o.shape[0]
         ctx = scene.trace_ctx()
+        spec = sampler_spec(scene)
         phase = medium.phase
 
         state = dict(
@@ -83,8 +85,8 @@ class VolPathIntegrator:
             dist_max = jnp.where(si.is_valid(), si.t, 1e8)
 
             # ---- free-flight sampling ----
-            s_ch = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_CH))
-            s_t = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_T))
+            s_ch = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_CH), spec)
+            s_t = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_DIST_T), spec)
             if isinstance(medium, HomogeneousMedium):
                 t_med, is_med, w_med = medium.sample_interaction(
                     dist_max, s_ch, s_t, act
@@ -118,8 +120,8 @@ class VolPathIntegrator:
             # ---- NEE from medium OR surface vertex ----
             if len(scene.emitters) > 0:
                 s1 = rng.sample_1d(seed, lane,
-                                   bounce_dim(depth, SLOT_EM_SELECT))
-                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS))
+                                   bounce_dim(depth, SLOT_EM_SELECT), spec)
+                s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS), spec)
                 ref_si = si.replace(p=jnp.where(is_med[:, None], p_med, si.p))
                 ds, em_weight, ok = scene.sample_emitter_direction(
                     ref_si, s1, s2, act_next, ctx=ctx
@@ -147,8 +149,8 @@ class VolPathIntegrator:
                     ok, mis_em, 0.0)[:, None]
 
             # ---- direction sampling: phase or BSDF ----
-            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE))
-            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR))
+            s1b = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_BSDF_LOBE), spec)
+            s2b = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_BSDF_DIR), spec)
             wo_phase, pdf_phase = phase.sample(-ray.d, s2b, act_next & is_med)
             bs, bsdf_w = scene.bsdf_sample(si, s1b, s2b, act_next & on_surface)
             new_d = jnp.where(is_med[:, None], wo_phase,
@@ -167,7 +169,7 @@ class VolPathIntegrator:
             beta_max = jnp.max(beta, axis=-1)
             rr_prob = jnp.minimum(beta_max, 0.95)
             rr_on = depth + 1 >= self.rr_depth
-            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR))
+            u = rng.sample_1d(seed, lane, bounce_dim(depth, SLOT_RR), spec)
             survive = jnp.where(rr_on, u < rr_prob, True)
             beta = jnp.where((rr_on & act_next)[:, None],
                              beta / jnp.maximum(rr_prob, 1e-8)[:, None], beta)

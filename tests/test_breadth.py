@@ -355,3 +355,24 @@ def test_normalmap_tilts_reflection():
     flat_wo = np.array([0.0, 0.0, 1.0])  # mirror about untilted normal
     assert np.linalg.norm(wo - flat_wo) > 0.1  # reflection deviates
     assert wo[0] > 0.1  # tilted toward +x
+
+
+def test_dim_stratification_reduces_image_noise():
+    """All-dims stratification (rng spec threading): stratified spp=16
+    render must have lower MSE vs a spp=128 reference than independent."""
+    import mitsuba_tpu as mi
+
+    ref_d = mi.cornell_box_dict(width=16, height=16, spp=128)
+    ref = np.asarray(mi.render(mi.load_dict(ref_d)))
+
+    mses = {}
+    for stype in ("independent", "stratified"):
+        d = mi.cornell_box_dict(width=16, height=16, spp=16)
+        d["sensor"]["sampler"] = {"type": stype, "sample_count": 16}
+        acc = 0.0
+        for seed in range(3):
+            img = np.asarray(mi.render(mi.load_dict(d), seed=seed, spp=16))
+            acc += float(((img - ref) ** 2).mean())
+        mses[stype] = acc / 3
+    # NEE + BSDF + film dims all stratified: expect a clear win
+    assert mses["stratified"] < mses["independent"] * 0.9, mses
