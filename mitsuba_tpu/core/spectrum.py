@@ -101,6 +101,32 @@ def rgb_response(wavelength_nm):
     return (xyz @ XYZ_TO_SRGB.T) / _CIE_Y_INTEGRAL
 
 
+# sRGB of the equal-energy illuminant (per-channel integral of
+# rgb_response): the hero-wavelength hybrid treats RGB values as
+# spectrally flat multipliers, so dividing the response by this white
+# makes the spectral estimator's expectation equal the RGB pipeline
+# exactly for non-dispersive materials (the projection-consistency the
+# reference gets from rgb2spec uplift, srgb.cpp:14-32).
+_E_WHITE_SRGB = None
+
+
+def _e_white():
+    global _E_WHITE_SRGB
+    if _E_WHITE_SRGB is None:
+        lam = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1e-3, 1.0, np.float32)
+        resp = np.asarray(rgb_response(jnp.asarray(lam)))
+        _E_WHITE_SRGB = jnp.asarray(np.trapezoid(resp, lam, axis=0),
+                                    jnp.float32)
+    return _E_WHITE_SRGB
+
+
+def rgb_response_flat(wavelength_nm):
+    """rgb_response normalized per channel so a spectrally-flat radiance
+    integrates to (1, 1, 1) — the response used by hero-wavelength
+    estimators (camera-side spectral path, spectral ptracer)."""
+    return rgb_response(wavelength_nm) / _e_white()
+
+
 def sample_wavelength(u):
     """Uniform wavelength sample in [380, 780] nm; returns (lambda, pdf)."""
     lam = LAMBDA_MIN + u * (LAMBDA_MAX - LAMBDA_MIN)

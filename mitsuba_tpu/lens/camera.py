@@ -32,7 +32,7 @@ from ..core.math import dot, normalize
 from ..core.pytree import pytree, static
 from ..core.records import Ray
 from ..core import transform as tf
-from ..core.spectrum import rgb_response, sample_wavelength_visible
+from ..core.spectrum import rgb_response_flat, sample_wavelength_visible
 from ..models.film import Film
 from .designs import build_design
 from .elements import offset_element
@@ -128,7 +128,7 @@ class RealisticLensCamera:
             return (jnp.zeros((n, 0)),
                     jnp.ones((n, 3)))
         lam, pdf = sample_wavelength_visible(wavelength_sample)
-        weight = rgb_response(lam) / jnp.maximum(pdf, 1e-12)[..., None]
+        weight = rgb_response_flat(lam) / jnp.maximum(pdf, 1e-12)[..., None]
         return lam[..., None], weight
 
     def _sample_exit_pupil(self, film_p, aperture_sample):

@@ -29,7 +29,7 @@ from ...core import rng
 from ...core.math import Frame, dot
 from ...core.pytree import pytree, static
 from ...core.records import Ray
-from ...core.spectrum import rgb_response, sample_wavelength_visible
+from ...core.spectrum import rgb_response_flat, sample_wavelength_visible
 from .common import sampler_spec
 
 # dimension layout (disjoint use of the camera-level dims)
@@ -176,7 +176,7 @@ class ParticleTracerIntegrator:
             wu = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH), spec)
             lam, lam_pdf = sample_wavelength_visible(wu)
             throughput = throughput * (
-                rgb_response(lam) / jnp.maximum(lam_pdf, 1e-12)[..., None]
+                rgb_response_flat(lam) / jnp.maximum(lam_pdf, 1e-12)[..., None]
             )
             wavelengths = lam[..., None]
             ray = ray.replace(wavelengths=wavelengths)

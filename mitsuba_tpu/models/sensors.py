@@ -32,6 +32,23 @@ from ..core.records import Ray
 from .film import Film
 
 
+def sample_sensor_wavelengths(spectral: bool, wavelength_sample):
+    """Shared hero-wavelength sampling for sensors (endpoint.h:95-314
+    sample_wavelengths): returns (wavelengths (N,1|0), rgb response
+    weight (N,3)).  Non-spectral sensors carry no wavelengths and a
+    unit weight."""
+    import jax.numpy as _jnp
+
+    from ..core.spectrum import rgb_response_flat, sample_wavelength_visible
+
+    n = wavelength_sample.shape[0]
+    if not spectral:
+        return _jnp.zeros((n, 0)), _jnp.ones((n, 3))
+    lam, pdf = sample_wavelength_visible(wavelength_sample)
+    weight = rgb_response_flat(lam) / _jnp.maximum(pdf, 1e-12)[..., None]
+    return lam[..., None], weight
+
+
 def _fov_to_tan_x(fov_deg, fov_axis: str, width: int, height: int):
     """Half-tangent of the horizontal (x) field of view."""
     t = jnp.tan(0.5 * jnp.deg2rad(jnp.asarray(fov_deg, jnp.float32)))
@@ -61,6 +78,7 @@ class PerspectiveCamera:
     near_clip: float = static(1e-2)
     far_clip: float = static(1e4)
     sampler: object = static(None)
+    spectral: bool = static(False)
     id: str = static("perspective")
 
     needs_aperture_sample = False
@@ -141,8 +159,9 @@ class PerspectiveCamera:
         inv_z = 1.0 / d_cam[..., 2]
         o = o + d * (self.near_clip * inv_z)[..., None]
         maxt = (self.far_clip - self.near_clip) * inv_z
-        ray = Ray.make(o, d, maxt=maxt, time=time)
-        weight = jnp.ones(d.shape[:-1] + (3,))
+        wavelengths, weight = sample_sensor_wavelengths(
+            self.spectral, wavelength_sample)
+        ray = Ray.make(o, d, maxt=maxt, time=time, wavelengths=wavelengths)
         return ray, weight
 
 

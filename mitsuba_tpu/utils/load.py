@@ -494,7 +494,8 @@ def _make_sensor(d):
         far_clip=float(d.get("far_clip", 1e4)),
     )
     if t == "perspective":
-        return PerspectiveCamera(**common)
+        return PerspectiveCamera(
+            spectral=bool(d.get("spectral", False)), **common)
     if t == "thinlens":
         return ThinLensCamera(
             aperture_radius=jnp.asarray(float(d.get("aperture_radius", 0.1))),

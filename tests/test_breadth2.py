@@ -372,3 +372,19 @@ def test_sys_info():
 
     s = sys_info()
     assert "jax" in s and "backend" in s
+
+
+def test_hero_wavelength_response_unbiased():
+    """E[rgb_response_flat(lam)/pdf] = (1,1,1): the hero-wavelength
+    estimator's expectation equals the RGB pipeline for flat-uplift
+    materials (spectrum.py rgb_response_flat normalization)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.core.spectrum import (rgb_response_flat,
+                                           sample_wavelength_visible)
+
+    u = jnp.asarray(np.random.default_rng(0).random(400_000,
+                                                    dtype=np.float32))
+    lam, pdf = sample_wavelength_visible(u)
+    w = np.asarray(rgb_response_flat(lam)
+                   / np.maximum(np.asarray(pdf), 1e-12)[:, None])
+    assert np.allclose(w.mean(0), 1.0, atol=0.02), w.mean(0)

@@ -224,3 +224,103 @@ def _fake_si(wi, wl):
         wavelengths=jnp.full((n, 1), wl),
         time=jnp.zeros((n,)),
     )
+
+
+def _emitter_plane_scene(width=24, height=24, scale=0.35, smooth=False):
+    """One white-emitter rectangle, black surroundings.  ``smooth`` swaps
+    the constant radiance for a smoothly varying bitmap (differentiable
+    in uv) so FD-vs-AD camera-gradient checks aren't visibility-bound."""
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.bsdfs import SmoothDiffuse
+    from mitsuba_tpu.models.emitters import AreaEmitter
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.sensors import PerspectiveCamera
+    from mitsuba_tpu.models.shapes import Mesh, rectangle
+    from mitsuba_tpu.models.textures import BitmapTexture, ConstantTexture
+
+    v, f, _, uv = rectangle(np.asarray(
+        tf.compose(tf.translate([0.0, 0.0, 0.0]), tf.scale(scale)),
+        np.float32))
+    em = Mesh.make(jnp.asarray(v), jnp.asarray(f), normals=None,
+                   uvs=jnp.asarray(uv), bsdf_index=0, emitter_index=0,
+                   id="panel")
+    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.asarray([0.5, 0.5, 0.5])))
+    if smooth:
+        yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32),
+                             indexing="ij")
+        data = 1.0 + 4.0 * np.exp(-8.0 * ((xx - 0.5) ** 2 + (yy - 0.5) ** 2))
+        rad = BitmapTexture(
+            data=jnp.asarray(np.repeat(data[..., None], 3, -1), jnp.float32))
+        emitter = AreaEmitter(radiance=rad)
+    else:
+        emitter = AreaEmitter(radiance=ConstantTexture(jnp.asarray([5.0, 5.0, 5.0])))
+    film = Film(width=width, height=height, rfilter=ReconstructionFilter.box())
+    sensor = PerspectiveCamera(
+        to_world=jnp.asarray(tf.look_at([0, 0, 3.0], [0, 0, 0], [0, 1, 0])),
+        film=film, fov=40.0)
+    return make_scene([em], [white], [emitter], sensor)
+
+
+def test_spectral_camera_path_chromatic_fringing():
+    """Camera-side spectral transport (endpoint.h:95-314): a white panel
+    rendered through the spectral doublet with PathIntegrator shows
+    R/B fringing at its edges; the RGB (non-spectral) camera shows none."""
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.integrators import PathIntegrator, render
+
+    scene = _emitter_plane_scene()
+
+    def fringe(spectral):
+        cam = make_lens_camera(
+            "doublet",
+            film=Film(width=24, height=24, rfilter=ReconstructionFilter.box()),
+            to_world=jnp.asarray(tf.look_at([0, 0, 3.0], [0, 0, 0],
+                                            [0, 1, 0])),
+            focus_distance=3.0, spectral=spectral)
+        img = np.asarray(render(scene.replace(sensor=cam),
+                                PathIntegrator(max_depth=2), seed=0, spp=64))
+        assert np.isfinite(img).all() and img.mean() > 1e-3
+        return np.abs(img[..., 0] - img[..., 2]).mean()
+
+    f_rgb = fringe(False)
+    f_spec = fringe(True)
+    # white emitter + RGB camera -> identical channels (up to rounding);
+    # the spectral camera disperses -> clear channel separation
+    assert f_spec > 5.0 * max(f_rgb, 1e-6), (f_spec, f_rgb)
+
+
+def test_camera_dispersion_gradient_fd():
+    """d(render)/d(Cauchy B) through the camera-side path integrator:
+    forward-mode AD vs finite differences (realisticlens.cpp:2215 +
+    dispersive IOR, matched to test_ad_integrators.py-style FD checks)."""
+    import jax
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.integrators import PathIntegrator, render
+
+    scene = _emitter_plane_scene(width=12, height=12, scale=2.0, smooth=True)
+    cam0 = make_lens_camera(
+        "singlet",
+        film=Film(width=12, height=12, rfilter=ReconstructionFilter.box()),
+        to_world=jnp.asarray(tf.look_at([0, 0, 3.0], [0, 0, 0], [0, 1, 0])),
+        focus_distance=3.0, spectral=True)
+
+    def loss(db):
+        ifaces = []
+        for it in cam0.interfaces:
+            left = it.left.replace(
+                cauchy=it.left.cauchy + jnp.asarray([0.0, 1.0]) * db
+                * (it.left.cauchy[0] > 1.01))
+            right = it.right.replace(
+                cauchy=it.right.cauchy + jnp.asarray([0.0, 1.0]) * db
+                * (it.right.cauchy[0] > 1.01))
+            ifaces.append(it.replace(left=left, right=right))
+        cam = cam0.replace(interfaces=tuple(ifaces))
+        img = render(scene.replace(sensor=cam), PathIntegrator(max_depth=2),
+                     seed=0, spp=16)
+        return jnp.mean(img * img)
+
+    g = float(jax.jacfwd(loss)(0.0))
+    eps = 2e-4
+    fd = float((loss(eps) - loss(-eps)) / (2 * eps))
+    assert np.isfinite(g)
+    assert abs(g - fd) < 0.1 * max(abs(fd), 1e-6), (g, fd)
