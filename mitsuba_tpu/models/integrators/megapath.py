@@ -13,6 +13,7 @@ is always safe.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ...core.pytree import pytree, static
 from ...ops.pallas.megakernel import (
@@ -24,6 +25,35 @@ from ...ops.pallas.megakernel import (
     pack_scene_bvh,
 )
 from .path import PathIntegrator
+
+
+def _morton_perm(width: int, height: int, n: int):
+    """Static wavefront permutation: rays of a full-frame pass, ordered
+    pixel-major with spp_pass samples per pixel (common.py sample_rays),
+    re-ordered so consecutive packets cover Morton (Z-order) pixel
+    tiles.  Returns an int32 numpy permutation, or None when n is not a
+    whole number of samples per pixel."""
+    import numpy as np
+
+    px_count = width * height
+    if px_count == 0 or n % px_count != 0:
+        return None
+    spp_pass = n // px_count
+    x = np.arange(width, dtype=np.uint64)
+    y = np.arange(height, dtype=np.uint64)
+
+    def spread(v):
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x33333333)
+        v = (v | (v << 1)) & np.uint64(0x55555555)
+        return v
+
+    code = (spread(x)[None, :] | (spread(y)[:, None] << np.uint64(1)))
+    order = np.argsort(code.reshape(-1), kind="stable").astype(np.int64)
+    perm = (order[:, None] * spp_pass
+            + np.arange(spp_pass, dtype=np.int64)[None, :]).reshape(-1)
+    return perm.astype(np.int32)
 
 
 @pytree
@@ -55,6 +85,29 @@ class MegakernelPathIntegrator:
             )
         acc = scene.packet_accel
         rows, light, n_lights = pack_scene_bvh(scene, acc)
+        # Feed the kernel Morton-tiled packets: lanes arrive pixel-major
+        # (16 consecutive pixels per 1024-ray packet = a thin strip); a
+        # static Morton shuffle of the *order* turns each packet into a
+        # ~4x4-pixel tile, tightening packet frusta so the shared-cursor
+        # traversal culls far more (profiled 10x on sorted vs unsorted
+        # rays, PERF.md).  Pure reordering: lane values (and so all RNG
+        # streams) are untouched, and L is scattered back, so images are
+        # bit-identical to the unshuffled feed.
+        n = ray.o.shape[0]
+        film = scene.sensor.film
+        perm = _morton_perm(film.width, film.height, n)
+        if perm is not None:
+            inv = jnp.asarray(perm.argsort().astype('int32'))
+            permj = jnp.asarray(perm)
+            take = lambda x: jnp.take(x, permj, axis=0)
+            L = megakernel_trace_bvh(
+                acc.node_box, acc.node_meta, rows, light,
+                take(lane), take(ray.o), take(ray.d), take(active), seed,
+                max_depth=self.max_depth, rr_depth=self.rr_depth,
+                n_nodes=acc.n_nodes, n_lights=n_lights, multi=multi,
+                interpret=interpret,
+            )
+            return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
             acc.node_box, acc.node_meta, rows, light,
             lane, ray.o, ray.d, active, seed,

@@ -390,10 +390,12 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
     """Fused path-trace bounce loop over one (8, 128) ray tile, shared by
     the brute-force and BVH-packet megakernels.
 
-    - ``closest(ox..dz) -> (valid, t, ngx, ngy, ngz, Rr, Rg, Rb, IsL,
-      PdfA, Btype, C0..C5)`` — closest-hit with resolved shading attrs
-      (ng = unit geometric normal, Btype/C* zero when ``not multi``);
-    - ``anyhit(ox..dz, maxt) -> bool`` — shadow occlusion;
+    - ``closest(ox..dz, act) -> (valid, t, ngx, ngy, ngz, Rr, Rg, Rb,
+      IsL, PdfA, Btype, C0..C5)`` — closest-hit with resolved shading
+      attrs (ng = unit geometric normal, Btype/C* zero when ``not
+      multi``); ``act`` is the per-bounce live mask so dead lanes don't
+      force BVH descent (their best_t would otherwise pin at inf);
+    - ``anyhit(ox..dz, maxt, act) -> bool`` — shadow occlusion;
     - ``lc(j, k)`` — scalar accessor into the packed light table.
     """
     Lr = jnp.zeros_like(ox)
@@ -412,7 +414,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
             (valid, t, ngx, ngy, ngz, Rr, Rg, Rb, IsL, PdfA,
              Btype, C0, C1, C2, C3, C4, C5) = closest(
-                ox, oy, oz, dx, dy, dz)
+                ox, oy, oz, dx, dy, dz, act)
             valid = valid & act
             # single-emitter constant radiance: emission = is_light * Le
             # (pack_scene wrote the emission column as exactly this
@@ -503,7 +505,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             occ = anyhit(
                 px + sgn_s * off * ngx, py + sgn_s * off * ngy,
                 pz + sgn_s * off * ngz,
-                sdx, sdy, sdz, sdist * (1.0 - 1e-3))
+                sdx, sdy, sdz, sdist * (1.0 - 1e-3), ok_nee)
             ok_nee = ok_nee & ~occ
             f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
             contrib = jnp.where(
@@ -651,7 +653,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
 
-        def closest(ox, oy, oz, dx, dy, dz):
+        def closest(ox, oy, oz, dx, dy, dz, act_b):
             hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
                                TRI_COLS if multi else 17)
             (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
@@ -662,7 +664,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
             return (jnp.isfinite(t), t, ngx, ngy, ngz, Rr, Rg, Rb,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
-        def anyhit(ox, oy, oz, dx, dy, dz, maxt):
+        def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
             return _any_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
                             maxt)
 
@@ -699,12 +701,12 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi):
         # 15 is_light | 16 pdf_area | 17 btype | 18:24 bparams
         res_cols = tuple(range(9, 24)) if multi else tuple(range(9, 17))
 
-        def closest(ox, oy, oz, dx, dy, dz):
+        def closest(ox, oy, oz, dx, dy, dz, act_b):
             found, t, attrs = traverse_closest(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz,
-                jnp.full(shape, jnp.inf), act0,
+                jnp.full(shape, jnp.inf), act_b,
                 resolve_cols=res_cols)
             if multi:
                 (Rr, Rg, Rb, ngx, ngy, ngz, IsL, PdfA,
@@ -717,11 +719,11 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi):
             return (valid, t, ngx, ngy, ngz, Rr, Rg, Rb,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
-        def anyhit(ox, oy, oz, dx, dy, dz, maxt):
+        def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
             return traverse_any(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
-                ox, oy, oz, dx, dy, dz, maxt, act0) > 0.5
+                ox, oy, oz, dx, dy, dz, maxt, act_b) > 0.5
 
         lc = lambda j, k: light_ref[j, k]
         Lr, Lg, Lb = _trace_loop(
@@ -832,7 +834,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          interpret: bool = False):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
-    from .traverse import RPL
+    from .traverse import QUEUE, RPL
 
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -867,8 +869,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((rows_t, LANES), jnp.float32)] * 3,
         scratch_shapes=[
-            pltpu.SMEM((2, RPL, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((QUEUE, RPL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,
     )(node_box, node_meta, light, rows, *args)

@@ -247,17 +247,32 @@ def _node_meta(node_meta, nid):
     return node_meta[r, b], node_meta[r, b + 1], node_meta[r, b + 2]
 
 
+QUEUE = 4      # leaf DMA queue depth (ring)
+
+
+def _ring_get(vals, idx):
+    """4-way scalar select: vals[idx & 3] for a traced idx."""
+    sel = idx & (QUEUE - 1)
+    out = vals[0]
+    for k in range(1, QUEUE):
+        out = jnp.where(sel == k, vals[k], out)
+    return out
+
+
 def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                      n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
                      resolve_cols=(COL_FACE_ID,)):
     """Packet closest-hit traversal subroutine (kernel-internal).
 
     node_box/node_meta are packed SMEM refs (see PacketAccel); rows_hbm
-    an ANY/HBM ref; qbuf an SMEM (2, RPL, 128) scratch; sems a DMA
-    semaphore pair.  Returns (found, best_t, attrs) where ``found`` is an
-    f32 0/1 tile, plus one (8, 128) f32 tile per requested resolve
-    column; lanes with no hit keep best_t at its maxt init and attrs =
-    -1 for COL_FACE_ID, 0 otherwise.
+    an ANY/HBM ref; qbuf an SMEM (QUEUE, RPL, 128) scratch; sems a DMA
+    semaphore vector.  Discovered leaves enter a QUEUE-deep DMA ring and
+    are intersected only when the ring fills (or at drain), so HBM copy
+    latency overlaps both the node walk and earlier leaf processing.
+    Returns (found, best_t, attrs) where ``found`` is an f32 0/1 tile,
+    plus one (8, 128) f32 tile per requested resolve column; lanes with
+    no hit keep best_t at its maxt init and attrs = -1 for COL_FACE_ID,
+    0 otherwise.
     """
     shape = ox.shape
     eps = jnp.float32(1e-30)
@@ -273,14 +288,6 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     init_attrs = tuple(
         jnp.full(shape, -1.0) if col == COL_FACE_ID else jnp.zeros(shape)
         for col in resolve_cols)
-
-    def start_dma(row_start, slot):
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(row_start, RPL)],
-            qbuf.at[slot],
-            sems.at[slot],
-        )
-        dma.start()
 
     def process(row_start, cnt, slot, found, best_t, attrs):
         pltpu.make_async_copy(
@@ -316,13 +323,19 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         found = jnp.maximum(found, improved.astype(jnp.float32))
         return found, best_t, attrs
 
+    NQ = 2 * QUEUE   # rows + cnts ring scalars
+
     def cond(s):
-        cursor, pend_valid = s[0], s[3]
-        return (cursor >= 0) | (pend_valid > 0)
+        cursor, head, tail = s[0], s[1], s[2]
+        return (cursor >= 0) | (tail > head)
 
     def body(s):
-        (cursor, pend_row, pend_cnt, pend_valid, slot, found, best_t) = s[:7]
-        attrs = s[7:]
+        cursor, head, tail = s[0], s[1], s[2]
+        ring = s[3:3 + NQ]
+        rows_ring, cnts_ring = ring[:QUEUE], ring[QUEUE:]
+        found, best_t = s[3 + NQ], s[4 + NQ]
+        attrs = s[5 + NQ:]
+
         nid = jnp.maximum(cursor, 0)
         is_node = cursor >= 0
         lo, hi = _node_box(node_box, nid)
@@ -335,33 +348,43 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                         jnp.where(anyhit & ~is_leaf, nid + 1, miss),
                         cursor)
 
-        # start the new leaf's DMA first (into the free slot), so the
-        # copy overlaps processing of the pending leaf
-        new_slot = jnp.where(pend_valid > 0, 1 - slot, slot)
+        # pop the oldest leaf when the ring is full (its DMA has had
+        # QUEUE-1 enqueues worth of latency cover) or when draining
+        full = (tail - head) >= QUEUE
+        do_process = (enqueue & full) | (~is_node & (tail > head))
+        p_row = _ring_get(rows_ring, head)
+        p_cnt = _ring_get(cnts_ring, head)
+        p_slot = head & (QUEUE - 1)
+        found, best_t, attrs = jax.lax.cond(
+            do_process,
+            lambda fd, bt, at: process(p_row, p_cnt, p_slot, fd, bt, at),
+            lambda fd, bt, at: (fd, bt, at),
+            found, best_t, attrs)
+        head = head + do_process.astype(jnp.int32)
+
+        new_slot = tail & (QUEUE - 1)
 
         @pl.when(enqueue)
         def _():
-            start_dma(row_start, new_slot)
+            pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(row_start, RPL)],
+                qbuf.at[new_slot], sems.at[new_slot],
+            ).start()
 
-        do_process = (pend_valid > 0) & (enqueue | ~is_node)
-        found, best_t, attrs = jax.lax.cond(
-            do_process,
-            lambda fd, bt, at: process(pend_row, pend_cnt, slot, fd, bt, at),
-            lambda fd, bt, at: (fd, bt, at),
-            found, best_t, attrs)
-
-        pend_row = jnp.where(enqueue, row_start, pend_row)
-        pend_cnt = jnp.where(enqueue, cnt, pend_cnt)
-        slot = jnp.where(enqueue, new_slot, slot)
-        pend_valid = jnp.where(
-            enqueue, 1, jnp.where(do_process, 0, pend_valid))
-        return (nxt, pend_row, pend_cnt, pend_valid, slot, found,
-                best_t) + attrs
+        rows_ring = tuple(
+            jnp.where(enqueue & (new_slot == k), row_start, v)
+            for k, v in enumerate(rows_ring))
+        cnts_ring = tuple(
+            jnp.where(enqueue & (new_slot == k), cnt, v)
+            for k, v in enumerate(cnts_ring))
+        tail = tail + enqueue.astype(jnp.int32)
+        return (nxt, head, tail) + rows_ring + cnts_ring + (
+            found, best_t) + attrs
 
     z = jnp.int32(0)
-    init = (z, z, z, z, z, jnp.zeros(shape), maxt) + init_attrs
+    init = (z, z, z) + (z,) * NQ + (jnp.zeros(shape), maxt) + init_attrs
     out = jax.lax.while_loop(cond, body, init)
-    return out[5], out[6], out[7:7 + n_res]
+    return out[3 + NQ], out[4 + NQ], out[5 + NQ:5 + NQ + n_res]
 
 
 def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
@@ -394,11 +417,18 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
 
         return jax.lax.fori_loop(0, cnt, tri_body, occ)
 
+    NQ = 2 * QUEUE
+
     def cond(s):
-        return (s[0] >= 0) | (s[3] > 0)
+        cursor, head, tail = s[0], s[1], s[2]
+        return (cursor >= 0) | (tail > head)
 
     def body(s):
-        cursor, pend_row, pend_cnt, pend_valid, slot, occ = s
+        cursor, head, tail = s[0], s[1], s[2]
+        rows_ring = s[3:3 + QUEUE]
+        cnts_ring = s[3 + QUEUE:3 + NQ]
+        occ = s[3 + NQ]
+
         nid = jnp.maximum(cursor, 0)
         is_node = cursor >= 0
         lo, hi = _node_box(node_box, nid)
@@ -411,30 +441,39 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         nxt = jnp.where(is_node,
                         jnp.where(anyhit & ~is_leaf, nid + 1, miss),
                         cursor)
-        new_slot = jnp.where(pend_valid > 0, 1 - slot, slot)
+
+        full = (tail - head) >= QUEUE
+        do_process = (enqueue & full) | (~is_node & (tail > head))
+        p_row = _ring_get(rows_ring, head)
+        p_cnt = _ring_get(cnts_ring, head)
+        p_slot = head & (QUEUE - 1)
+        occ = jax.lax.cond(
+            do_process,
+            lambda o: process(p_row, p_cnt, p_slot, o),
+            lambda o: o, occ)
+        head = head + do_process.astype(jnp.int32)
+
+        new_slot = tail & (QUEUE - 1)
 
         @pl.when(enqueue)
         def _():
-            dma = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 rows_hbm.at[pl.ds(row_start, RPL)],
-                qbuf.at[new_slot], sems.at[new_slot])
-            dma.start()
+                qbuf.at[new_slot], sems.at[new_slot],
+            ).start()
 
-        do_process = (pend_valid > 0) & (enqueue | ~is_node)
-        occ = jax.lax.cond(
-            do_process,
-            lambda o: process(pend_row, pend_cnt, slot, o),
-            lambda o: o, occ)
-        pend_row = jnp.where(enqueue, row_start, pend_row)
-        pend_cnt = jnp.where(enqueue, cnt, pend_cnt)
-        slot = jnp.where(enqueue, new_slot, slot)
-        pend_valid = jnp.where(
-            enqueue, 1, jnp.where(do_process, 0, pend_valid))
-        return (nxt, pend_row, pend_cnt, pend_valid, slot, occ)
+        rows_ring = tuple(
+            jnp.where(enqueue & (new_slot == k), row_start, v)
+            for k, v in enumerate(rows_ring))
+        cnts_ring = tuple(
+            jnp.where(enqueue & (new_slot == k), cnt, v)
+            for k, v in enumerate(cnts_ring))
+        tail = tail + enqueue.astype(jnp.int32)
+        return (nxt, head, tail) + rows_ring + cnts_ring + (occ,)
 
     z = jnp.int32(0)
     occ = jax.lax.while_loop(
-        cond, body, (z, z, z, z, z, jnp.zeros(shape)))[5]
+        cond, body, (z, z, z) + (z,) * NQ + (jnp.zeros(shape),))[3 + NQ]
     return occ * actf
 
 
@@ -480,8 +519,8 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
         out_specs=[ray_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 2,
         scratch_shapes=[
-            pltpu.SMEM((2, RPL, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((QUEUE, RPL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,
     )(node_box, node_meta, rows_hbm,
@@ -526,8 +565,8 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((2, RPL, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((QUEUE, RPL, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,
     )(node_box, node_meta, rows_hbm,
