@@ -7,20 +7,81 @@ rays/s counts *camera samples* per second (wavefront lanes retired per
 wall-clock second, the reference's own throughput notion for its
 render loop, integrator.cpp:247-330); each lane traces up to max_depth
 segments, so segment throughput is ~2-3x higher.
+
+``vs_baseline``: the reference renderer cannot be built or installed in
+this environment (its ext/ submodules — drjit, embree — are empty
+checkouts, and there is no network egress or pip), so no reference-side
+measurement exists; see BASELINE.md "Why there is no reference-side
+number".  Instead vs_baseline reports a *measured* anchor: the speedup
+of the TPU chip over the SAME renderer + workload executed on this
+host's CPU via XLA-CPU (the stand-in for "CPU renderer on the host",
+the reference's deployment platform).  The CPU probe runs in a
+subprocess (the parent process is already bound to the TPU platform)
+on a reduced film and is normalized by rays/s, which is
+size-independent to first order.
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 # persistent XLA/Mosaic cache: the megakernel's cold AOT compile over the
 # tunnel takes minutes; warm runs are seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-import jax
-import jax.numpy as jnp
+
+def cpu_probe():
+    """Same Cornell-box path workload on the host CPU (XLA-CPU wavefront
+    path — Pallas megakernels are TPU-only).  Prints rays/s as JSON."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.models.integrators.common import _render_pass
+    from mitsuba_tpu.models.integrators.path import PathIntegrator
+    from mitsuba_tpu.utils.scenes import cornell_box
+
+    width = height = 64
+    spp = 16
+    scene = cornell_box(width=width, height=height)
+    integrator = PathIntegrator(max_depth=6, rr_depth=5)
+
+    @jax.jit
+    def one_pass(seed):
+        return _render_pass(scene, integrator, seed, spp, spp, 0)
+
+    one_pass(jnp.uint32(0)).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        one_pass(jnp.uint32(r)).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({"cpu_rays_per_s": width * height * spp / dt}))
+
+
+def measure_cpu_baseline():
+    """Run the CPU probe in a subprocess; returns rays/s or 0.0."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return float(json.loads(line)["cpu_rays_per_s"])
+    except Exception:
+        pass
+    return 0.0
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from mitsuba_tpu.models.integrators import MegakernelPathIntegrator
     from mitsuba_tpu.models.integrators.common import _render_pass
     from mitsuba_tpu.utils.scenes import cornell_box
@@ -56,13 +117,21 @@ def main():
 
     rays = width * height * spp
     rays_per_s = rays / dt
+
+    cpu = measure_cpu_baseline()
     print(json.dumps({
         "metric": "rays/s/chip (Cornell box, path spp=64, max_depth=6)",
         "value": rays_per_s,
         "unit": "rays/s",
-        "vs_baseline": 0.0,
+        # speedup of 1 TPU chip over the same workload on this host's
+        # CPU (XLA-CPU wavefront); reference renderer unbuildable here —
+        # see BASELINE.md
+        "vs_baseline": (rays_per_s / cpu) if cpu > 0 else 0.0,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--cpu-probe" in sys.argv:
+        cpu_probe()
+    else:
+        main()

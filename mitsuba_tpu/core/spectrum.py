@@ -98,7 +98,11 @@ def rgb_response(wavelength_nm):
     that integrating L(lambda)*rgb_response over lambda gives the sRGB
     tristimulus of the spectrum (normalized by the Y integral)."""
     xyz = cie1931_xyz(wavelength_nm)
-    return (xyz @ XYZ_TO_SRGB.T) / _CIE_Y_INTEGRAL
+    # explicit mul/adds, not @: TPU matmuls default to bf16 precision
+    m = XYZ_TO_SRGB
+    rgb = (xyz[..., 0:1] * m[:, 0] + xyz[..., 1:2] * m[:, 1]
+           + xyz[..., 2:3] * m[:, 2])
+    return rgb / _CIE_Y_INTEGRAL
 
 
 # sRGB of the equal-energy illuminant (per-channel integral of

@@ -89,18 +89,32 @@ def inverse(m):
     return jnp.linalg.inv(m)
 
 
+def _linear3(m3, v):
+    """(..., 3) x (3, 3)^T as explicit mul/adds.
+
+    NOT a jnp matmul on purpose: on TPU, ``v @ m.T`` lowers to an MXU
+    matmul whose default precision is bfloat16 — which quantizes every
+    ray direction/origin to ~8 mantissa bits (hit points then land up
+    to 2% off the true surface and NEE shadow rays self-intersect).
+    Elementwise VPU ops stay full f32 and are faster for a (N,3)x(3,3)
+    contraction anyway.
+    """
+    return (v[..., 0:1] * m3[:, 0] + v[..., 1:2] * m3[:, 1]
+            + v[..., 2:3] * m3[:, 2])
+
+
 def apply_point(m, p):
     """Apply to points (..., 3), with perspective divide."""
-    r = p @ m[:3, :3].T + m[:3, 3]
-    w = p @ m[3:4, :3].T + m[3, 3]
+    r = _linear3(m[:3, :3], p) + m[:3, 3]
+    w = (p * m[3, :3]).sum(-1, keepdims=True) + m[3, 3]
     return r / w
 
 
 def apply_vector(m, v):
-    return v @ m[:3, :3].T
+    return _linear3(m[:3, :3], v)
 
 
 def apply_normal(m, n):
     """Normals transform by the inverse transpose of the linear part."""
     inv = jnp.linalg.inv(m[:3, :3])
-    return n @ inv
+    return _linear3(inv.T, n)

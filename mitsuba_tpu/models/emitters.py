@@ -42,6 +42,10 @@ class AreaEmitter:
 
     def sample_direction(self, ref_p, sample1, sample2, geom):
         mesh, face_distr = geom
+        from .analytic import SphereGeom
+
+        if isinstance(mesh, SphereGeom):
+            return self._sample_direction_sphere(ref_p, mesh, sample2)
         ps = mesh.sample_position(sample1, sample2, face_distr)
         delta = ps.p - ref_p
         dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
@@ -74,6 +78,11 @@ class AreaEmitter:
 
     def pdf_direction(self, ref_p, ds, geom):
         mesh, face_distr = geom
+        from .analytic import SphereGeom
+
+        if isinstance(mesh, SphereGeom):
+            # exact uniform-cone pdf (sphere.cpp:311-325)
+            return mesh.cone_pdf_direction(ref_p, ds)
         cos_emitter = -dot(ds.d, ds.n)
         area_pdf = safe_div(1.0, mesh.surface_area())
         return jnp.where(
@@ -81,6 +90,44 @@ class AreaEmitter:
             area_pdf * ds.dist**2 / jnp.maximum(cos_emitter, 1e-6),
             0.0,
         )
+
+    def _sample_direction_sphere(self, ref_p, geom, sample2):
+        """Exact solid-angle cone sampling toward an analytic sphere
+        (sphere.cpp:236-287).  Falls back to uniform-area sampling for
+        reference points inside the sphere."""
+        p_c, n_c, pdf_c, outside = geom.cone_sample_direction(
+            ref_p, sample2)
+        # inside-the-sphere fallback: uniform position, area->sa pdf
+        ps = geom.sample_position(None, sample2)
+        delta_a = ps.p - ref_p
+        dist2_a = jnp.maximum(jnp.sum(delta_a**2, axis=-1), 1e-12)
+        cos_a = jnp.maximum(
+            -jnp.sum(delta_a * ps.n, axis=-1)
+            / jnp.sqrt(dist2_a), 1e-6)
+        pdf_a = ps.pdf * dist2_a / cos_a
+
+        p = jnp.where(outside[:, None], p_c, ps.p)
+        n = jnp.where(outside[:, None], n_c, ps.n)
+        pdf = jnp.where(outside, pdf_c, pdf_a)
+        delta = p - ref_p
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(delta**2, axis=-1), 1e-12))
+        d = delta / dist[..., None]
+        # uv at the sampled point: sphere parameterization
+        # (phi/2pi, theta/pi) — matches AnalyticShapes._sphere_si
+        theta = jnp.arccos(jnp.clip(n[..., 2], -1.0, 1.0))
+        phi = jnp.arctan2(n[..., 1], n[..., 0])
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+        le = self.radiance.eval(_FakeSI(uv=uv))
+        weight = jnp.where(
+            (pdf > 0.0)[..., None],
+            le / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        ds = DirectionSample(
+            p=p, n=n, uv=uv, d=d, dist=dist, pdf=pdf,
+            delta=jnp.zeros(pdf.shape, bool),
+            emitter_index=jnp.zeros(pdf.shape, jnp.int32),
+        )
+        return ds, weight
 
     def eval_direction(self, ref_p, ds, geom, active):
         """Attached radiance along a detached DirectionSample — the PRB

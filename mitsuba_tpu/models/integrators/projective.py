@@ -231,6 +231,150 @@ def primary_boundary_grads(scene, edges: EdgeTable, integrator, grad_image,
     return jax.grad(S)(floats)
 
 
+def analytic_boundary_grads(scene, integrator, grad_image, seed,
+                            n_samples: int = 2048, n_sub: int = 4,
+                            eps_px: float = 0.75):
+    """EXACT silhouette boundary gradients for analytic prims
+    (models/analytic.py): sphere apparent-contour circles and disk rims
+    in closed form — the reference's Shape::sample_silhouette for
+    sphere.cpp:383-475 / disk.cpp:235-330, without the tessellation
+    bias of mesh edge sampling.
+
+    Unlike mesh edges (fixed curves on the surface, barycentric t
+    detached — exact for polyhedra), a sphere's contour generator moves
+    when the sphere or the camera moves, so the attached silhouette
+    point is the full closed form x(theta; center, radius, cam_origin):
+
+        z = (o - c)/D,  cos_b = r/D,
+        x = c + r*(cos_b*z + sin_b*(cos(theta)*s + sin(theta)*t)).
+
+    Gradients of S then carry the contour-generator shift exactly.
+    """
+    scene_det = jax.lax.stop_gradient(scene)
+    floats, rebuild, _ = _float_partition(scene)
+    an_det = scene_det.scene_analytic
+    nS = an_det.n_spheres
+    nD = an_det.n_disks
+    n_curves = nS + nD
+    if n_curves == 0:
+        return [jnp.zeros_like(x) for x in floats]
+    sensor_det = scene_det.sensor
+    ctx_det = scene_det.trace_ctx()
+
+    lane = jnp.arange(n_samples, dtype=jnp.int32)
+    seed_b = jnp.uint32(seed) ^ jnp.uint32(0x51171E77)
+    u_c = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_EDGE))
+    u_t = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_T))
+    idx = jnp.clip((u_c * n_curves).astype(jnp.int32), 0, n_curves - 1)
+    theta = u_t * (2.0 * jnp.pi)
+    pmf = 1.0 / n_curves
+
+    def x_of(theta, idx, an, cam_o):
+        """Closed-form silhouette point per lane (sphere or disk rim)."""
+        from ...core.math import coordinate_system as _csys
+
+        outs = None
+        if nS:
+            j = jnp.clip(idx, 0, nS - 1)
+            c = an.sp_center[j]
+            r = an.sp_radius[j]
+            oc = cam_o - c
+            D = jnp.sqrt(jnp.maximum(jnp.sum(oc * oc, -1), 1e-20))
+            z = oc / D[:, None]
+            cos_b = jnp.clip(r / D, 0.0, 1.0 - 1e-6)
+            sin_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 1e-12))
+            s, t = _csys(z)
+            ring = (s * jnp.cos(theta)[:, None]
+                    + t * jnp.sin(theta)[:, None])
+            outs = c + r[:, None] * (
+                cos_b[:, None] * z + sin_b[:, None] * ring)
+        if nD:
+            j = jnp.clip(idx - nS, 0, nD - 1)
+            x_d = (an.dk_center[j]
+                   + an.dk_su[j] * jnp.cos(theta)[:, None]
+                   + an.dk_sv[j] * jnp.sin(theta)[:, None])
+            outs = x_d if outs is None else jnp.where(
+                (idx >= nS)[:, None], x_d, outs)
+        return outs
+
+    # detached sample positions + curve tangents (d x / d theta)
+    cam_o_det = jax.lax.stop_gradient(
+        jnp.broadcast_to(scene_det.sensor.to_world[:3, 3],
+                         (n_samples, 3)))
+    x, dx_dth = jax.jvp(
+        lambda th: x_of(th, idx, an_det, cam_o_det),
+        (theta,), (jnp.ones_like(theta),))
+    speed_w = jnp.sqrt(jnp.maximum(jnp.sum(dx_dth ** 2, -1), 1e-20))
+    edir = dx_dth / speed_w[:, None]
+    active = jnp.ones((n_samples,), bool)
+
+    uv, valid, cam_p = _project(sensor_det, x, active)
+    d = x - cam_p
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-20))
+    d = d / dist[:, None]
+
+    # visibility: push the test point slightly off the source prim so
+    # the tangent/grazing ray doesn't falsely self-occlude
+    if nS:
+        j = jnp.clip(idx, 0, nS - 1)
+        ctr = an_det.sp_center[j]
+        x_out = ctr + (x - ctr) * 1.001
+        x_test = jnp.where((idx < nS)[:, None], x_out, x)
+    else:
+        x_test = x
+    if nD:
+        j = jnp.clip(idx - nS, 0, nD - 1)
+        ctr_d = an_det.dk_center[j]
+        x_out_d = ctr_d + (x_test - ctr_d) * 1.001
+        x_test = jnp.where((idx >= nS)[:, None], x_out_d, x_test)
+    d_t = x_test - cam_p
+    dist_t = jnp.sqrt(jnp.maximum(jnp.sum(d_t * d_t, -1), 1e-20))
+    vis_ray = Ray.make(cam_p, d_t / dist_t[:, None],
+                       maxt=dist_t * (1.0 - 2e-3))
+    occluded = scene_det.ray_test(vis_ray, valid, ctx_det)
+    valid = valid & ~occluded
+
+    # screen-space tangent/normal at the boundary point
+    du_dl = jax.jvp(
+        lambda xx: _project(sensor_det, xx, active)[0], (x,), (edir,)
+    )[1]
+    speed = jnp.sqrt(jnp.maximum(jnp.sum(du_dl ** 2, -1), 1e-20))
+    m_hat = jnp.stack([-du_dl[:, 1], du_dl[:, 0]], -1) / speed[:, None]
+
+    L_plus = _radiance_at(scene_det, integrator, uv + eps_px * m_hat,
+                          lane, seed_b, valid, n_sub)
+    L_minus = _radiance_at(scene_det, integrator, uv - eps_px * m_hat,
+                           lane + jnp.int32(31337), seed_b, valid, n_sub)
+    dL = L_minus - L_plus
+
+    film = sensor_det.film
+    px = jnp.clip(jnp.floor(uv[:, 0]).astype(jnp.int32), 0,
+                  film.width - 1)
+    py = jnp.clip(jnp.floor(uv[:, 1]).astype(jnp.int32), 0,
+                  film.height - 1)
+    delta = grad_image[py, px]
+
+    # curve-length pdf: theta uniform -> p(l) = pmf / (2*pi*|dx/dth|)
+    inv_pdf = (2.0 * jnp.pi) * speed_w / pmf
+    coeff = jnp.where(
+        valid,
+        jnp.sum(delta * dL, -1) * speed * inv_pdf / n_samples,
+        0.0,
+    )
+
+    def S(fl):
+        sc = rebuild(fl)
+        cam_o_att = jnp.broadcast_to(sc.sensor.to_world[:3, 3],
+                                     (n_samples, 3))
+        x_att = x_of(theta, idx, sc.scene_analytic, cam_o_att)
+        uv_att, _, _ = _project(sc.sensor, x_att,
+                                jnp.ones((n_samples,), bool))
+        uv_att = jnp.nan_to_num(uv_att)
+        return jnp.sum(coeff * jnp.sum(m_hat * uv_att, -1))
+
+    return jax.grad(S)(floats)
+
+
 def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
                             n_samples: int = 4096, eps_frac: float = 0.01):
     """Shadow (indirect-visibility) boundary gradients for direct
@@ -523,6 +667,18 @@ def _ppr_bwd(integrator, spp, res, grad_image):
     )
 
     total = [a + b for a, b in zip(cont, bnd)]
+
+    # exact analytic-prim silhouettes (sphere contours, disk rims)
+    if scene_det.scene_analytic is not None and \
+            getattr(scene_det.sensor, "to_world", None) is not None:
+        abnd = analytic_boundary_grads(
+            scene, PathIntegrator(max_depth=integrator.max_depth,
+                                  rr_depth=integrator.rr_depth),
+            grad_image, seed_u,
+            n_samples=max(integrator.sppp // 2, 512),
+            n_sub=integrator.n_sub,
+        )
+        total = [a + b for a, b in zip(total, abnd)]
 
     # shadow (indirect-visibility) boundary, one-bounce scope: requires
     # a constant-radiance area emitter

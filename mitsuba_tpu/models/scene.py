@@ -59,6 +59,7 @@ class Scene:
     scene_radius: jnp.ndarray     # ()
     scene_medium: object = None   # scene-wide participating medium
     scene_sdf: object = None      # optional SDFGrid shape (models/sdf.py)
+    scene_analytic: object = None  # AnalyticShapes (models/analytic.py)
     packet_accel: object = None   # PacketAccel (>MAX_FACES scenes, TPU)
     # static metadata
     shape_bsdf: tuple = static(())      # per-shape bsdf index
@@ -190,9 +191,29 @@ class Scene:
             pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray_d, active)
         else:
             pi = intersect_brute(vd, f, ray_d, active)
-        return pi.replace(shape_index=jnp.where(
+        pi = pi.replace(shape_index=jnp.where(
             pi.is_valid(), ctx["fshape"][pi.prim_index], -1
         ))
+        if self.scene_analytic is not None:
+            # analytic prims are first-class PI citizens (virtual shape
+            # slots >= _analytic_base; prim_index = analytic prim id) so
+            # the detached-PI + attached-compute_si split that PRB's
+            # replay and the projective integrators rely on works for
+            # them exactly like for meshes.
+            n = ray_d.o.shape[0]
+            act = active if active is not None else jnp.ones((n,), bool)
+            t_a, prim_a = self.scene_analytic.intersect(
+                ray_d.o, ray_d.d, ray_d.maxt, act)
+            closer = jnp.isfinite(t_a) & (t_a < pi.t)
+            base = self._analytic_base()
+            pi = PreliminaryIntersection(
+                t=jnp.where(closer, t_a, pi.t),
+                prim_index=jnp.where(closer, prim_a, pi.prim_index),
+                prim_uv=jnp.where(closer[:, None], 0.0, pi.prim_uv),
+                shape_index=jnp.where(
+                    closer, base + prim_a, pi.shape_index),
+            )
+        return pi
 
     def _face_shape(self):
         fshape = []
@@ -222,6 +243,12 @@ class Scene:
             ctx = self.trace_ctx()
         assert mode in ("attach", "follow_shape", "detach_shape")
         valid = pi.is_valid()
+        if self.scene_analytic is not None:
+            # analytic lanes carry analytic prim ids — exclude them from
+            # the mesh gather and rebuild them analytically below
+            base = self._analytic_base()
+            is_analytic = valid & (pi.shape_index >= base)
+            valid = valid & (pi.shape_index < base)
         prim = jnp.where(valid, pi.prim_index, 0)
         td = ctx["tri_data"][prim]          # (N, 26) single gather
         if mode == "detach_shape":
@@ -257,7 +284,7 @@ class Scene:
         uv = uv0 * b0[:, None] + uv1 * u[:, None] + uv2 * v_[:, None]
         s, tt, _ = Frame.from_normal(sh_n)
         wi = Frame.to_local((s, tt, sh_n), -ray.d)
-        return SurfaceInteraction(
+        si = SurfaceInteraction(
             t=jnp.where(valid, t, jnp.inf),
             p=p, n=ng, sh_n=sh_n, sh_s=s, sh_t=tt, uv=uv, wi=wi,
             shape_index=jnp.where(valid, pi.shape_index, -1),
@@ -265,6 +292,17 @@ class Scene:
             wavelengths=ray.wavelengths,
             time=ray.time,
         )
+        if self.scene_analytic is not None:
+            si_a = self.scene_analytic.compute_si(
+                ray, pi.t, pi.prim_index, is_analytic, mode=mode,
+                shape_slot_base=self._analytic_base())
+            si = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    is_analytic.reshape(
+                        is_analytic.shape + (1,) * (a.ndim - 1)), a, b),
+                si_a, si,
+            )
+        return si
 
     def ray_intersect(self, ray: Ray, active=None, ctx=None,
                       mode: str = "attach"):
@@ -280,6 +318,10 @@ class Scene:
         if self.scene_sdf is not None:
             si = self._merge_sdf_si(si, ray, active)
         return si
+
+    def _analytic_base(self) -> int:
+        """First shape slot of the analytic prims (after meshes + SDF)."""
+        return len(self.meshes) + (1 if self.scene_sdf is not None else 0)
 
     def _merge_sdf_si(self, si, ray: Ray, active):
         """Closest-hit merge with the scene's SDF shape (sdfgrid.cpp
@@ -352,6 +394,12 @@ class Scene:
                 active if active is not None
                 else jnp.ones(ray.o.shape[:-1], bool))
             hit = hit | sdf_hit
+        if self.scene_analytic is not None:
+            ray_d = jax.lax.stop_gradient(ray)
+            hit = hit | self.scene_analytic.any_hit(
+                ray_d.o, ray_d.d, ray_d.maxt,
+                active if active is not None
+                else jnp.ones(ray.o.shape[:-1], bool))
         return hit
 
     # ------------------------------------------------------ BSDF dispatch
@@ -404,6 +452,10 @@ class Scene:
         s = self.emitter_shape[ei]
         if s < 0:
             return None
+        if s >= len(self.meshes):
+            # analytic-prim owner (spheres only): exact cone sampling
+            return (self.scene_analytic.sphere_geom(
+                s - self._analytic_base()), None)
         return (self.meshes[s], self.face_distrs[ei])
 
     def sample_emitter_direction(self, si, sample1, sample2, active,
@@ -569,7 +621,7 @@ class Scene:
 # ------------------------------------------------------------------ build
 
 def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
-               integrator=None, medium=None, sdf=None):
+               integrator=None, medium=None, sdf=None, analytic=None):
     """Assemble a Scene (reference Scene ctor, scene.cpp:22-96).
 
     - ``meshes``: list[Mesh]; each mesh's static ``bsdf_index`` /
@@ -580,6 +632,8 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
     meshes = tuple(meshes)
     bsdfs = tuple(bsdfs)
     emitters = tuple(emitters)
+    if analytic is not None and analytic.n_prims == 0:
+        analytic = None
 
     if not meshes:
         # SDF-only scenes: keep the triangle pipeline alive with one
@@ -596,6 +650,11 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         # virtual shape slot for the SDF (index len(meshes))
         shape_bsdf = shape_bsdf + (int(sdf.bsdf_index),)
         shape_emitter = shape_emitter + (-1,)
+    analytic_base = len(shape_bsdf)
+    if analytic is not None and analytic.n_prims:
+        # virtual slots for the analytic prims (models/analytic.py)
+        shape_bsdf = shape_bsdf + tuple(analytic.bsdf_index)
+        shape_emitter = shape_emitter + tuple(analytic.emitter_index)
     emitter_shape = []
     for ei in range(len(emitters)):
         owner = -1
@@ -603,11 +662,18 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
             if m.emitter_index == ei:
                 owner = si_
                 break
+        if owner < 0 and analytic is not None:
+            for j, e_idx in enumerate(analytic.emitter_index):
+                if e_idx == ei:
+                    owner = analytic_base + j
+                    break
         emitter_shape.append(owner)
     emitter_shape = tuple(emitter_shape)
 
     # scene bounding sphere (host; includes the SDF bbox corners)
     pts = [np.asarray(m.vertices) for m in meshes]
+    if analytic is not None and analytic.n_prims:
+        pts.append(analytic.bound_points())
     if sdf is not None:
         lo = np.asarray(jax.lax.stop_gradient(sdf.bbox_min))
         hi = np.asarray(jax.lax.stop_gradient(sdf.bbox_max))
@@ -642,10 +708,11 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
     face_distrs = []
     for i, e in enumerate(emitters):
         s = emitter_shape[i]
-        if s >= 0:
+        if 0 <= s < len(meshes):
             areas = jax.lax.stop_gradient(meshes[s].face_areas())
             face_distrs.append(DiscreteDistribution.create(areas))
         else:
+            # analytic owners build their geom adapter in _emitter_geom
             face_distrs.append(None)
     face_distrs = tuple(face_distrs)
 
@@ -697,5 +764,6 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         integrator=integrator,
         scene_medium=medium,
         scene_sdf=sdf,
+        scene_analytic=analytic,
         packet_accel=packet_accel,
     )

@@ -131,6 +131,8 @@ def _plugin_subset_ok(scene) -> bool:
         return False
     if getattr(scene, "scene_sdf", None) is not None:
         return False
+    if getattr(scene, "scene_analytic", None) is not None:
+        return False
     # the in-kernel PCG3D stream is the *independent* sampler's; a
     # stratified sampler would break the bit-match with the wavefront path
     smp = getattr(scene.sensor, "sampler", None)

@@ -360,6 +360,52 @@ def _make_bsdf(d):
     raise ValueError(f"unsupported bsdf plugin {t!r}")
 
 
+def _make_analytic_prim(d, bsdf_index, emitter_index):
+    """Analytic-prim descriptor for models/analytic.build_analytic
+    (``{'analytic': True}`` sphere/disk/cylinder dicts — the reference's
+    default exact shapes, sphere.cpp/disk.cpp/cylinder.cpp)."""
+    t = d["type"]
+    w = _to_world(d.get("to_world"))
+    flip = bool(d.get("flip_normals", False))
+    sid = d.get("id", t)
+    if t == "sphere":
+        if w is not None:
+            m = np.asarray(w, np.float32)
+            c = m[:3, 3]
+            r = float(np.linalg.norm(m[:3, 0]))  # uniform scale only
+        else:
+            c = np.asarray(d.get("center", [0, 0, 0]), np.float32)
+            r = float(d.get("radius", 1.0))
+        return ("sphere", c, r, bsdf_index, emitter_index, flip, sid)
+    if t == "disk":
+        if w is not None:
+            m = np.asarray(w, np.float32)
+            c, su, sv = m[:3, 3], m[:3, 0], m[:3, 1]
+        else:
+            c = np.asarray(d.get("center", [0, 0, 0]), np.float32)
+            su = np.asarray([1, 0, 0], np.float32) \
+                * float(d.get("radius", 1.0))
+            sv = np.asarray([0, 1, 0], np.float32) \
+                * float(d.get("radius", 1.0))
+        n = np.cross(su, sv)
+        n = n / max(float(np.linalg.norm(n)), 1e-20)
+        return ("disk", c, su, sv, n, bsdf_index, emitter_index, flip, sid)
+    if t == "cylinder":
+        p0 = np.asarray(d.get("p0", [0, 0, 0]), np.float32)
+        p1 = np.asarray(d.get("p1", [0, 0, 1]), np.float32)
+        r = float(d.get("radius", 1.0))
+        if w is not None:
+            m = np.asarray(w, np.float32)
+            p0 = m[:3, :3] @ p0 + m[:3, 3]
+            p1 = m[:3, :3] @ p1 + m[:3, 3]
+            r *= float(np.linalg.norm(m[:3, 0]))
+        axis = p1 - p0
+        length = max(float(np.linalg.norm(axis)), 1e-20)
+        return ("cylinder", p0, axis / length, length, r,
+                bsdf_index, emitter_index, flip, sid)
+    raise ValueError(f"shape {t!r} has no analytic form")
+
+
 def _make_shape_mesh(d, bsdf_index, emitter_index):
     t = d["type"]
     w = _to_world(d.get("to_world"))
@@ -668,6 +714,7 @@ def load_dict(scene_dict: dict, use_bvh=None):
     integrator = None
     medium = None
     sdf = None
+    analytic_prims = []
     shapegroups = {}
 
     def bsdf_index_of(b):
@@ -717,7 +764,11 @@ def load_dict(scene_dict: dict, use_bvh=None):
                         f"unsupported shape emitter {e['type']!r}")
             b_idx = bsdf_index_of(val.get("bsdf"))
             val = dict(val, id=val.get("id", key))
-            meshes.append(_make_shape_mesh(val, b_idx, em_idx))
+            if val.get("analytic", False):
+                analytic_prims.append(
+                    _make_analytic_prim(val, b_idx, em_idx))
+            else:
+                meshes.append(_make_shape_mesh(val, b_idx, em_idx))
         elif t in EMITTER_TYPES:
             zeros = jnp.zeros(3)
             one = jnp.asarray(1.0)
@@ -843,8 +894,14 @@ def load_dict(scene_dict: dict, use_bvh=None):
 
     if sensor is None:
         sensor = PerspectiveCamera(to_world=jnp.eye(4))
+    analytic = None
+    if analytic_prims:
+        from ..models.analytic import build_analytic
+
+        analytic = build_analytic(analytic_prims)
     return make_scene(meshes, bsdfs, emitters, sensor, use_bvh=use_bvh,
-                      integrator=integrator, medium=medium, sdf=sdf)
+                      integrator=integrator, medium=medium, sdf=sdf,
+                      analytic=analytic)
 
 
 def _make_phase(d):
