@@ -1688,3 +1688,202 @@ class MeasuredBSDF:
                                   jnp.int32),
         )
         return bs, w
+
+
+# ---------------------------------------------------------------------------
+# Dupuy-Jakob measured material (.bsdf container) with NDF-warp sampling
+# ---------------------------------------------------------------------------
+
+@pytree
+class MeasuredRGL:
+    """Measured isotropic/anisotropic BRDF in the Dupuy-Jakob adaptive
+    parameterization (src/bsdfs/measured.cpp:72-503): the acquisition
+    stores spectra in coordinates warped by the material's own visible-
+    NDF distribution, so importance sampling is two table warps
+    (luminance then VNDF) instead of the round-1 plugin's cosine
+    sampling — near-perfect for glossy data.
+
+    Tables (core/warp2d.py Warp2D = Marginal2D<...,Continuous=true>):
+    ndf/sigma eval-only, vndf/luminance sampled + parameterized by
+    (phi_i, theta_i), spectra parameterized by (phi_i, theta_i,
+    wavelength-or-RGB-channel).
+    """
+
+    ndf: object        # Warp2D, eval-only
+    sigma: object      # Warp2D, eval-only
+    vndf: object       # Warp2D (phi_i, theta_i)
+    luminance: object  # Warp2D (phi_i, theta_i)
+    spectra: object    # Warp2D (phi_i, theta_i, channel), eval-only
+    isotropic: bool = static(True)
+    jacobian: bool = static(False)
+    id: str = static("measured")
+
+    flags = Flags.GlossyReflection
+
+    # coordinate mappings (measured.cpp:473-488)
+    @staticmethod
+    def _u2theta(u):
+        return (u * u) * (jnp.pi / 2.0)
+
+    @staticmethod
+    def _u2phi(u):
+        return (2.0 * u - 1.0) * jnp.pi
+
+    @staticmethod
+    def _theta2u(theta):
+        return jnp.sqrt(jnp.maximum(theta, 0.0) * (2.0 / jnp.pi))
+
+    @staticmethod
+    def _phi2u(phi):
+        return (phi + jnp.pi) * (0.5 / jnp.pi)
+
+    @staticmethod
+    def _elevation(d):
+        """Stable acos(cos_theta) (measured.cpp:234-240)."""
+        dist = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2
+                        + (d[..., 2] - 1.0) ** 2)
+        return 2.0 * jnp.arcsin(jnp.clip(0.5 * dist, -1.0, 1.0))
+
+    def _spec_rgb(self, sample, phi_i, theta_i):
+        chans = []
+        for c in range(3):
+            chans.append(self.spectra.eval(
+                sample,
+                (phi_i, theta_i, jnp.full_like(phi_i, float(c)))))
+        return jnp.stack(chans, axis=-1)
+
+    def sample(self, si, sample1, sample2, active):
+        wi = si.wi
+        cos_i = Frame.cos_theta(wi)
+        act = active & (cos_i > 0.0)
+        theta_i = self._elevation(wi)
+        phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+        params = (phi_i, theta_i)
+        u_wi = jnp.stack([self._theta2u(theta_i), self._phi2u(phi_i)],
+                         axis=-1)
+
+        # luminance warp, then VNDF warp (measured.cpp:274-283)
+        s = jnp.stack([sample2[..., 1], sample2[..., 0]], axis=-1)
+        s, lum_pdf = self.luminance.sample(s, params)
+        u_m, ndf_pdf = self.vndf.sample(s, params)
+
+        phi_m = self._u2phi(u_m[..., 1])
+        theta_m = self._u2theta(u_m[..., 0])
+        if self.isotropic:
+            phi_m = phi_m + phi_i
+        sin_t = jnp.sin(theta_m)
+        m = jnp.stack([jnp.cos(phi_m) * sin_t,
+                       jnp.sin(phi_m) * sin_t,
+                       jnp.cos(theta_m)], axis=-1)
+        dot_wim = dot(wi, m)
+        jac = jnp.maximum(
+            2.0 * jnp.pi ** 2 * u_m[..., 0] * sin_t, 1e-6
+        ) * 4.0 * dot_wim
+        wo = m * (2.0 * dot_wim)[..., None] - wi
+        pdf = ndf_pdf * lum_pdf / jnp.where(jac != 0.0, jac, 1.0)
+
+        spec = self._spec_rgb(s, phi_i, theta_i)
+        if self.jacobian:
+            spec = spec * (self.ndf.eval(u_m, ())
+                           / (4.0 * jnp.maximum(
+                               self.sigma.eval(u_wi, ()), 1e-12))
+                           )[..., None]
+        ok = act & (Frame.cos_theta(wo) > 0.0) & (pdf > 0.0)
+        weight = jnp.where(
+            ok[..., None], spec / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones(pdf.shape),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.full(pdf.shape, Flags.GlossyReflection,
+                                  jnp.int32),
+        )
+        return bs, weight
+
+    def eval_pdf(self, si, wo, active):
+        wi = si.wi
+        ok = active & (Frame.cos_theta(wi) > 0.0) \
+            & (Frame.cos_theta(wo) > 0.0)
+        m = wi + wo
+        m = m / jnp.maximum(
+            jnp.sqrt(jnp.sum(m * m, -1, keepdims=True)), 1e-20)
+        theta_i = self._elevation(wi)
+        phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+        theta_m = self._elevation(m)
+        phi_m = jnp.arctan2(m[..., 1], m[..., 0])
+        params = (phi_i, theta_i)
+        u_phi = self._phi2u(phi_m - phi_i if self.isotropic else phi_m)
+        u_phi = u_phi - jnp.floor(u_phi)
+        u_m = jnp.stack([self._theta2u(theta_m), u_phi], axis=-1)
+        u_wi = jnp.stack([self._theta2u(theta_i), self._phi2u(phi_i)],
+                         axis=-1)
+
+        s, vndf_pdf = self.vndf.invert(u_m, params)
+        spec = self._spec_rgb(s, phi_i, theta_i)
+        if self.jacobian:
+            spec = spec * (self.ndf.eval(u_m, ())
+                           / (4.0 * jnp.maximum(
+                               self.sigma.eval(u_wi, ()), 1e-12))
+                           )[..., None]
+        lum_pdf = self.luminance.eval(s, params)
+        sin_m = Frame.sin_theta(m)
+        jac = jnp.maximum(
+            2.0 * jnp.pi ** 2 * u_m[..., 0] * sin_m, 1e-6
+        ) * 4.0 * dot(wi, m)
+        pdf = vndf_pdf * lum_pdf / jnp.where(jac != 0.0, jac, 1.0)
+        return (jnp.where(ok[..., None], spec, 0.0),
+                jnp.where(ok, pdf, 0.0))
+
+    def eval(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[0]
+
+    def pdf(self, si, wo, active):
+        return self.eval_pdf(si, wo, active)[1]
+
+
+def measured_rgl_from_file(filename):
+    """Load a Dupuy-Jakob '.bsdf' container (tensor file) into a
+    MeasuredRGL (measured.cpp:85-230 ctor parity; RGB or spectral —
+    spectral channels are reduced to RGB via three CIE-weighted bins)."""
+    import numpy as np
+
+    from ..core.warp2d import Warp2D
+    from ..utils.tensor_io import read_tensor_file
+
+    f = read_tensor_file(filename)
+    phi_i = np.asarray(f["phi_i"], np.float32)
+    theta_i = np.asarray(f["theta_i"], np.float32)
+    ndf = np.asarray(f["ndf"], np.float32)
+    sigma = np.asarray(f["sigma"], np.float32)
+    vndf = np.asarray(f["vndf"], np.float32)
+    luminance = np.asarray(f["luminance"], np.float32)
+    jac = bool(np.asarray(f["jacobian"]).reshape(-1)[0])
+    isotropic = phi_i.shape[0] <= 2
+
+    if "rgb" in f:
+        spectra = np.asarray(f["rgb"], np.float32)
+        wavelengths = np.asarray([0.0, 1.0, 2.0], np.float32)
+    else:
+        spec = np.asarray(f["spectra"], np.float32)
+        wl = np.asarray(f["wavelengths"], np.float32)
+        # reduce spectral axis to RGB with CIE weights
+        from ..core.spectrum import rgb_response
+        import jax.numpy as _jnp
+
+        resp = np.asarray(rgb_response(_jnp.asarray(wl)))  # (nw, 3)
+        dw = np.gradient(wl)
+        spectra = np.einsum("ptwhv,wc->ptchv", spec, resp * dw[:, None])
+        spectra = np.maximum(spectra, 0.0).astype(np.float32)
+        wavelengths = np.asarray([0.0, 1.0, 2.0], np.float32)
+
+    return MeasuredRGL(
+        ndf=Warp2D.create(ndf, (), normalize=False, build_cdf=False),
+        sigma=Warp2D.create(sigma, (), normalize=False, build_cdf=False),
+        vndf=Warp2D.create(vndf, (phi_i, theta_i)),
+        luminance=Warp2D.create(luminance, (phi_i, theta_i)),
+        spectra=Warp2D.create(spectra, (phi_i, theta_i, wavelengths),
+                              normalize=False, build_cdf=False),
+        isotropic=isotropic,
+        jacobian=jac,
+    )

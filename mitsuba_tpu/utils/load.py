@@ -334,6 +334,11 @@ def _make_bsdf(d):
             eta=jnp.asarray(_ior(d.get("int_ior"), 1.55)),
         )
     if t == "measured":
+        if "filename" in d:
+            # Dupuy-Jakob '.bsdf' container with NDF-warp sampling
+            from ..models.bsdfs import measured_rgl_from_file
+
+            return measured_rgl_from_file(d["filename"])
         from ..models.bsdfs import MeasuredBSDF
 
         return MeasuredBSDF(data=jnp.asarray(d["data"], jnp.float32))
