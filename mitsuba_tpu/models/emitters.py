@@ -30,6 +30,8 @@ class AreaEmitter:
     radiance: object  # texture
     shape_index: int = static(-1)
     id: str = static("area")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = False
     is_infinite = False
@@ -173,6 +175,8 @@ class DirectionalAreaEmitter:
     radiance: object  # texture
     shape_index: int = static(-1)
     id: str = static("directionalarea")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = True
     is_infinite = False
@@ -223,6 +227,8 @@ class PointEmitter:
     intensity: jnp.ndarray  # (3,)
     position: jnp.ndarray   # (3,)
     id: str = static("point")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = True
     is_infinite = False
@@ -288,6 +294,8 @@ class ConstantEmitter:
     scene_center: jnp.ndarray  # (3,)
     scene_radius: jnp.ndarray  # ()
     id: str = static("constant")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = False
     is_infinite = True
@@ -366,6 +374,8 @@ class DirectionalEmitter:
     scene_center: jnp.ndarray
     scene_radius: jnp.ndarray
     id: str = static("directional")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = True
     is_infinite = True
@@ -452,6 +462,8 @@ class EnvmapEmitter:
     scene_center: jnp.ndarray
     scene_radius: jnp.ndarray
     id: str = static("envmap")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = False
     is_infinite = True
@@ -590,6 +602,8 @@ class SpotEmitter:
     cutoff_angle: float = static(20.0)   # degrees
     beam_width: float = static(15.0)     # degrees (full intensity inside)
     id: str = static("spot")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = True
     is_infinite = False
@@ -671,6 +685,8 @@ class ProjectorEmitter:
     fov: float = static(45.0)       # horizontal, degrees
     aspect: float = static(1.0)     # width / height
     id: str = static("projector")
+    # relative selection probability (endpoint.h sampling_weight, scene.cpp:103-115)
+    sampling_weight: float = static(1.0)
 
     is_delta = True
     is_infinite = False

@@ -105,7 +105,7 @@ class MegakernelPathIntegrator:
                 take(lane), take(ray.o), take(ray.d), take(active), seed,
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_nodes=acc.n_nodes, n_lights=n_lights, multi=multi,
-                interpret=interpret,
+                interpret=interpret, rpl=acc.rpl, batch=acc.batch,
             )
             return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
@@ -113,5 +113,5 @@ class MegakernelPathIntegrator:
             lane, ray.o, ray.d, active, seed,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_nodes=acc.n_nodes, n_lights=n_lights, multi=multi,
-            interpret=interpret,
+            interpret=interpret, rpl=acc.rpl, batch=acc.batch,
         )

@@ -166,6 +166,7 @@ class Scene:
                 acc.node_box, acc.node_meta,
                 ctx["packet_rows"],
                 ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
+                rpl=acc.rpl, batch=acc.batch,
             )
             pi = PreliminaryIntersection(
                 t=t,
@@ -370,6 +371,7 @@ class Scene:
                 acc.node_box, acc.node_meta,
                 ctx["packet_rows"],
                 ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
+                rpl=acc.rpl, batch=acc.batch,
             )
         elif "tris_packed" in ctx:
             from ..ops.pallas.intersect_pallas import intersect_packed
@@ -716,9 +718,13 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
             face_distrs.append(None)
     face_distrs = tuple(face_distrs)
 
-    # uniform emitter selection (scene.cpp:227 default)
+    # emitter selection pmf from per-emitter sampling weights
+    # (scene.cpp:100-115; uniform when all weights are 1, the default)
     n_em = max(len(emitters), 1)
-    emitter_distr = DiscreteDistribution.create(jnp.ones((n_em,)))
+    weights = [float(getattr(e, "sampling_weight", 1.0)) for e in emitters]
+    weights += [1.0] * (n_em - len(weights))
+    emitter_distr = DiscreteDistribution.create(
+        jnp.asarray(weights, jnp.float32))
 
     total_tris = sum(int(m.faces.shape[0]) for m in meshes)
     if use_bvh is None:

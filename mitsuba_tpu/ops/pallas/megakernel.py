@@ -683,7 +683,8 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
     return kernel
 
 
-def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi):
+def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
+                   rpl, batch):
     """BVH-packet megakernel: same fused path loop, but ray queries run
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
     lifts the MAX_FACES cap to the SMEM node budget (~300k triangles)."""
@@ -709,7 +710,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi):
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz,
                 jnp.full(shape, jnp.inf), act_b,
-                resolve_cols=res_cols)
+                resolve_cols=res_cols, rpl=rpl, batch=batch)
             if multi:
                 (Rr, Rg, Rb, ngx, ngy, ngz, IsL, PdfA,
                  Btype, C0, C1, C2, C3, C4, C5) = attrs
@@ -725,7 +726,8 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi):
             return traverse_any(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
-                ox, oy, oz, dx, dy, dz, maxt, act_b) > 0.5
+                ox, oy, oz, dx, dy, dz, maxt, act_b,
+                rpl=rpl, batch=batch) > 0.5
 
         lc = lambda j, k: light_ref[j, k]
         Lr, Lg, Lb = _trace_loop(
@@ -828,15 +830,19 @@ def pack_scene_bvh(scene, layout):
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_nodes", "n_lights",
-                          "multi", "interpret"))
+                          "multi", "interpret", "rpl", "batch"))
 def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          lane, o, d, active, seed,
                          max_depth: int, rr_depth: int, n_nodes: int,
                          n_lights: int, multi: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         rpl: int = None, batch: int = None):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
-    from .traverse import QUEUE, RPL
+    from .traverse import BATCH, QUEUE, RPL
+
+    rpl = RPL if rpl is None else rpl
+    batch = BATCH if batch is None else batch
 
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -858,7 +864,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     grid = (rows_t // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi)
+    kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
+                            rpl, batch)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -871,7 +878,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((rows_t, LANES), jnp.float32)] * 3,
         scratch_shapes=[
-            pltpu.SMEM((QUEUE, RPL, 128), jnp.float32),
+            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,

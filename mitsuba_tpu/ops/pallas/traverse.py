@@ -48,8 +48,9 @@ DET_EPS = 1e-9            # matches megakernel._tri_test
 
 PACK = 5          # triangles per 128-float row (stride 25, 3 cols pad)
 STRIDE = 25
-RPL = 8           # rows per leaf block (8-row aligned DMA slices)
-TB = PACK * RPL   # triangles per leaf/cluster (40)
+RPL = 8           # default rows per leaf block (8-row aligned DMA slices)
+TB = PACK * RPL   # default triangles per leaf/cluster (40)
+BATCH = 4         # speculative nodes tested per traversal iteration
 
 # triangle row columns (within a 25-float slot):
 #   0:3 p0 | 3:6 e1 | 6:9 e2 | 9:12 refl | 12:15 ng (unit geo normal)
@@ -99,20 +100,26 @@ class PacketAccel:
     perm: object = static(None)
     n_nodes: int = static(0)
     n_leaves: int = static(0)
+    rpl: int = static(RPL)
+    batch: int = static(BATCH)
 
 
-def build_packet_bvh(verts_np, faces_np, leaf_size: int = TB) -> PacketAccel:
+def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
+                     batch: int = BATCH) -> PacketAccel:
     """Host SAH build + cluster layout (reference accel build,
     scene_embree.inl:113; runs at make_scene time like scene.cpp:70).
-    Stays in numpy end to end — no device round-trips."""
+    Stays in numpy end to end — no device round-trips.  ``rpl`` (rows
+    per leaf, 8-row DMA granularity) sets the cluster size PACK*rpl —
+    bigger leaves shrink the serial node walk at the cost of more
+    (vector-cheap) triangle tests."""
     from ...native import build_bvh_native
 
-    assert leaf_size == TB
-    out = build_bvh_native(verts_np, faces_np, TB)
+    tb = PACK * rpl
+    out = build_bvh_native(verts_np, faces_np, tb)
     if out is None:
         from ..bvh import _build_bvh_median
 
-        b = _build_bvh_median(verts_np, faces_np, TB)
+        b = _build_bvh_median(verts_np, faces_np, tb)
         out = tuple(
             np.asarray(x)
             for x in (b.bbox_lo, b.bbox_hi, b.first, b.count, b.miss,
@@ -125,17 +132,17 @@ def build_packet_bvh(verts_np, faces_np, leaf_size: int = TB) -> PacketAccel:
     n_leaves = 0
     for i in range(M):
         if count[i] > 0:
-            meta[i, 0] = n_leaves * RPL
+            meta[i, 0] = n_leaves * rpl
             meta[i, 1] = count[i]
             slot = prims[first[i]:first[i] + count[i]].astype(np.int32)
-            perm.append(np.pad(slot, (0, TB - len(slot)),
+            perm.append(np.pad(slot, (0, tb - len(slot)),
                                constant_values=-1))
             n_leaves += 1
         else:
             meta[i, 0] = -1
         meta[i, 2] = miss[i]
     perm = (np.concatenate(perm) if perm
-            else np.full((TB,), -1, np.int32))
+            else np.full((tb,), -1, np.int32))
 
     # SMEM-friendly packing (512 B rows): 16 nodes per f32 box row,
     # 32 nodes per i32 meta row
@@ -149,7 +156,7 @@ def build_packet_bvh(verts_np, faces_np, leaf_size: int = TB) -> PacketAccel:
     return PacketAccel(
         node_box=jnp.asarray(box), node_meta=jnp.asarray(meta),
         perm=_StaticPerm(perm),
-        n_nodes=M, n_leaves=max(n_leaves, 1))
+        n_nodes=M, n_leaves=max(n_leaves, 1), rpl=rpl, batch=batch)
 
 
 def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
@@ -163,8 +170,8 @@ def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
         [tri_cols, jnp.zeros((1, N_COLS), tri_cols.dtype)], axis=0)
     perm = layout.perm.a
     idx = np.where(perm < 0, F, perm)
-    slots = safe[idx]                                   # (n_leaves*TB, 25)
-    rows = slots.reshape(layout.n_leaves * RPL, PACK * N_COLS)
+    slots = safe[idx]                                   # (n_leaves*tb, 25)
+    rows = slots.reshape(layout.n_leaves * layout.rpl, PACK * N_COLS)
     return jnp.pad(rows, ((0, 0), (0, 128 - PACK * N_COLS)))
 
 
@@ -261,11 +268,11 @@ def _ring_get(vals, idx):
 
 def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                      n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
-                     resolve_cols=(COL_FACE_ID,)):
+                     resolve_cols=(COL_FACE_ID,), rpl=RPL, batch=BATCH):
     """Packet closest-hit traversal subroutine (kernel-internal).
 
     node_box/node_meta are packed SMEM refs (see PacketAccel); rows_hbm
-    an ANY/HBM ref; qbuf an SMEM (QUEUE, RPL, 128) scratch; sems a DMA
+    an ANY/HBM ref; qbuf an SMEM (QUEUE, rpl, 128) scratch; sems a DMA
     semaphore vector.  Discovered leaves enter a QUEUE-deep DMA ring and
     are intersected only when the ring fills (or at drain), so HBM copy
     latency overlaps both the node walk and earlier leaf processing.
@@ -273,6 +280,14 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     plus one (8, 128) f32 tile per requested resolve column; lanes with
     no hit keep best_t at its maxt init and attrs = -1 for COL_FACE_ID,
     0 otherwise.
+
+    Each iteration speculatively tests ``batch`` consecutive DFS nodes:
+    in DFS order with threaded miss links, a hit interior node's
+    successor is exactly the next node, so the scalar decode walks the
+    prefix of consecutive interior hits and exits on the first miss or
+    leaf.  The per-node vector->scalar sync (the ~100 ns serial floor of
+    the walk, PERF.md) is paid once per batch — the ``batch``
+    reductions are independent and pipeline.
     """
     shape = ox.shape
     eps = jnp.float32(1e-30)
@@ -291,7 +306,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
 
     def process(row_start, cnt, slot, found, best_t, attrs):
         pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(row_start, RPL)],
+            rows_hbm.at[pl.ds(row_start, rpl)],
             qbuf.at[slot], sems.at[slot],
         ).wait()
 
@@ -336,17 +351,40 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         found, best_t = s[3 + NQ], s[4 + NQ]
         attrs = s[5 + NQ:]
 
-        nid = jnp.maximum(cursor, 0)
+        nid0 = jnp.maximum(cursor, 0)
         is_node = cursor >= 0
-        lo, hi = _node_box(node_box, nid)
-        hitmask = _slab(lo, hi, ox, oy, oz, ix, iy, iz, best_t) * actf
-        anyhit = (jnp.max(hitmask) > 0.0) & is_node
-        row_start, cnt, miss = _node_meta(node_meta, nid)
-        is_leaf = row_start >= 0
-        enqueue = anyhit & is_leaf
-        nxt = jnp.where(is_node,
-                        jnp.where(anyhit & ~is_leaf, nid + 1, miss),
-                        cursor)
+        hits, rows_b, cnts_b, miss_b = [], [], [], []
+        for k in range(batch):
+            nid = nid0 if k == 0 else jnp.minimum(nid0 + k, n_nodes - 1)
+            lo, hi = _node_box(node_box, nid)
+            hm = _slab(lo, hi, ox, oy, oz, ix, iy, iz, best_t) * actf
+            hits.append(jnp.max(hm) > 0.0)
+            rs, ct, ms = _node_meta(node_meta, nid)
+            rows_b.append(rs)
+            cnts_b.append(ct)
+            miss_b.append(ms)
+
+        # scalar decode: follow the consecutive-hit interior run; stop
+        # at the first miss (jump to its miss link) or first hit leaf
+        # (enqueue it, then continue from its miss link)
+        run = is_node
+        nxt = cursor
+        enqueue = is_node & (nid0 < 0)          # traced False
+        row_start = jnp.int32(0)
+        cnt = jnp.int32(0)
+        for k in range(batch):
+            leaf_k = rows_b[k] >= 0
+            stop = run & (~hits[k] | leaf_k)
+            enq_k = run & hits[k] & leaf_k
+            enqueue = enqueue | enq_k
+            row_start = jnp.where(enq_k, rows_b[k], row_start)
+            cnt = jnp.where(enq_k, cnts_b[k], cnt)
+            nxt = jnp.where(stop, miss_b[k], nxt)
+            run = run & hits[k] & ~leaf_k
+        # whole batch was hit interior nodes: resume after it (the last
+        # DFS node is always a leaf, so a live run never runs off the
+        # clamped end of the table)
+        nxt = jnp.where(run, nid0 + batch, nxt)
 
         # pop the oldest leaf when the ring is full (its DMA has had
         # QUEUE-1 enqueues worth of latency cover) or when draining
@@ -367,7 +405,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         @pl.when(enqueue)
         def _():
             pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(row_start, RPL)],
+                rows_hbm.at[pl.ds(row_start, rpl)],
                 qbuf.at[new_slot], sems.at[new_slot],
             ).start()
 
@@ -388,10 +426,12 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
 
 
 def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
-                 n_nodes, ox, oy, oz, dx, dy, dz, maxt, act):
+                 n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
+                 rpl=RPL, batch=BATCH):
     """Packet any-hit (shadow) traversal.  Returns f32 0/1 occluded tile.
     Occluded lanes drop out of the live mask, shrinking later node visits
-    (scene.cpp:203 ray_test)."""
+    (scene.cpp:203 ray_test).  Node visits are batched like
+    traverse_closest."""
     shape = ox.shape
     eps = jnp.float32(1e-30)
     ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
@@ -404,7 +444,7 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
 
     def process(row_start, cnt, slot, occ):
         pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(row_start, RPL)],
+            rows_hbm.at[pl.ds(row_start, rpl)],
             qbuf.at[slot], sems.at[slot],
         ).wait()
 
@@ -429,18 +469,35 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         cnts_ring = s[3 + QUEUE:3 + NQ]
         occ = s[3 + NQ]
 
-        nid = jnp.maximum(cursor, 0)
+        nid0 = jnp.maximum(cursor, 0)
         is_node = cursor >= 0
-        lo, hi = _node_box(node_box, nid)
         live = actf * (1.0 - occ)
-        hitmask = _slab(lo, hi, ox, oy, oz, ix, iy, iz, maxt) * live
-        anyhit = (jnp.max(hitmask) > 0.0) & is_node
-        row_start, cnt, miss = _node_meta(node_meta, nid)
-        is_leaf = row_start >= 0
-        enqueue = anyhit & is_leaf
-        nxt = jnp.where(is_node,
-                        jnp.where(anyhit & ~is_leaf, nid + 1, miss),
-                        cursor)
+        hits, rows_b, cnts_b, miss_b = [], [], [], []
+        for k in range(batch):
+            nid = nid0 if k == 0 else jnp.minimum(nid0 + k, n_nodes - 1)
+            lo, hi = _node_box(node_box, nid)
+            hm = _slab(lo, hi, ox, oy, oz, ix, iy, iz, maxt) * live
+            hits.append(jnp.max(hm) > 0.0)
+            rs, ct, ms = _node_meta(node_meta, nid)
+            rows_b.append(rs)
+            cnts_b.append(ct)
+            miss_b.append(ms)
+
+        run = is_node
+        nxt = cursor
+        enqueue = is_node & (nid0 < 0)          # traced False
+        row_start = jnp.int32(0)
+        cnt = jnp.int32(0)
+        for k in range(batch):
+            leaf_k = rows_b[k] >= 0
+            stop = run & (~hits[k] | leaf_k)
+            enq_k = run & hits[k] & leaf_k
+            enqueue = enqueue | enq_k
+            row_start = jnp.where(enq_k, rows_b[k], row_start)
+            cnt = jnp.where(enq_k, cnts_b[k], cnt)
+            nxt = jnp.where(stop, miss_b[k], nxt)
+            run = run & hits[k] & ~leaf_k
+        nxt = jnp.where(run, nid0 + batch, nxt)
 
         full = (tail - head) >= QUEUE
         do_process = (enqueue & full) | (~is_node & (tail > head))
@@ -458,7 +515,7 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         @pl.when(enqueue)
         def _():
             pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(row_start, RPL)],
+                rows_hbm.at[pl.ds(row_start, rpl)],
                 qbuf.at[new_slot], sems.at[new_slot],
             ).start()
 
@@ -484,10 +541,12 @@ def _tile(x, n_pad, rows, fill=0.0):
                    constant_values=fill).reshape(rows, LANES)
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "interpret"))
+@partial(jax.jit,
+         static_argnames=("n_nodes", "interpret", "rpl", "batch"))
 def packet_closest_hit(node_box, node_meta, rows_hbm,
                        o, d, maxt, active, n_nodes: int,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       rpl: int = RPL, batch: int = BATCH):
     """Standalone closest-hit wavefront query: (N,3) rays -> (t (N,),
     prim (N,) i32).  Misses return t = inf (scene.cpp:181)."""
     n = o.shape[0]
@@ -504,7 +563,7 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
         found, best_t, (fid,) = traverse_closest(
             box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5)
+            act[:] > 0.5, rpl=rpl, batch=batch)
         t_ref[:] = jnp.where(found > 0.0, best_t, jnp.inf)
         fid_ref[:] = fid
 
@@ -519,7 +578,7 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
         out_specs=[ray_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 2,
         scratch_shapes=[
-            pltpu.SMEM((QUEUE, RPL, 128), jnp.float32),
+            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,
@@ -534,10 +593,12 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     return flat(t), flat(fid).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "interpret"))
+@partial(jax.jit,
+         static_argnames=("n_nodes", "interpret", "rpl", "batch"))
 def packet_any_hit(node_box, node_meta, rows_hbm,
                    o, d, maxt, active, n_nodes: int,
-                   interpret: bool = False):
+                   interpret: bool = False,
+                   rpl: int = RPL, batch: int = BATCH):
     """Standalone any-hit query -> occluded (N,) bool (scene.cpp:203)."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -552,7 +613,7 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
         occ_ref[:] = traverse_any(
             box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5)
+            act[:] > 0.5, rpl=rpl, batch=batch)
 
     occ = pl.pallas_call(
         kernel,
@@ -565,7 +626,7 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((QUEUE, RPL, 128), jnp.float32),
+            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,

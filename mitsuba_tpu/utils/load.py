@@ -150,6 +150,17 @@ def _texture(val, default):
         if t == "volume":
             from ..models.textures import Volume3DTexture
 
+            if "filename" in val:
+                from .volfile import read_vol
+
+                data, mn, mx = read_vol(val["filename"])
+                return Volume3DTexture(
+                    data=jnp.asarray(data),
+                    bbox_min=jnp.asarray(val.get("bbox_min", mn),
+                                         jnp.float32),
+                    bbox_max=jnp.asarray(val.get("bbox_max", mx),
+                                         jnp.float32),
+                )
             return Volume3DTexture(
                 data=jnp.asarray(val["data"], jnp.float32),
                 bbox_min=jnp.asarray(val.get("bbox_min", [-1, -1, -1]),
@@ -767,7 +778,16 @@ def load_dict(scene_dict: dict, use_bvh=None):
                 else:
                     raise ValueError(
                         f"unsupported shape emitter {e['type']!r}")
+                if "sampling_weight" in e:
+                    emitters[-1] = emitters[-1].replace(
+                        sampling_weight=float(e["sampling_weight"]))
             b_idx = bsdf_index_of(val.get("bsdf"))
+            if isinstance(val.get("interior"), dict):
+                # per-shape interior medium; the TPU scene carries one
+                # global medium (volpath's uniform-lane design), so the
+                # first interior becomes scene_medium
+                if medium is None:
+                    medium = _make_medium(val["interior"])
             val = dict(val, id=val.get("id", key))
             if val.get("analytic", False):
                 analytic_prims.append(
@@ -850,6 +870,9 @@ def load_dict(scene_dict: dict, use_bvh=None):
                 ))
             else:
                 raise ValueError(f"unsupported emitter plugin {t!r}")
+            if "sampling_weight" in val:
+                emitters[-1] = emitters[-1].replace(
+                    sampling_weight=float(val["sampling_weight"]))
         elif t == "shapegroup":
             group = []
             for ck, cv in val.items():
@@ -950,12 +973,27 @@ def _make_medium(d):
             phase=phase,
         )
     if t == "heterogeneous":
+        density = d["density"]
+        bbox_default = ([-1, -1, -1], [1, 1, 1])
+        # `.vol` gridvolume container (volumegrid.cpp:128), either as a
+        # nested {"type": "gridvolume", "filename": ...} or a direct path
+        if isinstance(density, dict):
+            density = density.get("filename", density.get("data"))
+        if isinstance(density, str):
+            from .volfile import read_vol
+
+            density, mn, mx = read_vol(density)
+            if density.shape[-1] == 1:
+                density = density[..., 0]
+            bbox_default = (mn, mx)
         return GridMedium(
-            density=jnp.asarray(d["density"], jnp.float32),
+            density=jnp.asarray(density, jnp.float32),
             sigma_t=_spectrum(d.get("sigma_t"), jnp.ones(3)),
             albedo=_spectrum(d.get("albedo"), jnp.full((3,), 0.75)),
-            bbox_min=jnp.asarray(d.get("bbox_min", [-1, -1, -1]), jnp.float32),
-            bbox_max=jnp.asarray(d.get("bbox_max", [1, 1, 1]), jnp.float32),
+            bbox_min=jnp.asarray(d.get("bbox_min", bbox_default[0]),
+                                 jnp.float32),
+            bbox_max=jnp.asarray(d.get("bbox_max", bbox_default[1]),
+                                 jnp.float32),
             scale=jnp.asarray(float(d.get("scale", 1.0))),
             phase=phase,
         )
