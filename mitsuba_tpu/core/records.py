@@ -89,6 +89,28 @@ class SurfaceInteraction:
     def wi_world(self):
         return self.to_world(self.wi)
 
+    def to_world_mueller(self, M_local, in_forward_local,
+                         out_forward_local):
+        """Convert a Mueller matrix expressed in local shading
+        coordinates (implicit local-direction Stokes bases) into one
+        operating on world-space implicit bases (interaction.h:374).
+        M_local: (N, ..., 4, 4); rotators broadcast over channel dims."""
+        from . import mueller
+
+        in_fw = self.to_world(in_forward_local)
+        out_fw = self.to_world(out_forward_local)
+        in_cur = self.to_world(mueller.stokes_basis(in_forward_local))
+        out_cur = self.to_world(mueller.stokes_basis(out_forward_local))
+        r_in = mueller.rotate_stokes_basis(
+            in_fw, in_cur, mueller.stokes_basis(in_fw))
+        r_out = mueller.rotate_stokes_basis(
+            out_fw, out_cur, mueller.stokes_basis(out_fw))
+        extra = M_local.ndim - r_in.ndim
+        for _ in range(extra):
+            r_in = r_in[..., None, :, :]
+            r_out = r_out[..., None, :, :]
+        return r_out @ M_local @ jnp.swapaxes(r_in, -1, -2)
+
     def spawn_ray(self, d):
         """Offset origin along the geometric normal on the side of d."""
         sign = jnp.sign(dot(d, self.n, keepdims=True))

@@ -1887,3 +1887,272 @@ def measured_rgl_from_file(filename):
         isotropic=isotropic,
         jacobian=jac,
     )
+
+
+# ---------------------------------------------------------------------------
+# Polarization-aware plugins (mueller.h calculus; see core/mueller.py)
+# ---------------------------------------------------------------------------
+#
+# Convention (matching the reference's polarized variants): a plugin may
+# expose ``sample_mueller``/``eval_mueller`` returning a LOCAL-frame
+# Mueller matrix (N, C, 4, 4) whose in/out Stokes bases are the implicit
+# bases of the local light-propagation directions (conductor.cpp:273-302).
+# Plugins without these methods depolarize: M = depolarizer(weight).
+# Scalar (unpolarized) transport keeps using sample/eval unchanged.
+
+
+def depolarizer_mueller(weight):
+    """(N, C) scalar weight -> (N, C, 4, 4) ideal depolarizer."""
+    from ..core import mueller
+
+    return mueller.depolarizer(weight)
+
+
+def _pol_forward(si):
+    """Local propagation direction of light for radiance transport
+    through a null element: arrives travelling along si.wi (from the
+    camera side wo = -wi the light moves along +wi... polarizer.cpp:131
+    uses forward = si.wi in radiance mode)."""
+    return si.wi
+
+
+@pytree
+class PolarizerBSDF:
+    """Ideal linear polarizer (src/bsdfs/polarizer.cpp).  Null
+    transmission geometry; the Mueller matrix implements the effective
+    transmission axis of a tilted polarizer (Korger et al. 2013)."""
+
+    theta: object = None          # texture, degrees
+    transmittance: object = None  # texture
+    id: str = static("polarizer")
+
+    flags = Flags.DeltaTransmission
+
+    def _trans(self, si):
+        if self.transmittance is None:
+            return jnp.ones(si.wi.shape[:-1] + (3,))
+        return self.transmittance.eval(si)
+
+    def _theta_rad(self, si):
+        if self.theta is None:
+            return jnp.zeros(si.wi.shape[:-1] + (3,))
+        return jnp.deg2rad(self.theta.eval(si))
+
+    def _null_bs(self, si, active):
+        n = si.wi.shape[0]
+        return BSDFSample(
+            wo=-si.wi,
+            pdf=jnp.where(active, 1.0, 0.0),
+            eta=jnp.ones((n,)),
+            delta=jnp.ones((n,), bool),
+            sampled_type=jnp.full((n,), Flags.DeltaTransmission,
+                                  jnp.int32),
+        )
+
+    def sample(self, si, sample1, sample2, active):
+        bs = self._null_bs(si, active)
+        w = 0.5 * self._trans(si)
+        return bs, jnp.where(active[..., None], w, 0.0)
+
+    def sample_mueller(self, si, sample1, sample2, active):
+        from ..core import mueller
+
+        bs = self._null_bs(si, active)
+        theta = self._theta_rad(si)                      # (N, 3)
+        sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+        forward = _pol_forward(si)                       # (N, 3) local
+
+        # effective transmission axis for oblique incidence
+        # (polarizer.cpp:133-141): a = (sin, cos, 0) per channel
+        fwd = forward[:, None, :]                        # (N, 1, 3)
+        a = jnp.stack([sin_t, cos_t, jnp.zeros_like(sin_t)], axis=-1)
+        eff_a = a - jnp.sum(a * fwd, -1, keepdims=True) * fwd
+        eff_a = eff_a / jnp.maximum(
+            jnp.sqrt(jnp.sum(eff_a**2, -1, keepdims=True)), 1e-12)
+        eff_t = jnp.cross(jnp.broadcast_to(fwd, eff_a.shape), eff_a)
+
+        M = mueller.linear_polarizer(jnp.ones(theta.shape))  # (N,3,4,4)
+        basis = mueller.stokes_basis(forward)[:, None, :]
+        M = mueller.rotate_mueller_basis_collinear(
+            M, jnp.broadcast_to(fwd, eff_t.shape), eff_t,
+            jnp.broadcast_to(basis, eff_t.shape))
+        M = M * self._trans(si)[..., None, None]
+        return bs, jnp.where(active[..., None, None, None], M, 0.0)
+
+    def eval(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1] + (3,))
+
+    def pdf(self, si, wo, active):
+        return jnp.zeros(wo.shape[:-1])
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+
+@pytree
+class RetarderBSDF:
+    """Linear retarder / wave plate (src/bsdfs/retarder.cpp).  ``delta``
+    is the phase difference in degrees (90 = quarter-wave, 180 =
+    half-wave), scaled by |cos_theta| for oblique incidence."""
+
+    theta: object = None          # texture, degrees (fast-axis rotation)
+    delta: object = None          # texture, degrees (phase)
+    transmittance: object = None
+    id: str = static("retarder")
+
+    flags = Flags.DeltaTransmission
+
+    _trans = PolarizerBSDF._trans
+    _theta_rad = PolarizerBSDF._theta_rad
+    _null_bs = PolarizerBSDF._null_bs
+    eval = PolarizerBSDF.eval
+    pdf = PolarizerBSDF.pdf
+    eval_pdf = PolarizerBSDF.eval_pdf
+
+    def _delta_rad(self, si):
+        if self.delta is None:
+            return jnp.full(si.wi.shape[:-1] + (3,), jnp.pi / 2)
+        return jnp.deg2rad(self.delta.eval(si))
+
+    def sample(self, si, sample1, sample2, active):
+        bs = self._null_bs(si, active)
+        w = self._trans(si)
+        return bs, jnp.where(active[..., None], w, 0.0)
+
+    def sample_mueller(self, si, sample1, sample2, active):
+        from ..core import mueller
+
+        bs = self._null_bs(si, active)
+        cos_i = Frame.cos_theta(si.wi)
+        delta = self._delta_rad(si) * jnp.abs(cos_i)[..., None]
+        theta = self._theta_rad(si)
+        M = mueller.linear_retarder(delta)               # (N,3,4,4)
+        # element rotation flips when intersected from the back
+        M = mueller.rotated_element(
+            jnp.sign(cos_i)[..., None] * theta, M)
+        forward = _pol_forward(si)
+        basis = mueller.stokes_basis(forward)[:, None, :]
+        x_axis = jnp.zeros_like(basis) + jnp.asarray([1.0, 0.0, 0.0])
+        fwd = jnp.broadcast_to(forward[:, None, :], basis.shape)
+        M = mueller.rotate_mueller_basis_collinear(
+            M, fwd, jnp.broadcast_to(x_axis, fwd.shape),
+            jnp.broadcast_to(basis, fwd.shape))
+        M = M * self._trans(si)[..., None, None]
+        return bs, jnp.where(active[..., None, None, None], M, 0.0)
+
+
+@pytree
+class CircularPolarizerBSDF:
+    """Circular polarizer (src/bsdfs/circular.cpp)."""
+
+    transmittance: object = None
+    left_handed: bool = static(False)
+    id: str = static("circular")
+
+    flags = Flags.DeltaTransmission
+
+    _trans = PolarizerBSDF._trans
+    _null_bs = PolarizerBSDF._null_bs
+    eval = PolarizerBSDF.eval
+    pdf = PolarizerBSDF.pdf
+    eval_pdf = PolarizerBSDF.eval_pdf
+
+    def sample(self, si, sample1, sample2, active):
+        bs = self._null_bs(si, active)
+        w = 0.5 * self._trans(si)
+        return bs, jnp.where(active[..., None], w, 0.0)
+
+    def sample_mueller(self, si, sample1, sample2, active):
+        from ..core import mueller
+
+        bs = self._null_bs(si, active)
+        M = (mueller.left_circular_polarizer() if self.left_handed
+             else mueller.right_circular_polarizer())
+        n = si.wi.shape[0]
+        M = jnp.broadcast_to(M, (n, 3, 4, 4))
+        forward = _pol_forward(si)
+        basis = mueller.stokes_basis(forward)[:, None, :]
+        x_axis = jnp.zeros_like(basis) + jnp.asarray([1.0, 0.0, 0.0])
+        fwd = jnp.broadcast_to(forward[:, None, :], basis.shape)
+        M = mueller.rotate_mueller_basis_collinear(
+            M, fwd, jnp.broadcast_to(x_axis, fwd.shape),
+            jnp.broadcast_to(basis, fwd.shape))
+        M = M * self._trans(si)[..., None, None]
+        return bs, jnp.where(active[..., None, None, None], M, 0.0)
+
+
+def _specular_mueller_local(si, bs, M_sp, reflectance=None):
+    """Rotate an s/p-basis specular Mueller matrix into the implicit
+    bases of the LOCAL directions (conductor.cpp:284-301).  Light
+    arrives along -bs.wo and leaves along +si.wi (radiance mode)."""
+    from ..core import mueller
+
+    wo_hat = bs.wo
+    wi_hat = si.wi
+    nrm = jnp.asarray([0.0, 0.0, 1.0])
+    s_in = jnp.cross(jnp.broadcast_to(nrm, wo_hat.shape), -wo_hat)
+    s_out = jnp.cross(jnp.broadcast_to(nrm, wi_hat.shape), wi_hat)
+    coll = jnp.sum(s_in * s_in, -1, keepdims=True) < 1e-12
+    x_axis = jnp.asarray([1.0, 0.0, 0.0])
+    s_in = jnp.where(coll, x_axis, s_in)
+    s_out = jnp.where(coll, x_axis, s_out)
+    s_in = s_in / jnp.maximum(
+        jnp.sqrt(jnp.sum(s_in**2, -1, keepdims=True)), 1e-12)
+    s_out = s_out / jnp.maximum(
+        jnp.sqrt(jnp.sum(s_out**2, -1, keepdims=True)), 1e-12)
+    M = mueller.rotate_mueller_basis(
+        M_sp,
+        -wo_hat[:, None, :], s_in[:, None, :],
+        mueller.stokes_basis(-wo_hat)[:, None, :],
+        wi_hat[:, None, :], s_out[:, None, :],
+        mueller.stokes_basis(wi_hat)[:, None, :])
+    if reflectance is not None:
+        M = M * reflectance[..., None, None]
+    return M
+
+
+def conductor_sample_mueller(self, si, sample1, sample2, active):
+    """Polarized delta reflection for SmoothConductor
+    (conductor.cpp:273-302)."""
+    from ..core import mueller
+
+    bs, _ = self.sample(si, sample1, sample2, active)
+    cos_i = Frame.cos_theta(bs.wo)                   # = cos_theta(wi)
+    eta_c = self.eta.astype(jnp.complex64) \
+        + 1j * self.k.astype(jnp.complex64)
+    M_sp = mueller.specular_reflection(
+        cos_i[:, None], eta_c[None, :])              # (N, 3, 4, 4)
+    refl = None
+    if self.specular_reflectance is not None:
+        refl = self.specular_reflectance.eval(si)
+    M = _specular_mueller_local(si, bs, M_sp, refl)
+    ok = active & (Frame.cos_theta(si.wi) > 0.0)
+    return bs, jnp.where(ok[..., None, None, None], M, 0.0)
+
+
+SmoothConductor.sample_mueller = conductor_sample_mueller
+
+
+def dielectric_sample_mueller(self, si, sample1, sample2, active):
+    """Polarized smooth dielectric (dielectric.cpp polarized track):
+    reflection or transmission Mueller divided by the lobe pdf."""
+    from ..core import mueller
+
+    bs, w = self.sample(si, sample1, sample2, active)
+    cos_i = Frame.cos_theta(si.wi)
+    eta = jnp.asarray(self.eta, jnp.float32)
+    refl = bs.wo[..., 2] * cos_i > 0.0     # same hemisphere = reflection
+    M_r = mueller.specular_reflection(cos_i[:, None],
+                                      jnp.broadcast_to(eta, (1,))[None])
+    M_t = mueller.specular_transmission(cos_i[:, None],
+                                        jnp.broadcast_to(eta, (1,))[None])
+    M_sp = jnp.where(refl[:, None, None, None], M_r, M_t)
+    # scale so S0 carries the usual sample weight (w already includes
+    # the F/pdf bookkeeping; normalize by the matrix's S0 gain)
+    M = _specular_mueller_local(si, bs, M_sp)
+    s0 = jnp.maximum(M[..., 0, 0], 1e-12)
+    M = M / s0[..., None, None] * w[..., None, None]
+    return bs, M
+
+
+SmoothDielectric.sample_mueller = dielectric_sample_mueller

@@ -15,3 +15,4 @@ from .projective import (  # noqa: F401
     prb_projective_render,
 )
 from .aov import AOVIntegrator, MomentIntegrator, render_aov, render_moments  # noqa: F401
+from .stokes import StokesIntegrator  # noqa: F401

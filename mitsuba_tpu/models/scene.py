@@ -448,6 +448,59 @@ class Scene:
             pdf = jnp.where(m, p, pdf)
         return val, pdf
 
+    # ---------------------------------------------- polarized dispatch
+
+    def bsdf_sample_mueller(self, si, sample1, sample2, active):
+        """Polarized masked-sweep sample: (BSDFSample, M (N, 3, 4, 4)).
+        Plugins without ``sample_mueller`` depolarize their scalar
+        weight (the reference's unpolarized->polarized promotion)."""
+        from .bsdfs import depolarizer_mueller
+
+        bidx = self.lane_bsdf_index(si)
+        n = si.wi.shape[0]
+        out_bs = None
+        M = jnp.zeros((n, 3, 4, 4))
+        for i, b in enumerate(self.bsdfs):
+            m = active & (bidx == i)
+            if hasattr(b, "sample_mueller"):
+                bs, Mi = b.sample_mueller(si, sample1, sample2, m)
+                Mi = jnp.broadcast_to(Mi, (n, 3, 4, 4))
+            else:
+                bs, w = b.sample(si, sample1, sample2, m)
+                Mi = depolarizer_mueller(w)
+            M = jnp.where(m[:, None, None, None], Mi, M)
+            if out_bs is None:
+                out_bs = bs
+            else:
+                sel = lambda a, bb: jnp.where(
+                    m.reshape(m.shape + (1,) * (a.ndim - m.ndim)), bb, a)
+                out_bs = out_bs.replace(
+                    wo=sel(out_bs.wo, bs.wo), pdf=sel(out_bs.pdf, bs.pdf),
+                    eta=sel(out_bs.eta, bs.eta),
+                    delta=sel(out_bs.delta, bs.delta),
+                    sampled_type=sel(out_bs.sampled_type, bs.sampled_type))
+        return out_bs, M
+
+    def bsdf_eval_pdf_mueller(self, si, wo, active):
+        """Polarized eval+pdf sweep -> (M (N, 3, 4, 4), pdf (N,))."""
+        from .bsdfs import depolarizer_mueller
+
+        bidx = self.lane_bsdf_index(si)
+        n = si.wi.shape[0]
+        M = jnp.zeros((n, 3, 4, 4))
+        pdf = jnp.zeros((n,))
+        for i, b in enumerate(self.bsdfs):
+            m = active & (bidx == i)
+            if hasattr(b, "eval_mueller"):
+                Mi, p = b.eval_mueller(si, wo, m)
+                Mi = jnp.broadcast_to(Mi, (n, 3, 4, 4))
+            else:
+                v, p = b.eval_pdf(si, wo, m)
+                Mi = depolarizer_mueller(v)
+            M = jnp.where(m[:, None, None, None], Mi, M)
+            pdf = jnp.where(m, p, pdf)
+        return M, pdf
+
     # --------------------------------------------------- emitter sampling
 
     def _emitter_geom(self, ei: int):
@@ -746,11 +799,19 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
             # packet-traversal accel (ops/pallas/traverse.py) for the
             # Pallas kernels; skipped when the node table would overflow
             # the SMEM budget (falls back to the pure-JAX traversal)
-            from ..ops.pallas.traverse import MAX_NODES, build_packet_bvh
+            from ..ops.pallas.traverse import (MAX_NODES, PACK,
+                                               build_packet_bvh)
 
-            pa = build_packet_bvh(verts_np, faces_np)
-            if pa.n_nodes <= MAX_NODES:
-                packet_accel = pa
+            # smallest leaf whose node table fits SMEM: fewer
+            # union-wasted triangle tests per packet (round-2 sweep:
+            # rpl=4 beat rpl=8 by 39% on an 82k-tri scene)
+            for rpl in (4, 8, 16):
+                if 2.2 * len(faces_np) / (PACK * rpl) > MAX_NODES:
+                    continue   # predicted overflow: skip the build
+                pa = build_packet_bvh(verts_np, faces_np, rpl=rpl)
+                if pa.n_nodes <= MAX_NODES:
+                    packet_accel = pa
+                    break
 
     return Scene(
         meshes=meshes,

@@ -300,43 +300,37 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     actf = act.astype(jnp.float32)
 
     n_res = len(resolve_cols)
-    init_attrs = tuple(
-        jnp.full(shape, -1.0) if col == COL_FACE_ID else jnp.zeros(shape)
-        for col in resolve_cols)
 
-    def process(row_start, cnt, slot, found, best_t, attrs):
+    def process(row_start, cnt, slot, found, best_t, best_row, best_j):
         pltpu.make_async_copy(
             rows_hbm.at[pl.ds(row_start, rpl)],
             qbuf.at[slot], sems.at[slot],
         ).wait()
 
+        # strength-reduced slot addressing: (r, cb) ride the carry so the
+        # hot loop pays two scalar selects instead of an integer div/mod
         def tri_body(j, carry):
-            lt, lj = carry
-            r = j // PACK
-            cbase = (j % PACK) * STRIDE
-            c = lambda k: qbuf[slot, r, cbase + k]
+            lt, lj, r, cb = carry
+            c = lambda k: qbuf[slot, r, cb + k]
             hit, t = _leaf_tri_test(c, ox, oy, oz, dx, dy, dz, lt)
             win = hit & (t < lt)
             lt = jnp.where(win, t, lt)
             lj = jnp.where(win, j.astype(jnp.float32), lj)
-            return lt, lj
+            wrap = cb + STRIDE >= PACK * STRIDE
+            r = jnp.where(wrap, r + 1, r)
+            cb = jnp.where(wrap, 0, cb + STRIDE)
+            return lt, lj, r, cb
 
-        lt, lj = jax.lax.fori_loop(
-            0, cnt, tri_body, (best_t, jnp.full(shape, -1.0)))
+        lt, lj, _, _ = jax.lax.fori_loop(
+            0, cnt, tri_body,
+            (best_t, jnp.full(shape, -1.0), jnp.int32(0), jnp.int32(0)))
         improved = lj >= 0.0
-
-        def res_body(j, acc):
-            r = j // PACK
-            cbase = (j % PACK) * STRIDE
-            m = improved & (lj == j.astype(jnp.float32))
-            return tuple(
-                jnp.where(m, qbuf[slot, r, cbase + col], a)
-                for col, a in zip(resolve_cols, acc))
-
-        attrs = jax.lax.fori_loop(0, cnt, res_body, attrs)
+        rsf = row_start.astype(jnp.float32)
+        best_row = jnp.where(improved, rsf, best_row)
+        best_j = jnp.where(improved, lj, best_j)
         best_t = jnp.where(improved, lt, best_t)
         found = jnp.maximum(found, improved.astype(jnp.float32))
-        return found, best_t, attrs
+        return found, best_t, best_row, best_j
 
     NQ = 2 * QUEUE   # rows + cnts ring scalars
 
@@ -349,7 +343,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         ring = s[3:3 + NQ]
         rows_ring, cnts_ring = ring[:QUEUE], ring[QUEUE:]
         found, best_t = s[3 + NQ], s[4 + NQ]
-        attrs = s[5 + NQ:]
+        best_row, best_j = s[5 + NQ], s[6 + NQ]
 
         nid0 = jnp.maximum(cursor, 0)
         is_node = cursor >= 0
@@ -393,11 +387,12 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         p_row = _ring_get(rows_ring, head)
         p_cnt = _ring_get(cnts_ring, head)
         p_slot = head & (QUEUE - 1)
-        found, best_t, attrs = jax.lax.cond(
+        found, best_t, best_row, best_j = jax.lax.cond(
             do_process,
-            lambda fd, bt, at: process(p_row, p_cnt, p_slot, fd, bt, at),
-            lambda fd, bt, at: (fd, bt, at),
-            found, best_t, attrs)
+            lambda fd, bt, br, bj: process(
+                p_row, p_cnt, p_slot, fd, bt, br, bj),
+            lambda fd, bt, br, bj: (fd, bt, br, bj),
+            found, best_t, best_row, best_j)
         head = head + do_process.astype(jnp.int32)
 
         new_slot = tail & (QUEUE - 1)
@@ -417,12 +412,65 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             for k, v in enumerate(cnts_ring))
         tail = tail + enqueue.astype(jnp.int32)
         return (nxt, head, tail) + rows_ring + cnts_ring + (
-            found, best_t) + attrs
+            found, best_t, best_row, best_j)
 
     z = jnp.int32(0)
-    init = (z, z, z) + (z,) * NQ + (jnp.zeros(shape), maxt) + init_attrs
+    init = (z, z, z) + (z,) * NQ + (
+        jnp.zeros(shape), maxt, jnp.full(shape, -1.0),
+        jnp.full(shape, -1.0))
     out = jax.lax.while_loop(cond, body, init)
-    return out[3 + NQ], out[4 + NQ], out[5 + NQ:5 + NQ + n_res]
+    found, best_t = out[3 + NQ], out[4 + NQ]
+    best_row, best_j = out[5 + NQ], out[6 + NQ]
+
+    # ---- deferred attribute resolve over DISTINCT winning leaves ----
+    # The walk above carries only the winner's identity (row_start, j);
+    # shading attributes are fetched afterwards, once per distinct
+    # winning leaf (typically ~10 for a coherent packet) instead of per
+    # visited leaf (~100) — the per-leaf masked-select resolve was a
+    # dominant cost (PERF.md round-2 profile).
+    init_attrs = tuple(
+        jnp.full(shape, -1.0) if col == COL_FACE_ID else jnp.zeros(shape)
+        for col in resolve_cols)
+    if n_res == 0:
+        return found, best_t, ()
+    tb = PACK * rpl
+
+    def rcond(s):
+        return jnp.max(s[0]) > 0.0
+
+    def rbody(s):
+        un = s[0]
+        attrs = s[1:]
+        r0f = jnp.min(jnp.where(un > 0.0, best_row, jnp.inf))
+        r0 = r0f.astype(jnp.int32)
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(r0, rpl)], qbuf.at[0], sems.at[0],
+        ).start()
+        pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(r0, rpl)], qbuf.at[0], sems.at[0],
+        ).wait()
+        m = (un > 0.0) & (best_row == r0f)
+
+        def res_body(j, carry):
+            r, cb = carry[0], carry[1]
+            acc = carry[2:]
+            mm = m & (best_j == j.astype(jnp.float32))
+            acc = tuple(
+                jnp.where(mm, qbuf[0, r, cb + col], a)
+                for col, a in zip(resolve_cols, acc))
+            wrap = cb + STRIDE >= PACK * STRIDE
+            r = jnp.where(wrap, r + 1, r)
+            cb = jnp.where(wrap, 0, cb + STRIDE)
+            return (r, cb) + acc
+
+        out_r = jax.lax.fori_loop(
+            0, tb, res_body, (jnp.int32(0), jnp.int32(0)) + attrs)
+        attrs = out_r[2:]
+        un = un * (1.0 - m.astype(jnp.float32))
+        return (un,) + attrs
+
+    res = jax.lax.while_loop(rcond, rbody, (found,) + init_attrs)
+    return found, best_t, res[1:1 + n_res]
 
 
 def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
@@ -448,14 +496,18 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
             qbuf.at[slot], sems.at[slot],
         ).wait()
 
-        def tri_body(j, occ):
-            r = j // PACK
-            cbase = (j % PACK) * STRIDE
-            c = lambda k: qbuf[slot, r, cbase + k]
+        def tri_body(j, carry):
+            occ, r, cb = carry
+            c = lambda k: qbuf[slot, r, cb + k]
             hit, _ = _leaf_tri_test(c, ox, oy, oz, dx, dy, dz, maxt)
-            return jnp.maximum(occ, hit.astype(jnp.float32))
+            occ = jnp.maximum(occ, hit.astype(jnp.float32))
+            wrap = cb + STRIDE >= PACK * STRIDE
+            r = jnp.where(wrap, r + 1, r)
+            cb = jnp.where(wrap, 0, cb + STRIDE)
+            return occ, r, cb
 
-        return jax.lax.fori_loop(0, cnt, tri_body, occ)
+        return jax.lax.fori_loop(
+            0, cnt, tri_body, (occ, jnp.int32(0), jnp.int32(0)))[0]
 
     NQ = 2 * QUEUE
 

@@ -54,7 +54,8 @@ BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "thindielectric", "roughdielectric", "plastic", "roughplastic",
               "twosided", "mask", "null", "blendbsdf", "principled",
               "normalmap", "bumpmap", "dispersive_dielectric", "dispersive",
-              "principledthin", "pplastic", "hair", "measured"}
+              "principledthin", "pplastic", "hair", "measured",
+              "polarizer", "retarder", "circular"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                "ply", "mesh", "linearcurve", "bsplinecurve", "serialized"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
@@ -64,7 +65,8 @@ SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
                 "distant"}
 INTEGRATOR_TYPES = {"path", "direct", "depth", "prb", "prb_basic", "aov",
                     "moment", "ptracer", "volpath", "prbvolpath",
-                    "prb_projective", "direct_projective", "volpathmis"}
+                    "prb_projective", "direct_projective", "volpathmis",
+                    "stokes"}
 
 
 def _to_world(val):
@@ -343,6 +345,28 @@ def _make_bsdf(d):
             beta_n=jnp.asarray(float(d.get("beta_n", 0.3))),
             alpha=jnp.asarray(float(d.get("alpha", 2.0))),
             eta=jnp.asarray(_ior(d.get("int_ior"), 1.55)),
+        )
+    if t == "polarizer":
+        from ..models.bsdfs import PolarizerBSDF
+
+        return PolarizerBSDF(
+            theta=_texture(d.get("theta"), [0.0] * 3),
+            transmittance=_texture(d.get("transmittance"), [1.0] * 3),
+        )
+    if t == "retarder":
+        from ..models.bsdfs import RetarderBSDF
+
+        return RetarderBSDF(
+            theta=_texture(d.get("theta"), [0.0] * 3),
+            delta=_texture(d.get("delta"), [90.0] * 3),
+            transmittance=_texture(d.get("transmittance"), [1.0] * 3),
+        )
+    if t == "circular":
+        from ..models.bsdfs import CircularPolarizerBSDF
+
+        return CircularPolarizerBSDF(
+            transmittance=_texture(d.get("transmittance"), [1.0] * 3),
+            left_handed=bool(d.get("left_handed", False)),
         )
     if t == "measured":
         if "filename" in d:
@@ -650,6 +674,19 @@ def _make_integrator(d):
             rr_depth=int(d.get("rr_depth", 5)),
             hide_emitters=bool(d.get("hide_emitters", False)),
             spectral=bool(d.get("spectral", False)),
+        )
+    if t == "stokes":
+        from ..models.integrators.stokes import StokesIntegrator
+
+        # the reference wraps a nested integrator (stokes.cpp:62); the
+        # TPU version is its own polarized path tracer, so only depth
+        # options of the nested dict are honored
+        nested = d.get("integrator", {})
+        return StokesIntegrator(
+            max_depth=int(d.get("max_depth",
+                                nested.get("max_depth", 6))),
+            rr_depth=int(d.get("rr_depth", nested.get("rr_depth", 5))),
+            hide_emitters=bool(d.get("hide_emitters", False)),
         )
     if t == "aov":
         from ..models.integrators.aov import AOVIntegrator
