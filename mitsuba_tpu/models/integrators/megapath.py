@@ -71,16 +71,27 @@ class MegakernelPathIntegrator:
             return PathIntegrator(
                 max_depth=self.max_depth, rr_depth=self.rr_depth
             ).sample(scene, ray, lane, seed, active)
-        from ...models.bsdfs import SmoothDiffuse
+        from ...models.bsdfs import (RoughConductor, RoughDielectric,
+                                     SmoothConductor, SmoothDielectric)
 
         interpret = jax.default_backend() != "tpu"
-        multi = any(not isinstance(b, SmoothDiffuse) for b in scene.bsdfs)
+        codes = {0}
+        for b in scene.bsdfs:
+            if isinstance(b, RoughConductor):
+                codes.add(3)
+            elif isinstance(b, RoughDielectric):
+                codes.add(4)
+            elif isinstance(b, SmoothConductor):
+                codes.add(1)
+            elif isinstance(b, SmoothDielectric):
+                codes.add(2)
+        btypes = tuple(sorted(codes))
         if brute:
             tris, light, n_faces, n_lights = pack_scene(scene)
             return megakernel_trace(
                 tris, light, lane, ray.o, ray.d, active, seed,
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
-                n_faces=n_faces, n_lights=n_lights, multi=multi,
+                n_faces=n_faces, n_lights=n_lights, btypes=btypes,
                 interpret=interpret,
             )
         acc = scene.packet_accel
@@ -104,7 +115,7 @@ class MegakernelPathIntegrator:
                 acc.node_box, acc.node_meta, rows, light,
                 take(lane), take(ray.o), take(ray.d), take(active), seed,
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
-                n_nodes=acc.n_nodes, n_lights=n_lights, multi=multi,
+                n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
                 interpret=interpret, rpl=acc.rpl, batch=acc.batch,
             )
             return jnp.take(L, inv, axis=0)
@@ -112,6 +123,6 @@ class MegakernelPathIntegrator:
             acc.node_box, acc.node_meta, rows, light,
             lane, ray.o, ray.d, active, seed,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
-            n_nodes=acc.n_nodes, n_lights=n_lights, multi=multi,
+            n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
             interpret=interpret, rpl=acc.rpl, batch=acc.batch,
         )

@@ -70,6 +70,10 @@ TRI_COLS = 24
 BSDF_DIFFUSE = 0.0
 BSDF_CONDUCTOR = 1.0
 BSDF_DIELECTRIC = 2.0
+BSDF_ROUGH_CONDUCTOR = 3.0
+BSDF_ROUGH_DIELECTRIC = 4.0
+# column 16 doubles as pdf_area (light faces) and GGX alpha (rough
+# faces) — a face is never both, and _trace_loop masks each use
 # light table columns: 0:3 p0, 3:6 e1, 6:9 e2, 9:12 n, 12 cdf,
 #   13 pdf_area, 14:17 Le
 LIGHT_COLS = 17
@@ -120,6 +124,8 @@ def _plugin_subset_ok(scene) -> bool:
     smooth-conductor / smooth-dielectric surfaces (constant parameters),
     one constant area light with few faces, no env/media/SDF."""
     from ...models.bsdfs import (
+        RoughConductor,
+        RoughDielectric,
         SmoothConductor,
         SmoothDielectric,
         SmoothDiffuse,
@@ -152,6 +158,13 @@ def _plugin_subset_ok(scene) -> bool:
             if b.specular_reflectance is not None:
                 return False
         elif isinstance(b, SmoothDielectric):
+            if (b.specular_reflectance is not None
+                    or b.specular_transmittance is not None):
+                return False
+        elif isinstance(b, RoughConductor):
+            if b.specular_reflectance is not None:
+                return False
+        elif isinstance(b, RoughDielectric):
             if (b.specular_reflectance is not None
                     or b.specular_transmittance is not None):
                 return False
@@ -199,32 +212,47 @@ def pack_scene(scene):
     e1 = v[f[:, 1]] - p0
     e2 = v[f[:, 2]] - p0
 
-    # per-BSDF rows: [refl(3) | type(1) | params(6)]
-    from ...models.bsdfs import SmoothConductor, SmoothDielectric
+    # per-BSDF rows: [refl(3) | type(1) | params(6) | alpha(1)]
+    from ...models.bsdfs import (RoughConductor, RoughDielectric,
+                                 SmoothConductor, SmoothDielectric)
 
     rows = []
     for b in scene.bsdfs:
-        if isinstance(b, SmoothConductor):
+        if isinstance(b, RoughDielectric):
+            rows.append(jnp.concatenate([
+                jnp.zeros(3), jnp.asarray([BSDF_ROUGH_DIELECTRIC]),
+                jnp.asarray(b.eta, jnp.float32).reshape(1), jnp.zeros(5),
+                jnp.asarray(b.alpha, jnp.float32).reshape(1),
+            ]))
+        elif isinstance(b, RoughConductor):
+            rows.append(jnp.concatenate([
+                jnp.zeros(3), jnp.asarray([BSDF_ROUGH_CONDUCTOR]),
+                jnp.asarray(b.eta, jnp.float32).reshape(3),
+                jnp.asarray(b.k, jnp.float32).reshape(3),
+                jnp.asarray(b.alpha, jnp.float32).reshape(1),
+            ]))
+        elif isinstance(b, SmoothConductor):
             rows.append(jnp.concatenate([
                 jnp.zeros(3), jnp.asarray([BSDF_CONDUCTOR]),
                 jnp.asarray(b.eta, jnp.float32).reshape(3),
-                jnp.asarray(b.k, jnp.float32).reshape(3),
+                jnp.asarray(b.k, jnp.float32).reshape(3), jnp.zeros(1),
             ]))
         elif isinstance(b, SmoothDielectric):
             rows.append(jnp.concatenate([
                 jnp.zeros(3), jnp.asarray([BSDF_DIELECTRIC]),
-                jnp.asarray(b.eta, jnp.float32).reshape(1), jnp.zeros(5),
+                jnp.asarray(b.eta, jnp.float32).reshape(1), jnp.zeros(6),
             ]))
         else:
             rows.append(jnp.concatenate([
                 jnp.asarray(b.reflectance.value, jnp.float32).reshape(3),
-                jnp.asarray([BSDF_DIFFUSE]), jnp.zeros(6),
+                jnp.asarray([BSDF_DIFFUSE]), jnp.zeros(7),
             ]))
-    bsdf_tab = jnp.stack(rows)                    # (n_bsdf, 10)
-    per_face = bsdf_tab[jnp.asarray(bsdf_idx)]    # (F, 10)
+    bsdf_tab = jnp.stack(rows)                    # (n_bsdf, 11)
+    per_face = bsdf_tab[jnp.asarray(bsdf_idx)]    # (F, 11)
     refl = per_face[:, 0:3]
     btype = per_face[:, 3:4]
     bparams = per_face[:, 4:10]
+    alpha_face = per_face[:, 10]
     le = jnp.asarray(scene.emitters[0].radiance.value, jnp.float32)
     is_light = jnp.asarray(is_light_np, jnp.float32)
     emission = is_light[:, None] * le[None, :]
@@ -232,7 +260,9 @@ def pack_scene(scene):
     la = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(
         jnp.cross(e1[light_faces], e2[light_faces]) ** 2, axis=-1), 1e-30))
     total_la = jnp.maximum(jnp.sum(la), 1e-20)
-    pdf_area = is_light / total_la
+    # col 16: pdf_area on light faces, GGX alpha elsewhere (a face is
+    # never both; _trace_loop masks each use on is_light / btype)
+    pdf_area = jnp.where(is_light > 0.5, is_light / total_la, alpha_face)
 
     tris = jnp.concatenate([
         p0, e1, e2, refl, emission,
@@ -387,10 +417,118 @@ def _mis(pa, pb):
     return jnp.where(pa > 0.0, w, 0.0)
 
 
-def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
+# ----------------------------------------------- GGX microfacet (tile form)
+# Componentwise mirrors of models/microfacet.py (same op order so the
+# megakernel bit-matches the wavefront RoughConductor).
+
+def _safe_sqrt_t(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def _safe_div_t(a, b, eps=1e-20):
+    ok = jnp.abs(b) > eps
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def _rsqrt_safe_t(x, eps=1e-20):
+    return jnp.where(x > eps,
+                     1.0 / jnp.sqrt(jnp.maximum(x, eps)), 0.0)
+
+
+def _ggx_g1(wx, wy, wz, mx, my, mz, a):
+    c2 = wz * wz
+    a2 = (wx * a) * (wx * a) + (wy * a) * (wy * a)
+    lam = 0.5 * (_safe_sqrt_t(1.0 + _safe_div_t(a2, c2)) - 1.0)
+    g = 1.0 / (1.0 + lam)
+    back = ((wx * mx + wy * my + wz * mz) * wz) <= 0.0
+    return jnp.where(back, 0.0, g)
+
+
+def _ggx_d(mx, my, mz, a):
+    t = (mx / a) * (mx / a) + (my / a) * (my / a) + mz * mz
+    d = _safe_div_t(1.0, jnp.pi * a * a * (t * t))
+    return jnp.where(mz > 0.0, d, 0.0)
+
+
+def _vndf_pdf(wix, wiy, wiz, mx, my, mz, a):
+    g1 = _ggx_g1(wix, wiy, wiz, mx, my, mz, a)
+    return _safe_div_t(
+        g1 * jnp.abs(wix * mx + wiy * my + wiz * mz)
+        * _ggx_d(mx, my, mz, a),
+        jnp.abs(wiz))
+
+
+def _fr_cond(c, e, k):
+    """Conductor Fresnel, one channel (core/fresnel.py)."""
+    c2 = c * c
+    s2 = 1.0 - c2
+    e2 = e * e
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * jnp.abs(c)
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rp + rs)
+
+
+def _fr_diel(ci, eta):
+    """Unpolarized dielectric Fresnel, signed cosine (core/fresnel.py
+    fresnel_dielectric mirror).  Returns (F, cos_theta_t, eta_it,
+    eta_ti)."""
+    outside = ci >= 0.0
+    eta_it = jnp.where(outside, eta, 1.0 / eta)
+    eta_ti = jnp.where(outside, 1.0 / eta, eta)
+    cti = jnp.abs(ci)
+    sin2_t = (eta_ti * eta_ti) * jnp.maximum(0.0, 1.0 - cti * cti)
+    tir = sin2_t >= 1.0
+    ctt = _safe_sqrt_t(1.0 - sin2_t)
+    rs = (cti - eta_it * ctt) / jnp.maximum(cti + eta_it * ctt, 1e-20)
+    rp = (eta_it * cti - ctt) / jnp.maximum(eta_it * cti + ctt, 1e-20)
+    f = 0.5 * (rs * rs + rp * rp)
+    f = jnp.where(tir, 1.0, f)
+    f = jnp.where(jnp.abs(eta - 1.0) < 1e-6, 0.0, f)
+    cos_t = jnp.where(tir, 0.0, -jnp.sign(ci) * ctt)
+    return f, cos_t, eta_it, eta_ti
+
+
+def _vndf_sample(wix, wiy, wiz, u1, u2, a):
+    """Heitz 2018 VNDF sample (microfacet.py sample_vndf, isotropic)."""
+    hx, hy, hz = a * wix, a * wiy, wiz
+    inv = _rsqrt_safe_t(hx * hx + hy * hy + hz * hz)
+    vhx, vhy, vhz = hx * inv, hy * inv, hz * inv
+    lensq = vhx * vhx + vhy * vhy
+    inv2 = _safe_div_t(1.0, _safe_sqrt_t(lensq))
+    ok = lensq > 1e-12
+    t1x = jnp.where(ok, -vhy * inv2, 1.0)
+    t1y = jnp.where(ok, vhx * inv2, 0.0)
+    t1z = jnp.zeros_like(t1x)
+    t2x, t2y, t2z = _cross(vhx, vhy, vhz, t1x, t1y, t1z)
+    r = _safe_sqrt_t(u1)
+    phi = 2.0 * jnp.pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vhz)
+    p2 = (1.0 - s) * _safe_sqrt_t(1.0 - p1 * p1) + s * p2
+    p3 = _safe_sqrt_t(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nhx = p1 * t1x + p2 * t2x + p3 * vhx
+    nhy = p1 * t1y + p2 * t2y + p3 * vhy
+    nhz = p1 * t1z + p2 * t2z + p3 * vhz
+    mx, my, mz = a * nhx, a * nhy, jnp.maximum(1e-6, nhz)
+    inv3 = _rsqrt_safe_t(mx * mx + my * my + mz * mz)
+    return mx * inv3, my * inv3, mz * inv3
+
+
+def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                 lane, seed_x, ox, oy, oz, dx, dy, dz, act):
     """Fused path-trace bounce loop over one (8, 128) ray tile, shared by
-    the brute-force and BVH-packet megakernels.
+    the brute-force and BVH-packet megakernels.  ``btypes`` is the static
+    tuple of BSDF type codes present in the scene; the kernel specializes
+    on it, so pure-diffuse scenes pay nothing for the extra lobes.
 
     - ``closest(ox..dz, act) -> (valid, t, ngx, ngy, ngz, Rr, Rg, Rb,
       IsL, PdfA, Btype, C0..C5)`` — closest-hit with resolved shading
@@ -400,6 +538,12 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
     - ``anyhit(ox..dz, maxt, act) -> bool`` — shadow occlusion;
     - ``lc(j, k)`` — scalar accessor into the packed light table.
     """
+    multi = tuple(btypes) != (0,)
+    has_cond = 1 in btypes
+    has_diel = 2 in btypes
+    has_rcond = 3 in btypes
+    has_rdiel = 4 in btypes
+    has_ggx = has_rcond or has_rdiel
     Lr = jnp.zeros_like(ox)
     Lg = jnp.zeros_like(ox)
     Lb = jnp.zeros_like(ox)
@@ -427,10 +571,13 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             if multi:
                 is_diff = Btype < 0.5
                 is_cond = (Btype >= 0.5) & (Btype < 1.5)
-                is_diel = Btype >= 1.5
+                is_diel = (Btype >= 1.5) & (Btype < 2.5)
+                is_rcond = (Btype >= 2.5) & (Btype < 3.5)
+                is_rdiel = Btype >= 3.5
             else:
                 is_diff = jnp.ones_like(act)
-                is_cond = is_diel = jnp.zeros_like(act)
+                is_cond = is_diel = is_rcond = is_rdiel = \
+                    jnp.zeros_like(act)
 
             px = ox + dx * t
             py = oy + dy * t
@@ -453,7 +600,8 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             Lb = Lb + Bb * Eb * wgt
 
             if multi:
-                act_next = (valid & (front | is_diel)
+                two_sided = is_diel | is_rdiel if has_rdiel else is_diel
+                act_next = (valid & (front | two_sided)
                             & (depth + 1 < max_depth))
             else:
                 act_next = valid & front & (depth + 1 < max_depth)
@@ -462,6 +610,16 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             off = RAY_EPS * jnp.maximum(
                 1.0, jnp.maximum(jnp.abs(px),
                                  jnp.maximum(jnp.abs(py), jnp.abs(pz))))
+
+            # local shading frame (Duff; equals the wavefront SI frame
+            # for the supported flat-mesh family) + local wi for the
+            # GGX lobes
+            sx, sy, sz, tx, ty, tz = _frame(ngx, ngy, ngz)
+            if has_ggx:
+                wix = -(dx * sx + dy * sy + dz * sz)
+                wiy = -(dx * tx + dy * ty + dz * tz)
+                wiz = cos_wi
+                alpha = jnp.maximum(PdfA, 1e-4)   # col 16 (rough faces)
 
             # ---- NEE toward the area light (path.py:92-105) ----
             u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
@@ -497,27 +655,122 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
                 cos_l > 1e-6,
                 lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
             cos_s = sdx * ngx + sdy * ngy + sdz * ngz
-            # NEE only pays off diffuse vertices (delta BSDFs eval to 0,
-            # path.py:99 bsdf_eval_pdf); samples are drawn regardless so
-            # the dimension layout matches the wavefront path
-            ok_nee = act_next & (pdf_nee > 0.0) & (cos_s > 0.0)
+            # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
+            # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
+            # drawn regardless so the dimension layout matches the
+            # wavefront path
+            ok_nee = act_next & (pdf_nee > 0.0)
             if multi:
-                ok_nee = ok_nee & is_diff & front
+                # diffuse/rough-conductor need the light on the front
+                # side; rough dielectric is two-sided (its eval handles
+                # the reflection/transmission configuration itself)
+                nee_lobe = is_diff | is_rcond if has_rcond else is_diff
+                front_ok = nee_lobe & front & (cos_s > 0.0)
+                if has_rdiel:
+                    ok_nee = ok_nee & (front_ok | is_rdiel)
+                else:
+                    ok_nee = ok_nee & front_ok
+            else:
+                ok_nee = ok_nee & (cos_s > 0.0)
             sgn_s = jnp.where(cos_s >= 0.0, 1.0, -1.0)
             occ = anyhit(
                 px + sgn_s * off * ngx, py + sgn_s * off * ngy,
                 pz + sgn_s * off * ngz,
                 sdx, sdy, sdz, sdist * (1.0 - 1e-3), ok_nee)
             ok_nee = ok_nee & ~occ
+            # per-lobe f (RGB, premultiplied by cos) + pdf for MIS
             f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
-            contrib = jnp.where(
+            fr_nee = Rr * (INV_PI * cos_s)
+            fg_nee = Rg * (INV_PI * cos_s)
+            fb_nee = Rb * (INV_PI * cos_s)
+            if has_rcond:
+                # RoughConductor.eval mirror: half vector of (wi, wo_nee)
+                wox = sdx * sx + sdy * sy + sdz * sz
+                woy = sdx * tx + sdy * ty + sdz * tz
+                woz = cos_s
+                hmx, hmy, hmz = wix + wox, wiy + woy, wiz + woz
+                hnorm = jnp.sqrt(jnp.maximum(
+                    hmx * hmx + hmy * hmy + hmz * hmz, 1e-20))
+                hmx, hmy, hmz = hmx / hnorm, hmy / hnorm, hmz / hnorm
+                d_ggx = _ggx_d(hmx, hmy, hmz, alpha)
+                g2 = (_ggx_g1(wix, wiy, wiz, hmx, hmy, hmz, alpha)
+                      * _ggx_g1(wox, woy, woz, hmx, hmy, hmz, alpha))
+                cos_im = wix * hmx + wiy * hmy + wiz * hmz
+                scal = d_ggx * g2 / jnp.maximum(4.0 * wiz, 1e-20)
+                fr_r = _fr_cond(cos_im, C0, C3) * scal
+                fg_r = _fr_cond(cos_im, C1, C4) * scal
+                fb_r = _fr_cond(cos_im, C2, C5) * scal
+                pdf_r_nee = _vndf_pdf(wix, wiy, wiz, hmx, hmy, hmz,
+                                      alpha) / jnp.maximum(
+                    4.0 * jnp.abs(wox * hmx + woy * hmy + woz * hmz),
+                    1e-20)
+                fr_nee = jnp.where(is_rcond, fr_r, fr_nee)
+                fg_nee = jnp.where(is_rcond, fg_r, fg_nee)
+                fb_nee = jnp.where(is_rcond, fb_r, fb_nee)
+                f_pdf = jnp.where(is_rcond, pdf_r_nee, f_pdf)
+            if has_rdiel:
+                # RoughDielectric._eval_pdf_impl mirror (two-sided)
+                wox = sdx * sx + sdy * sy + sdz * sz
+                woy = sdx * tx + sdy * ty + sdz * tz
+                woz = cos_s
+                eta_d = jnp.maximum(C0, 1e-3)
+                refl_cfg = wiz * woz > 0.0
+                eta_path = jnp.where(wiz > 0.0, eta_d, 1.0 / eta_d)
+                qx = jnp.where(refl_cfg, wix + wox, wix + wox * eta_path)
+                qy = jnp.where(refl_cfg, wiy + woy, wiy + woy * eta_path)
+                qz = jnp.where(refl_cfg, wiz + woz, wiz + woz * eta_path)
+                n2 = qx * qx + qy * qy + qz * qz
+                qinv = jnp.where(n2 > 1e-20,
+                                 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-20)),
+                                 0.0)
+                qx, qy, qz = qx * qinv, qy * qinv, qz * qinv
+                sg_m = jnp.where(qz >= 0.0, 1.0, -1.0)
+                qx, qy, qz = qx * sg_m, qy * sg_m, qz * sg_m
+                sg_o = jnp.where(wiz >= 0.0, 1.0, -1.0)
+                mox, moy, moz = qx * sg_o, qy * sg_o, qz * sg_o
+                cim = wix * mox + wiy * moy + wiz * moz
+                com = wox * mox + woy * moy + woz * moz
+                fD, _, eta_it, eta_ti = _fr_diel(cim, eta_d)
+                sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
+                sgn_o = jnp.where(woz >= 0.0, 1.0, -1.0)
+                d_g = _ggx_d(qx, qy, qz, alpha)
+                g2d = (_ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                               qx, qy, qz, alpha)
+                       * _ggx_g1(wox * sgn_o, woy * sgn_o, woz * sgn_o,
+                                 qx, qy, qz, alpha))
+                val_rr = fD * d_g * g2d / jnp.maximum(
+                    4.0 * jnp.abs(wiz), 1e-20)
+                den = cim + eta_it * com
+                val_tt = ((1.0 - fD) * d_g * g2d
+                          * jnp.abs(cim * com) * (eta_it * eta_it)
+                          / jnp.maximum(jnp.abs(wiz) * den * den, 1e-20)
+                          ) * (eta_ti * eta_ti)
+                val_d = jnp.where(refl_cfg, val_rr, jnp.abs(val_tt))
+                pdm = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                                qx, qy, qz, alpha)
+                jr = 1.0 / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
+                jt = jnp.abs(com) * (eta_it * eta_it) / jnp.maximum(
+                    den * den, 1e-20)
+                pdf_d = pdm * jnp.where(refl_cfg, fD * jr,
+                                        (1.0 - fD) * jt)
+                ok_d = ((jnp.abs(wiz) > 1e-6) & (n2 > 1e-20)
+                        & (refl_cfg | (cim * com < 0.0)))
+                val_d = jnp.where(ok_d, val_d, 0.0)
+                pdf_d = jnp.where(ok_d, pdf_d, 0.0)
+                fr_nee = jnp.where(is_rdiel, val_d, fr_nee)
+                fg_nee = jnp.where(is_rdiel, val_d, fg_nee)
+                fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
+                f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
+                ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
+            wnee = jnp.where(
                 ok_nee,
-                (INV_PI * cos_s) / jnp.maximum(pdf_nee, 1e-20)
-                * _mis(pdf_nee, f_pdf),
+                _mis(pdf_nee, f_pdf) / jnp.maximum(pdf_nee, 1e-20),
                 0.0)
-            Lr = Lr + Br * Rr * contrib * Ler
-            Lg = Lg + Bg * Rg * contrib * Leg
-            Lb = Lb + Bb * Rb * contrib * Leb
+            # the f terms carry inf/NaN on miss lanes (t = inf); the
+            # where must wrap the product, not just the weight
+            Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee, 0.0) * Ler
+            Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee, 0.0) * Leg
+            Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee, 0.0) * Leb
 
             # ---- BSDF sampling (diffuse / conductor / dielectric) ----
             if multi:
@@ -527,7 +780,6 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             # diffuse: cosine hemisphere (SmoothDiffuse.sample)
             dxl, dyl = _concentric_disk(ub1, ub2)
             dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
-            sx, sy, sz, tx, ty, tz = _frame(ngx, ngy, ngz)
             ddx = sx * dxl + tx * dyl + ngx * dzl
             ddy = sy * dxl + ty * dyl + ngy * dzl
             ddz = sz * dxl + tz * dyl + ngz * dzl
@@ -540,25 +792,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
                 rz = dz + 2.0 * cos_wi * ngz
 
                 # conductor Fresnel per channel (core/fresnel.py)
-                def fr_cond(c, e, k):
-                    c2 = c * c
-                    s2 = 1.0 - c2
-                    e2 = e * e
-                    k2 = k * k
-                    t0 = e2 - k2 - s2
-                    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
-                    t1 = a2b2 + c2
-                    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
-                    t2 = 2.0 * a * jnp.abs(c)
-                    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
-                    t3 = c2 * a2b2 + s2 * s2
-                    t4 = t2 * s2
-                    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
-                    return 0.5 * (rp + rs)
-
-                Fc_r = fr_cond(cos_wi, C0, C3)
-                Fc_g = fr_cond(cos_wi, C1, C4)
-                Fc_b = fr_cond(cos_wi, C2, C5)
+                Fc_r = _fr_cond(cos_wi, C0, C3)
+                Fc_g = _fr_cond(cos_wi, C1, C4)
+                Fc_b = _fr_cond(cos_wi, C2, C5)
 
                 # dielectric Fresnel with signed cosine (fresnel_dielectric)
                 eta_rel = jnp.maximum(C0, 1e-3)
@@ -591,19 +827,111 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
                 gdy = jnp.where(pick_refl, ry, wty)
                 gdz = jnp.where(pick_refl, rz, wtz)
 
+            if has_rcond:
+                # GGX rough conductor (RoughConductor.sample mirror:
+                # VNDF half-vector, weight = F * G2/G1)
+                mgx, mgy, mgz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
+                                             alpha)
+                cim = wix * mgx + wiy * mgy + wiz * mgz
+                rlx = 2.0 * cim * mgx - wix
+                rly = 2.0 * cim * mgy - wiy
+                rlz = 2.0 * cim * mgz - wiz
+                pdf_m = _vndf_pdf(wix, wiy, wiz, mgx, mgy, mgz, alpha)
+                com = rlx * mgx + rly * mgy + rlz * mgz
+                pdf_rc = pdf_m / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
+                g1w = _ggx_g1(wix, wiy, wiz, mgx, mgy, mgz, alpha)
+                g1o = _ggx_g1(rlx, rly, rlz, mgx, mgy, mgz, alpha)
+                wgt_g = jnp.where(g1w > 0.0,
+                                  g1w * g1o / jnp.maximum(g1w, 1e-20),
+                                  0.0)
+                Frc_r = _fr_cond(cim, C0, C3) * wgt_g
+                Frc_g = _fr_cond(cim, C1, C4) * wgt_g
+                Frc_b = _fr_cond(cim, C2, C5) * wgt_g
+                ok_rc = (wiz > 0.0) & (rlz > 0.0)
+                pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
+                # local -> world
+                rcx = sx * rlx + tx * rly + ngx * rlz
+                rcy = sy * rlx + ty * rly + ngy * rlz
+                rcz = sz * rlx + tz * rly + ngz * rlz
+            else:
+                rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
+                    jnp.zeros_like(ox)
+
+            if has_rdiel:
+                # GGX rough dielectric (RoughDielectric.sample mirror)
+                eta_d = jnp.maximum(C0, 1e-3)
+                sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
+                mdx, mdy, mdz = _vndf_sample(
+                    wix * sgn_i, wiy * sgn_i, wiz * sgn_i, ub1, ub2,
+                    alpha)
+                modx, mody, modz = mdx * sgn_i, mdy * sgn_i, mdz * sgn_i
+                cim = wix * modx + wiy * mody + wiz * modz
+                fD, cost_d, eta_it, eta_ti = _fr_diel(cim, eta_d)
+                pick_d = u_lobe <= fD
+                # reflect / refract about the micronormal
+                wrx = 2.0 * cim * modx - wix
+                wry = 2.0 * cim * mody - wiy
+                wrz = 2.0 * cim * modz - wiz
+                tfac2 = cim * eta_ti + cost_d
+                wtx2 = modx * tfac2 - wix * eta_ti
+                wty2 = mody * tfac2 - wiy * eta_ti
+                wtz2 = modz * tfac2 - wiz * eta_ti
+                wdx = jnp.where(pick_d, wrx, wtx2)
+                wdy = jnp.where(pick_d, wry, wty2)
+                wdz = jnp.where(pick_d, wrz, wtz2)
+                g1i = _ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                              mdx, mdy, mdz, alpha)
+                sgn_od = jnp.where(wdz >= 0.0, 1.0, -1.0)
+                g2o = g1i * _ggx_g1(wdx * sgn_od, wdy * sgn_od,
+                                    wdz * sgn_od, mdx, mdy, mdz, alpha)
+                w_rd = jnp.where(g1i > 0.0,
+                                 g2o / jnp.maximum(g1i, 1e-20), 0.0)
+                w_rd = jnp.where(pick_d, w_rd, w_rd * (eta_ti * eta_ti))
+                pdm_d = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                                  mdx, mdy, mdz, alpha)
+                com_d = wdx * modx + wdy * mody + wdz * modz
+                jr_d = 1.0 / jnp.maximum(4.0 * jnp.abs(com_d), 1e-20)
+                den_d = cim + eta_it * com_d
+                jt_d = jnp.abs(com_d) * (eta_it * eta_it) / jnp.maximum(
+                    den_d * den_d, 1e-20)
+                pdf_rd = pdm_d * jnp.where(pick_d, fD * jr_d,
+                                           (1.0 - fD) * jt_d)
+                same_sd = wdz * wiz > 0.0
+                valid_d = jnp.where(pick_d, same_sd,
+                                    ~same_sd & (cost_d != 0.0))
+                pdf_rd = jnp.where(valid_d, pdf_rd, 0.0)
+                eta_rd = jnp.where(pick_d, 1.0, eta_it)
+                # local -> world
+                tdx = sx * wdx + tx * wdy + ngx * wdz
+                tdy = sy * wdx + ty * wdy + ngy * wdz
+                tdz = sz * wdx + tz * wdy + ngz * wdz
+            else:
+                tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
+                eta_rd = jnp.ones_like(ox)
+
             # combine by surface type
             if multi:
-                ndx = jnp.where(is_diff, ddx, jnp.where(is_cond, rx, gdx))
-                ndy = jnp.where(is_diff, ddy, jnp.where(is_cond, ry, gdy))
-                ndz = jnp.where(is_diff, ddz, jnp.where(is_cond, rz, gdz))
-                wR = jnp.where(is_diff, Rr,
-                               jnp.where(is_cond, Fc_r, w_diel))
-                wG = jnp.where(is_diff, Rg,
-                               jnp.where(is_cond, Fc_g, w_diel))
-                wB = jnp.where(is_diff, Rb,
-                               jnp.where(is_cond, Fc_b, w_diel))
-                pdf_fwd = jnp.where(is_diff, pdf_diff,
-                                    jnp.where(is_cond, 1.0, pdf_diel))
+                ndx = jnp.where(is_diff, ddx, jnp.where(
+                    is_cond, rx, jnp.where(is_diel, gdx, jnp.where(
+                        is_rcond, rcx, tdx))))
+                ndy = jnp.where(is_diff, ddy, jnp.where(
+                    is_cond, ry, jnp.where(is_diel, gdy, jnp.where(
+                        is_rcond, rcy, tdy))))
+                ndz = jnp.where(is_diff, ddz, jnp.where(
+                    is_cond, rz, jnp.where(is_diel, gdz, jnp.where(
+                        is_rcond, rcz, tdz))))
+                wR = jnp.where(is_diff, Rr, jnp.where(
+                    is_cond, Fc_r, jnp.where(is_diel, w_diel, jnp.where(
+                        is_rcond, Frc_r, w_rd))))
+                wG = jnp.where(is_diff, Rg, jnp.where(
+                    is_cond, Fc_g, jnp.where(is_diel, w_diel, jnp.where(
+                        is_rcond, Frc_g, w_rd))))
+                wB = jnp.where(is_diff, Rb, jnp.where(
+                    is_cond, Fc_b, jnp.where(is_diel, w_diel, jnp.where(
+                        is_rcond, Frc_b, w_rd))))
+                pdf_fwd = jnp.where(is_diff, pdf_diff, jnp.where(
+                    is_cond, 1.0, jnp.where(is_diel, pdf_diel, jnp.where(
+                        is_rcond, pdf_rc, pdf_rd))))
             else:
                 ndx, ndy, ndz = ddx, ddy, ddz
                 wR, wG, wB = Rr, Rg, Rb
@@ -614,6 +942,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             if multi:
                 eta_acc = jnp.where(act_next & is_diel,
                                     eta_acc * eta_mult, eta_acc)
+                if has_rdiel:
+                    eta_acc = jnp.where(act_next & is_rdiel,
+                                        eta_acc * eta_rd, eta_acc)
             bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
             act_next = act_next & (pdf_fwd > 0.0) & (bmax > 0.0)
             sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
@@ -624,8 +955,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
             dx, dy, dz = ndx, ndy, ndz
             prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
             if multi:
+                smooth_lobe = is_diff | is_rcond if has_rcond else is_diff
                 prev_delta = jnp.where(act_next,
-                                       jnp.where(is_diff, 0.0, 1.0),
+                                       jnp.where(smooth_lobe, 0.0, 1.0),
                                        prev_delta)
             else:
                 prev_delta = jnp.where(act_next, 0.0, prev_delta)
@@ -645,7 +977,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
     return Lr, Lg, Lb
 
 
-def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
+def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes):
     """Brute-force megakernel: SMEM triangle table, O(F) sweep per query
     (the right shape for scenes up to MAX_FACES)."""
 
@@ -654,6 +986,8 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
                lr_ref, lg_ref, lb_ref):
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
+
+        multi = tuple(btypes) != (0,)
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
             hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
@@ -672,7 +1006,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
 
         lc = lambda j, k: light_ref[j, k]
         Lr, Lg, Lb = _trace_loop(
-            closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
+            closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             lane, seed_x,
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:], act_ref[:] > 0.5)
@@ -683,7 +1017,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, multi):
     return kernel
 
 
-def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
+def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                    rpl, batch):
     """BVH-packet megakernel: same fused path loop, but ray queries run
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
@@ -702,6 +1036,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
 
         # 25-col leaf-row layout (traverse.py): 9:12 refl | 12:15 ng |
         # 15 is_light | 16 pdf_area | 17 btype | 18:24 bparams
+        multi = tuple(btypes) != (0,)
         res_cols = tuple(range(9, 24)) if multi else tuple(range(9, 17))
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
@@ -731,7 +1066,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
 
         lc = lambda j, k: light_ref[j, k]
         Lr, Lg, Lb = _trace_loop(
-            closest, anyhit, lc, n_lights, multi, max_depth, rr_depth,
+            closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             lane, seed_x,
             ox_ref[:], oy_ref[:], oz_ref[:],
             dx_ref[:], dy_ref[:], dz_ref[:], act0)
@@ -744,10 +1079,10 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_faces", "n_lights",
-                          "multi", "interpret"))
+                          "btypes", "interpret"))
 def megakernel_trace(tris, light, lane, o, d, active, seed,
                      max_depth: int, rr_depth: int, n_faces: int,
-                     n_lights: int, multi: bool = False,
+                     n_lights: int, btypes: tuple = (0,),
                      interpret: bool = False):
     """Run the path-tracing megakernel.  Returns per-lane L (N, 3)."""
     n = o.shape[0]
@@ -771,7 +1106,7 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
-                        multi)
+                        btypes)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -830,11 +1165,11 @@ def pack_scene_bvh(scene, layout):
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_nodes", "n_lights",
-                          "multi", "interpret", "rpl", "batch"))
+                          "btypes", "interpret", "rpl", "batch"))
 def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          lane, o, d, active, seed,
                          max_depth: int, rr_depth: int, n_nodes: int,
-                         n_lights: int, multi: bool = False,
+                         n_lights: int, btypes: tuple = (0,),
                          interpret: bool = False,
                          rpl: int = None, batch: int = None):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
@@ -864,8 +1199,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     grid = (rows_t // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, multi,
-                            rpl, batch)
+    kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
+                            btypes, rpl, batch)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,

@@ -63,8 +63,8 @@ def test_fallback_out_of_scope():
     from mitsuba_tpu.utils.scenes import cornell_box_dict
 
     dd = cornell_box_dict(width=16, height=16)
-    # swap one wall to a rough conductor -> out of scope
-    dd["red-wall"]["bsdf"] = {"type": "roughconductor", "alpha": 0.3}
+    # swap one wall to plastic -> out of scope
+    dd["red-wall"]["bsdf"] = {"type": "plastic"}
     sc = load_dict(dd)
     assert not megakernel_applicable(sc)
     img = render(sc, MegakernelPathIntegrator(max_depth=3), seed=0, spp=2)
@@ -87,6 +87,64 @@ def test_conductor_dielectric_matches_wavefront():
     meshes = list(base.meshes)
     meshes[6] = meshes[6].replace(bsdf_index=3)   # small box -> metal
     meshes[7] = meshes[7].replace(bsdf_index=4)   # large box -> glass
+    scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor,
+                       use_bvh=False)
+    assert megakernel_applicable(scene)
+
+    img_ref = render(scene, PathIntegrator(max_depth=6, rr_depth=16),
+                     seed=0, spp=16)
+    img_mk = render(scene, MegakernelPathIntegrator(max_depth=6,
+                                                    rr_depth=16),
+                    seed=0, spp=16)
+    a, b = np.asarray(img_ref), np.asarray(img_mk)
+    rel = np.abs(a - b).mean() / a.mean()
+    assert np.isfinite(b).all()
+    assert rel < 2e-2, rel
+
+
+def test_rough_conductor_matches_wavefront():
+    """GGX rough conductor lobe in-kernel (VNDF sample + NEE eval + MIS)
+    vs the wavefront RoughConductor — same sample stream."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.models.bsdfs import RoughConductor
+    from mitsuba_tpu.models.scene import make_scene
+
+    base = cornell_box(width=24, height=24)
+    bsdfs = list(base.bsdfs) + [
+        RoughConductor(eta=jnp.asarray([0.2, 0.92, 1.1]),
+                       k=jnp.asarray([3.9, 2.45, 2.14]),
+                       alpha=jnp.asarray(0.25)),
+    ]
+    meshes = list(base.meshes)
+    meshes[6] = meshes[6].replace(bsdf_index=3)   # small box -> rough metal
+    scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor,
+                       use_bvh=False)
+    assert megakernel_applicable(scene)
+
+    img_ref = render(scene, PathIntegrator(max_depth=6, rr_depth=16),
+                     seed=0, spp=16)
+    img_mk = render(scene, MegakernelPathIntegrator(max_depth=6,
+                                                    rr_depth=16),
+                    seed=0, spp=16)
+    a, b = np.asarray(img_ref), np.asarray(img_mk)
+    rel = np.abs(a - b).mean() / a.mean()
+    assert np.isfinite(b).all()
+    assert rel < 2e-2, rel
+
+
+def test_rough_dielectric_matches_wavefront():
+    """GGX rough dielectric (two-sided reflect/refract) in-kernel vs
+    the wavefront RoughDielectric — same sample stream."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.models.bsdfs import RoughDielectric
+    from mitsuba_tpu.models.scene import make_scene
+
+    base = cornell_box(width=24, height=24)
+    bsdfs = list(base.bsdfs) + [
+        RoughDielectric(eta=jnp.asarray(1.5), alpha=jnp.asarray(0.2)),
+    ]
+    meshes = list(base.meshes)
+    meshes[7] = meshes[7].replace(bsdf_index=3)   # large box -> frosted
     scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor,
                        use_bvh=False)
     assert megakernel_applicable(scene)
