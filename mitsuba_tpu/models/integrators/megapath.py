@@ -56,6 +56,46 @@ def _morton_perm(width: int, height: int, n: int):
     return perm.astype(np.int32)
 
 
+
+
+def _env_nee_table(scene, lane, seed, max_depth):
+    """Precompute envmap NEE candidates per (lane, depth).
+
+    The envmap's NEE direction/pdf/weight depend only on the RNG dims
+    (distr2d warp over sample2), not the shading point, so the EXACT
+    wavefront chain (rng -> Marginal2D.sample -> uv_to_dir ->
+    spawn_ray_to renormalization) runs here in XLA once and the kernel
+    consumes the table — bit-identical to PathIntegrator's NEE by
+    construction.  Layout: (N, 8*max_depth) rows of
+    [d(3), pdf*sel, Le/pdf/sel (3), shadow maxt] per bounce."""
+    import jax.numpy as jnp
+
+    from ...core import rng
+    from .common import SLOT_EM_POS, bounce_dim, sampler_spec
+
+    env = scene.emitters[scene.env_index]
+    spec = sampler_spec(scene)
+    sel = 1.0 / len(scene.emitters)
+    n = lane.shape[0]
+    zero = jnp.zeros((n,))
+    feats = []
+    for depth in range(max_depth):
+        s2 = rng.sample_2d(seed, lane, bounce_dim(depth, SLOT_EM_POS),
+                           spec)
+        ds, w = env.sample_direction(jnp.zeros((n, 3)), zero, s2, None)
+        # spawn_ray_to mirror: delta = ds.p - p = d * 2R exactly
+        delta = ds.d * (2.0 * env.scene_radius)
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, -1), 1e-20))
+        dre = delta / dist[:, None]
+        inv_sel = 1.0 / max(sel, 1e-20)
+        feats += [dre[:, 0], dre[:, 1], dre[:, 2],
+                  ds.pdf * sel,
+                  w[:, 0] * inv_sel, w[:, 1] * inv_sel,
+                  w[:, 2] * inv_sel,
+                  dist * (1.0 - 1e-3)]
+    return jnp.stack(feats, axis=1)
+
+
 @pytree
 class MegakernelPathIntegrator:
     max_depth: int = static(6)
@@ -75,6 +115,8 @@ class MegakernelPathIntegrator:
                                      SmoothConductor, SmoothDielectric)
 
         interpret = jax.default_backend() != "tpu"
+        from ...models.textures import BitmapTexture
+
         codes = {0}
         for b in scene.bsdfs:
             if isinstance(b, RoughConductor):
@@ -85,14 +127,22 @@ class MegakernelPathIntegrator:
                 codes.add(1)
             elif isinstance(b, SmoothDielectric):
                 codes.add(2)
+            elif isinstance(getattr(b, "reflectance", None),
+                            BitmapTexture):
+                codes.add(5)
         btypes = tuple(sorted(codes))
         if brute:
-            tris, light, n_faces, n_lights = pack_scene(scene)
+            tris, light, n_faces, n_lights, tex, env_meta = \
+                pack_scene(scene)
+            env_pos = int(scene.env_index)
+            env_nee = (_env_nee_table(scene, lane, seed, self.max_depth)
+                       if env_pos >= 0 else None)
             return megakernel_trace(
                 tris, light, lane, ray.o, ray.d, active, seed,
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_faces=n_faces, n_lights=n_lights, btypes=btypes,
-                interpret=interpret,
+                interpret=interpret, tex=tex, env_meta=env_meta,
+                env_nee=env_nee, env_pos=env_pos,
             )
         acc = scene.packet_accel
         rows, light, n_lights = pack_scene_bvh(scene, acc)

@@ -9,13 +9,19 @@ VMEM/registers; HBM traffic is O(rays + triangles) per pass instead of
 the wavefront path's O(rays x shading-chain) (the 152 GB/pass HBM-bound
 profile documented in PERF.md).
 
-Scope (checked by ``megakernel_applicable``): surfaces are smooth
-diffuse / conductor / dielectric with constant parameters, one
-AreaEmitter with constant radiance, no environment/media/SDF.  This
-covers the Cornell-box benchmark family including its metal/glass
-variants; everything else falls back to the general wavefront
-integrator.  The kernel specializes statically on the BSDF set, so
-pure-diffuse scenes pay nothing for the extra lobes.
+Scope (checked by ``megakernel_applicable``): surfaces are diffuse
+(constant or small-bitmap textured), smooth conductor / dielectric,
+GGX rough conductor / rough dielectric; emitters are one constant
+AreaEmitter and/or one small envmap; no media/SDF.  This covers the
+Cornell-box benchmark family including its metal/glass/rough/textured
+variants plus environment-lit scenes; everything else falls back to
+the general wavefront integrator.  The kernel specializes statically
+on the BSDF set, so pure-diffuse scenes pay nothing for the extra
+lobes.  Textures/envmaps live in a VMEM LUT arena fetched with
+per-lane ``take_along_axis`` row sweeps; envmap NEE candidates are
+precomputed per (lane, bounce) in XLA with the exact wavefront chain
+(they do not depend on the shading point), keeping the sample streams
+aligned.
 
 Sampling matches the wavefront path EXACTLY: the same PCG3D counter RNG
 (core/rng.py) with the same (seed, lane, dim) layout
@@ -66,12 +72,21 @@ SLOT_RR = 4
 #   15 is_light, 16 pdf_area, 17 bsdf_type (0 diffuse / 1 conductor /
 #   2 dielectric), 18:21 + 21:24 type params (conductor: eta, k rgb;
 #   dielectric: eta scalar in col 18)
-TRI_COLS = 24
+TRI_COLS = 30     # cols 24:30 = uv0 uv1 uv2 (textured scenes only)
 BSDF_DIFFUSE = 0.0
 BSDF_CONDUCTOR = 1.0
 BSDF_DIELECTRIC = 2.0
 BSDF_ROUGH_CONDUCTOR = 3.0
 BSDF_ROUGH_DIELECTRIC = 4.0
+BSDF_TEX_DIFFUSE = 5.0
+# texture arena budget: channel-planar texel LUT in VMEM, fetched with
+# per-lane take_along_axis row sweeps (128 texels per row)
+MAX_TEX_FLOATS = 6144
+MAX_ENV_TEXELS = 2048   # envmap H*W cap (RGB + pdf planes in the arena)
+# env meta scalars (SMEM (1, 32)): 0:9 world->env rotation (row major),
+# 9 scale, 10 W, 11 H, 12 radiance-plane offset, 13 pdf-plane offset,
+# 14 pdf-table total, 15 env selection pmf, 16 area selection pmf
+ENV_COLS = 32
 # column 16 doubles as pdf_area (light faces) and GGX alpha (rough
 # faces) — a face is never both, and _trace_loop masks each use
 # light table columns: 0:3 p0, 3:6 e1, 6:9 e2, 9:12 n, 12 cdf,
@@ -119,10 +134,12 @@ def _rng1(seed_x, lane, dim):
 
 # ------------------------------------------------------------ scene packing
 
-def _plugin_subset_ok(scene) -> bool:
-    """Shared plugin-set gate for both megakernels: diffuse /
-    smooth-conductor / smooth-dielectric surfaces (constant parameters),
-    one constant area light with few faces, no env/media/SDF."""
+def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
+    """Shared plugin-set gate for both megakernels: diffuse (constant
+    or small-bitmap textured) / conductor / dielectric / GGX rough
+    surfaces, one constant area light with few faces, no
+    env/media/SDF.  ``allow_tex=False`` for the BVH variant (its leaf
+    layout has no UV slots yet)."""
     from ...models.bsdfs import (
         RoughConductor,
         RoughDielectric,
@@ -133,8 +150,14 @@ def _plugin_subset_ok(scene) -> bool:
     from ...models.emitters import AreaEmitter
     from ...models.textures import ConstantTexture
 
-    if scene.env_index >= 0 or scene.scene_medium is not None:
+    if scene.scene_medium is not None:
         return False
+    if scene.env_index >= 0:
+        e = scene.emitters[scene.env_index]
+        d = getattr(e, "data", None)
+        if (not allow_tex or d is None
+                or int(d.shape[0]) * int(d.shape[1]) > MAX_ENV_TEXELS):
+            return False
     if getattr(scene, "scene_sdf", None) is not None:
         return False
     if getattr(scene, "scene_analytic", None) is not None:
@@ -144,15 +167,44 @@ def _plugin_subset_ok(scene) -> bool:
     smp = getattr(scene.sensor, "sampler", None)
     if smp is not None and getattr(smp, "id", "independent") != "independent":
         return False
-    if len(scene.emitters) != 1:
+    # up to two emitters: at most one constant-radiance AreaEmitter and
+    # at most one (small) envmap
+    from ...models.emitters import EnvmapEmitter
+
+    if not 1 <= len(scene.emitters) <= 2:
         return False
-    e = scene.emitters[0]
-    if not isinstance(e, AreaEmitter) or \
-            not isinstance(e.radiance, ConstantTexture):
+    n_area = 0
+    for i, e in enumerate(scene.emitters):
+        if isinstance(e, AreaEmitter):
+            n_area += 1
+            if not isinstance(e.radiance, ConstantTexture):
+                return False
+            if scene.emitter_shape[i] < 0:
+                return False
+        elif isinstance(e, EnvmapEmitter):
+            if i != scene.env_index:
+                return False
+        else:
+            return False
+    if n_area > 1 or n_area + (scene.env_index >= 0) != len(scene.emitters):
         return False
+    # weighted emitter selection not mirrored in-kernel yet
+    if any(float(getattr(e, "sampling_weight", 1.0)) != 1.0
+           for e in scene.emitters):
+        return False
+    from ...models.textures import BitmapTexture
+
+    tex_total = 0
     for b in scene.bsdfs:
         if isinstance(b, SmoothDiffuse):
-            if not isinstance(b.reflectance, ConstantTexture):
+            if isinstance(b.reflectance, BitmapTexture):
+                d = b.reflectance.data
+                if not allow_tex or d.ndim != 3 or d.shape[2] != 3:
+                    return False
+                tex_total += int(d.shape[0]) * int(d.shape[1]) * 3
+                if tex_total > MAX_TEX_FLOATS:
+                    return False
+            elif not isinstance(b.reflectance, ConstantTexture):
                 return False
         elif isinstance(b, SmoothConductor):
             if b.specular_reflectance is not None:
@@ -170,11 +222,12 @@ def _plugin_subset_ok(scene) -> bool:
                 return False
         else:
             return False
-    if scene.emitter_shape[0] < 0:
-        return False
-    light_shape = scene.emitter_shape[0]
-    n_light_faces = int(scene.meshes[light_shape].faces.shape[0])
-    return n_light_faces <= MAX_LIGHT_FACES
+    for i, e in enumerate(scene.emitters):
+        shp = scene.emitter_shape[i]
+        if shp >= 0:
+            if int(scene.meshes[shp].faces.shape[0]) > MAX_LIGHT_FACES:
+                return False
+    return True
 
 
 def megakernel_applicable(scene) -> bool:
@@ -195,15 +248,20 @@ def pack_scene(scene):
     is static metadata, so the light-face set and all indices are
     host-side numpy; only coordinates/colors are traced.
     """
-    v, f, *_ = scene.geometry()
+    v, f, _n, uv_all, *_ = scene.geometry()
     v = jax.lax.stop_gradient(v)
     F = int(f.shape[0])
     F_pad = -(-F // SUB) * SUB
 
+    from ...models.emitters import AreaEmitter
+
     counts = [int(m.faces.shape[0]) for m in scene.meshes]
     fshape = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
     bsdf_idx = np.asarray(scene.shape_bsdf, np.int32)[fshape]
-    is_light_np = (np.asarray(scene.shape_emitter, np.int32)[fshape] == 0)
+    area_idx = next((i for i, e in enumerate(scene.emitters)
+                     if isinstance(e, AreaEmitter)), -1)
+    is_light_np = (np.asarray(scene.shape_emitter, np.int32)[fshape]
+                   == area_idx) & (area_idx >= 0)
     light_faces = np.nonzero(is_light_np)[0]
     L = len(light_faces)
     assert L <= MAX_LIGHT_FACES
@@ -216,9 +274,29 @@ def pack_scene(scene):
     from ...models.bsdfs import (RoughConductor, RoughDielectric,
                                  SmoothConductor, SmoothDielectric)
 
+    from ...models.textures import BitmapTexture
+
     rows = []
+    tex_planes = []
+    tex_off = 0
     for b in scene.bsdfs:
-        if isinstance(b, RoughDielectric):
+        if (hasattr(b, "reflectance")
+                and isinstance(getattr(b, "reflectance", None),
+                               BitmapTexture)):
+            t = b.reflectance
+            H, W = int(t.data.shape[0]), int(t.data.shape[1])
+            # channel-planar: R plane | G plane | B plane
+            tex_planes.append(
+                jnp.transpose(t.data, (2, 0, 1)).reshape(-1))
+            rows.append(jnp.concatenate([
+                jnp.ones(3), jnp.asarray([BSDF_TEX_DIFFUSE]),
+                jnp.asarray([float(tex_off), float(W), float(H),
+                             1.0 if t.filter_nearest else 0.0,
+                             1.0 if t.wrap_repeat else 0.0, 0.0]),
+                jnp.zeros(1),
+            ]))
+            tex_off += 3 * H * W
+        elif isinstance(b, RoughDielectric):
             rows.append(jnp.concatenate([
                 jnp.zeros(3), jnp.asarray([BSDF_ROUGH_DIELECTRIC]),
                 jnp.asarray(b.eta, jnp.float32).reshape(1), jnp.zeros(5),
@@ -253,7 +331,9 @@ def pack_scene(scene):
     btype = per_face[:, 3:4]
     bparams = per_face[:, 4:10]
     alpha_face = per_face[:, 10]
-    le = jnp.asarray(scene.emitters[0].radiance.value, jnp.float32)
+    le = (jnp.asarray(scene.emitters[area_idx].radiance.value,
+                      jnp.float32)
+          if area_idx >= 0 else jnp.zeros(3))
     is_light = jnp.asarray(is_light_np, jnp.float32)
     emission = is_light[:, None] * le[None, :]
 
@@ -264,12 +344,43 @@ def pack_scene(scene):
     # never both; _trace_loop masks each use on is_light / btype)
     pdf_area = jnp.where(is_light > 0.5, is_light / total_la, alpha_face)
 
+    uv0 = jax.lax.stop_gradient(uv_all[f[:, 0]])
+    uv1 = jax.lax.stop_gradient(uv_all[f[:, 1]])
+    uv2 = jax.lax.stop_gradient(uv_all[f[:, 2]])
     tris = jnp.concatenate([
         p0, e1, e2, refl, emission,
         is_light[:, None], pdf_area[:, None],
-        btype, bparams,
+        btype, bparams, uv0, uv1, uv2,
     ], axis=1)
     tris = jnp.pad(tris, ((0, F_pad - F), (0, 0)))
+    env_meta = jnp.zeros((1, ENV_COLS))
+    if scene.env_index >= 0:
+        env = scene.emitters[scene.env_index]
+        H_e, W_e = int(env.data.shape[0]), int(env.data.shape[1])
+        off_rad = tex_off
+        tex_planes.append(jax.lax.stop_gradient(
+            jnp.transpose(env.data, (2, 0, 1)).reshape(-1)))
+        off_pdf = tex_off + 3 * H_e * W_e
+        tex_planes.append(jax.lax.stop_gradient(
+            env.distr.pdf_table.reshape(-1)))
+        inv_rot = jnp.linalg.inv(env.to_world)[:3, :3].reshape(-1)
+        n_em = len(scene.emitters)
+        env_meta = jnp.concatenate([
+            jax.lax.stop_gradient(inv_rot),
+            jnp.asarray(env.scale, jnp.float32).reshape(1),
+            jnp.asarray([float(W_e), float(H_e), float(off_rad),
+                         float(off_pdf)]),
+            jax.lax.stop_gradient(env.distr.total).reshape(1),
+            jnp.asarray([1.0 / n_em, 1.0 / n_em]),
+            jnp.zeros(ENV_COLS - 17),
+        ]).reshape(1, ENV_COLS)
+    if tex_planes:
+        flat = jnp.concatenate(tex_planes)
+        n_rows = -(-int(flat.shape[0]) // LANES)
+        tex = jnp.pad(flat, (0, n_rows * LANES - flat.shape[0])).reshape(
+            n_rows, LANES)
+    else:
+        tex = jnp.zeros((1, LANES))
 
     ln = jnp.cross(e1[light_faces], e2[light_faces])
     ln = ln / jnp.sqrt(jnp.maximum(jnp.sum(ln * ln, -1, keepdims=True),
@@ -280,9 +391,9 @@ def pack_scene(scene):
         p0[light_faces], e1[light_faces], e2[light_faces], ln,
         cdf[:, None], inv_a, jnp.broadcast_to(le[None, :], (L, 3)),
     ], axis=1)
-    L_pad = -(-L // SUB) * SUB
+    L_pad = max(SUB, -(-L // SUB) * SUB)
     light = jnp.pad(light, ((0, L_pad - L), (0, 0)))
-    return tris, light, F, L
+    return tris, light, F, L, tex, env_meta
 
 
 # ----------------------------------------------------------------- kernel
@@ -476,6 +587,56 @@ def _fr_cond(c, e, k):
     return 0.5 * (rp + rs)
 
 
+def _lut_fetch(tex_ref, idx, n_rows):
+    """Per-lane LUT gather out[s,l] = arena[idx[s,l]] from an (n_rows,
+    128) VMEM table.  Mosaic's dynamic gather works along the lanes of
+    one row, so this sweeps the (static, small) row count with a
+    lane-gather + select per row."""
+    lane_i = idx & (LANES - 1)
+    row_i = idx >> 7
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for r in range(n_rows):
+        rowv = jnp.broadcast_to(tex_ref[r:r + 1, :], idx.shape)
+        part = jnp.take_along_axis(rowv, lane_i, axis=1)
+        out = jnp.where(row_i == r, part, out)
+    return out
+
+
+def _tex_eval(tex_ref, n_tex_rows, off, W, H, nearest_f, wrap_f, u, v):
+    """BitmapTexture.eval mirror on tiles (textures.py): channel-planar
+    arena, per-lane texture params.  Returns (R, G, B) tiles."""
+    uu = jnp.where(wrap_f > 0.5, u - jnp.floor(u), jnp.clip(u, 0.0, 1.0))
+    vv = jnp.where(wrap_f > 0.5, v - jnp.floor(v), jnp.clip(v, 0.0, 1.0))
+    x = uu * W - 0.5
+    y = (1.0 - vv) * H - 0.5
+    Wi = W.astype(jnp.int32)
+    Hi = H.astype(jnp.int32)
+    offi = off.astype(jnp.int32)
+    hw = Wi * Hi
+    xn = jnp.clip(jnp.round(x).astype(jnp.int32), 0, Wi - 1)
+    yn = jnp.clip(jnp.round(y).astype(jnp.int32), 0, Hi - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wi - 1)
+    x1i = jnp.clip(x0i + 1, 0, Wi - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, Hi - 1)
+    y1i = jnp.clip(y0i + 1, 0, Hi - 1)
+    out = []
+    for c in range(3):
+        po = offi + c * hw
+        near = _lut_fetch(tex_ref, po + yn * Wi + xn, n_tex_rows)
+        b00 = _lut_fetch(tex_ref, po + y0i * Wi + x0i, n_tex_rows)
+        b10 = _lut_fetch(tex_ref, po + y0i * Wi + x1i, n_tex_rows)
+        b01 = _lut_fetch(tex_ref, po + y1i * Wi + x0i, n_tex_rows)
+        b11 = _lut_fetch(tex_ref, po + y1i * Wi + x1i, n_tex_rows)
+        bil = (b00 * (1 - fx) * (1 - fy) + b10 * fx * (1 - fy)
+               + b01 * (1 - fx) * fy + b11 * fx * fy)
+        out.append(jnp.where(nearest_f > 0.5, near, bil))
+    return out[0], out[1], out[2]
+
+
 def _fr_diel(ci, eta):
     """Unpolarized dielectric Fresnel, signed cosine (core/fresnel.py
     fresnel_dielectric mirror).  Returns (F, cos_theta_t, eta_it,
@@ -524,7 +685,7 @@ def _vndf_sample(wix, wiy, wiz, u1, u2, a):
 
 
 def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
-                lane, seed_x, ox, oy, oz, dx, dy, dz, act):
+                lane, seed_x, ox, oy, oz, dx, dy, dz, act, env_ctx=None):
     """Fused path-trace bounce loop over one (8, 128) ray tile, shared by
     the brute-force and BVH-packet megakernels.  ``btypes`` is the static
     tuple of BSDF type codes present in the scene; the kernel specializes
@@ -544,6 +705,10 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     has_rcond = 3 in btypes
     has_rdiel = 4 in btypes
     has_ggx = has_rcond or has_rdiel
+    has_env = env_ctx is not None
+    if has_env:
+        em, en, env_tex_ref, n_env_rows, env_pos = env_ctx
+        n_em = 2 if n_lights > 0 else 1
     Lr = jnp.zeros_like(ox)
     Lg = jnp.zeros_like(ox)
     Lb = jnp.zeros_like(ox)
@@ -562,6 +727,75 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
              Btype, C0, C1, C2, C3, C4, C5) = closest(
                 ox, oy, oz, dx, dy, dz, act)
             valid = valid & act
+
+            if has_env:
+                # escaped rays collect the environment with MIS
+                # (path.py eval_env branch; envmap.cpp conventions)
+                escaped = act & ~valid
+                r00, r01, r02 = em(0), em(1), em(2)
+                r10, r11, r12 = em(3), em(4), em(5)
+                r20, r21, r22 = em(6), em(7), em(8)
+                exv = r00 * dx + r01 * dy + r02 * dz
+                eyv = r10 * dx + r11 * dy + r12 * dz
+                ezv = r20 * dx + r21 * dy + r22 * dz
+                ue = jnp.arctan2(exv, -ezv) * jnp.float32(0.5 / jnp.pi)
+                ue = ue - jnp.floor(ue)
+                ve = jnp.arccos(jnp.clip(eyv, -1.0, 1.0)) \
+                    * jnp.float32(1.0 / jnp.pi)
+                Wt, Ht = em(10), em(11)
+                Wi_e = Wt.astype(jnp.int32)
+                Hi_e = Ht.astype(jnp.int32)
+                offr = em(12).astype(jnp.int32)
+                offp = em(13).astype(jnp.int32)
+                hw_e = Wi_e * Hi_e
+                # bilinear radiance (envmap._bilinear: wrap x, clamp y)
+                xe = ue * Wt - 0.5
+                ye = ve * Ht - 0.5
+                xe0 = jnp.floor(xe)
+                ye0 = jnp.floor(ye)
+                fxe = xe - xe0
+                fye = ye - ye0
+                x0e = jnp.mod(xe0.astype(jnp.int32), Wi_e)
+                x1e = jnp.mod(x0e + 1, Wi_e)
+                y0e = jnp.clip(ye0.astype(jnp.int32), 0, Hi_e - 1)
+                y1e = jnp.clip(y0e + 1, 0, Hi_e - 1)
+                le_env = []
+                for c in range(3):
+                    po = offr + c * hw_e
+                    f00 = _lut_fetch(env_tex_ref, po + y0e * Wi_e + x0e,
+                                     n_env_rows)
+                    f10 = _lut_fetch(env_tex_ref, po + y0e * Wi_e + x1e,
+                                     n_env_rows)
+                    f01 = _lut_fetch(env_tex_ref, po + y1e * Wi_e + x0e,
+                                     n_env_rows)
+                    f11 = _lut_fetch(env_tex_ref, po + y1e * Wi_e + x1e,
+                                     n_env_rows)
+                    le_env.append(
+                        (f00 * (1 - fxe) * (1 - fye)
+                         + f10 * fxe * (1 - fye)
+                         + f01 * (1 - fxe) * fye
+                         + f11 * fxe * fye) * em(9))
+                # Marginal2D.pdf at the cell + solid-angle factor
+                # (envmap.pdf_direction) + selection pmf
+                ce = jnp.clip((ue * Wt).astype(jnp.int32), 0, Wi_e - 1)
+                re = jnp.clip((ve * Ht).astype(jnp.int32), 0, Hi_e - 1)
+                cell = _lut_fetch(env_tex_ref, offp + re * Wi_e + ce,
+                                  n_env_rows)
+                tot = em(14)
+                pdf_uv = jnp.where(jnp.abs(tot) > 1e-20,
+                                   cell * (Wt * Ht) / tot, 0.0)
+                st_e = jnp.sqrt(jnp.maximum(
+                    1.0 - jnp.square(jnp.cos(jnp.pi * ve)), 1e-12))
+                pdf_env = pdf_uv / (
+                    2.0 * jnp.float32(jnp.pi) ** 2
+                    * jnp.maximum(st_e, 1e-6)) * em(15)
+                m_esc = jnp.where(prev_delta > 0.5, 1.0,
+                                  _mis(prev_pdf, pdf_env))
+                wesc = jnp.where(escaped, m_esc, 0.0)
+                Lr = Lr + Br * le_env[0] * wesc
+                Lg = Lg + Bg * le_env[1] * wesc
+                Lb = Lb + Bb * le_env[2] * wesc
+
             # single-emitter constant radiance: emission = is_light * Le
             # (pack_scene wrote the emission column as exactly this
             # product, so the arithmetic is unchanged)
@@ -592,6 +826,8 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             pdf_hit = jnp.where(
                 cos_wi > 1e-6,
                 PdfA * dist2 / jnp.maximum(cos_wi, 1e-6), 0.0)
+            if has_env:
+                pdf_hit = pdf_hit * em(16)   # area selection pmf
             m_h = jnp.where(prev_delta > 0.5, 1.0,
                             _mis(prev_pdf, pdf_hit))
             wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
@@ -625,9 +861,23 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
             ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
             z = jnp.zeros_like(u_sel)
+            if has_env:
+                # uniform emitter selection with sample reuse
+                # (DiscreteDistribution.sample_reuse_pmf)
+                if n_em == 2:
+                    second = u_sel > 0.5
+                    pick_env = second if env_pos == 1 else ~second
+                    lo_sel = jnp.where(second, 0.5, 0.0)
+                    u_face = jnp.clip((u_sel - lo_sel) / 0.5,
+                                      0.0, 1.0 - 2.0 ** -24)
+                else:
+                    pick_env = jnp.ones_like(u_sel, bool)
+                    u_face = jnp.clip(u_sel, 0.0, 1.0 - 2.0 ** -24)
+            else:
+                u_face = u_sel
             idx = z
             for j in range(n_lights):
-                idx = idx + (lc(j, 12) < u_sel).astype(jnp.float32)
+                idx = idx + (lc(j, 12) < u_face).astype(jnp.float32)
             sel = [z] * LIGHT_COLS
             for j in range(n_lights):
                 m = (idx == j).astype(jnp.float32)
@@ -654,12 +904,33 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             pdf_nee = jnp.where(
                 cos_l > 1e-6,
                 lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
+            maxt_s = sdist * (1.0 - 1e-3)
+            # per-lane NEE sample: (direction, effective pdf incl.
+            # selection, emitter weight W = Le/pdf/sel, shadow maxt)
+            if has_env:
+                sel_area = em(16)
+                e_pdf = en(depth, 3)
+                sdx = jnp.where(pick_env, en(depth, 0), sdx)
+                sdy = jnp.where(pick_env, en(depth, 1), sdy)
+                sdz = jnp.where(pick_env, en(depth, 2), sdz)
+                maxt_s = jnp.where(pick_env, en(depth, 7), maxt_s)
+                pdf_eff = jnp.where(pick_env, e_pdf, pdf_nee * sel_area)
+                inv_pa = 1.0 / (jnp.maximum(pdf_nee, 1e-20) * sel_area)
+                Wr_nee = jnp.where(pick_env, en(depth, 4), Ler * inv_pa)
+                Wg_nee = jnp.where(pick_env, en(depth, 5), Leg * inv_pa)
+                Wb_nee = jnp.where(pick_env, en(depth, 6), Leb * inv_pa)
+            else:
+                pdf_eff = pdf_nee
+                inv_pa = 1.0 / jnp.maximum(pdf_nee, 1e-20)
+                Wr_nee = Ler * inv_pa
+                Wg_nee = Leg * inv_pa
+                Wb_nee = Leb * inv_pa
             cos_s = sdx * ngx + sdy * ngy + sdz * ngz
             # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
             # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
             # drawn regardless so the dimension layout matches the
             # wavefront path
-            ok_nee = act_next & (pdf_nee > 0.0)
+            ok_nee = act_next & (pdf_eff > 0.0)
             if multi:
                 # diffuse/rough-conductor need the light on the front
                 # side; rough dielectric is two-sided (its eval handles
@@ -676,7 +947,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             occ = anyhit(
                 px + sgn_s * off * ngx, py + sgn_s * off * ngy,
                 pz + sgn_s * off * ngz,
-                sdx, sdy, sdz, sdist * (1.0 - 1e-3), ok_nee)
+                sdx, sdy, sdz, maxt_s, ok_nee)
             ok_nee = ok_nee & ~occ
             # per-lobe f (RGB, premultiplied by cos) + pdf for MIS
             f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
@@ -762,15 +1033,12 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                 fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
                 f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
                 ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
-            wnee = jnp.where(
-                ok_nee,
-                _mis(pdf_nee, f_pdf) / jnp.maximum(pdf_nee, 1e-20),
-                0.0)
-            # the f terms carry inf/NaN on miss lanes (t = inf); the
+            wnee = jnp.where(ok_nee, _mis(pdf_eff, f_pdf), 0.0)
+            # the f/W terms carry inf/NaN on miss lanes (t = inf); the
             # where must wrap the product, not just the weight
-            Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee, 0.0) * Ler
-            Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee, 0.0) * Leg
-            Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee, 0.0) * Leb
+            Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee * Wr_nee, 0.0)
+            Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee * Wg_nee, 0.0)
+            Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee * Wb_nee, 0.0)
 
             # ---- BSDF sampling (diffuse / conductor / dielectric) ----
             if multi:
@@ -977,26 +1245,56 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     return Lr, Lg, Lb
 
 
-def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes):
+def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
+               n_tex_rows, env_pos=-1):
     """Brute-force megakernel: SMEM triangle table, O(F) sweep per query
     (the right shape for scenes up to MAX_FACES)."""
 
-    def kernel(tris_ref, light_ref, lane_ref, seed_ref,
+    def kernel(tris_ref, light_ref, env_ref, tex_ref, en_ref,
+               lane_ref, seed_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
                lr_ref, lg_ref, lb_ref):
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
 
         multi = tuple(btypes) != (0,)
+        has_tex = 5 in btypes
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
+            n_attr = TRI_COLS if has_tex else (24 if multi else 17)
             hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
-                               TRI_COLS if multi else 17)
+                               n_attr)
             (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA,
-             Btype, C0, C1, C2, C3, C4, C5) = hit
+             Btype, C0, C1, C2, C3, C4, C5,
+             U0x, U0y, U1x, U1y, U2x, U2y) = hit
             ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
             ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
+            if has_tex:
+                # recompute the winner's barycentrics (compute_si mirror:
+                # ray_triangle then clip), interpolate uv, texture the
+                # reflectance; a textured face then continues as plain
+                # diffuse (Btype rewritten to 0)
+                pvx, pvy, pvz = _cross(dx, dy, dz, E2x, E2y, E2z)
+                det = E1x * pvx + E1y * pvy + E1z * pvz
+                okd = jnp.abs(det) > DET_EPS
+                inv = jnp.where(okd, 1.0 / jnp.where(okd, det, 1.0), 0.0)
+                tvx, tvy, tvz = ox - P0x, oy - P0y, oz - P0z
+                ub = jnp.clip((tvx * pvx + tvy * pvy + tvz * pvz) * inv,
+                              0.0, 1.0)
+                qvx, qvy, qvz = _cross(tvx, tvy, tvz, E1x, E1y, E1z)
+                vb = jnp.clip((dx * qvx + dy * qvy + dz * qvz) * inv,
+                              0.0, 1.0)
+                b0 = 1.0 - ub - vb
+                uvx = U0x * b0 + U1x * ub + U2x * vb
+                uvy = U0y * b0 + U1y * ub + U2y * vb
+                is_texd = Btype >= 4.5
+                tr, tg, tb = _tex_eval(tex_ref, n_tex_rows,
+                                       C0, C1, C2, C3, C4, uvx, uvy)
+                Rr = jnp.where(is_texd, tr, Rr)
+                Rg = jnp.where(is_texd, tg, Rg)
+                Rb = jnp.where(is_texd, tb, Rb)
+                Btype = jnp.where(is_texd, 0.0, Btype)
             return (jnp.isfinite(t), t, ngx, ngy, ngz, Rr, Rg, Rb,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
@@ -1005,11 +1303,19 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes):
                             maxt)
 
         lc = lambda j, k: light_ref[j, k]
+        env_ctx = None
+        if env_pos >= 0:
+            env_ctx = (
+                lambda k: env_ref[0, k],                     # scalars
+                lambda dth, k: en_ref[:, 8 * dth + k, :],    # NEE slab
+                tex_ref, n_tex_rows, env_pos,
+            )
         Lr, Lg, Lb = _trace_loop(
             closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             lane, seed_x,
             ox_ref[:], oy_ref[:], oz_ref[:],
-            dx_ref[:], dy_ref[:], dz_ref[:], act_ref[:] > 0.5)
+            dx_ref[:], dy_ref[:], dz_ref[:], act_ref[:] > 0.5,
+            env_ctx=env_ctx)
         lr_ref[:] = Lr
         lg_ref[:] = Lg
         lb_ref[:] = Lb
@@ -1079,12 +1385,20 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_faces", "n_lights",
-                          "btypes", "interpret"))
+                          "btypes", "interpret", "env_pos"))
 def megakernel_trace(tris, light, lane, o, d, active, seed,
                      max_depth: int, rr_depth: int, n_faces: int,
                      n_lights: int, btypes: tuple = (0,),
-                     interpret: bool = False):
+                     interpret: bool = False, tex=None,
+                     env_meta=None, env_nee=None, env_pos: int = -1):
     """Run the path-tracing megakernel.  Returns per-lane L (N, 3)."""
+    if tex is None:
+        tex = jnp.zeros((1, LANES))
+    has_env = env_pos >= 0
+    n_tex_rows = (int(tex.shape[0])
+                  if (5 in btypes or has_env) else 0)
+    if env_meta is None:
+        env_meta = jnp.zeros((1, ENV_COLS))
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
     pad = n_pad - n
@@ -1105,19 +1419,35 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
     grid = (rows // SUB,)
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    K = 8 * max_depth
+    if has_env:
+        # per-(lane, depth) precomputed envmap NEE samples, tiled
+        # (rows, K, LANES) so each grid step sees its packet's slab
+        en_t = jnp.pad(env_nee, ((0, pad), (0, 0))).reshape(
+            rows, LANES, K)
+        en_t = jnp.transpose(en_t, (0, 2, 1))
+        en_spec = pl.BlockSpec((SUB, K, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        en_t = jnp.zeros((SUB, 1, LANES))
+        en_spec = pl.BlockSpec((SUB, 1, LANES), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
     kernel = _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
-                        btypes)
+                        btypes, n_tex_rows, env_pos)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # env meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # texture arena
+            en_spec,                                  # env NEE slab
         ] + [ray_spec] * 9,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 3,
         interpret=interpret,
-    )(tris, light, *args)
+    )(tris, light, env_meta, tex, en_t, *args)
 
     flat = lambda x: x.reshape(n_pad)[:n]
     return jnp.stack([flat(lr), flat(lg), flat(lb)], axis=-1)
@@ -1128,13 +1458,14 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
 def megakernel_bvh_applicable(scene) -> bool:
     """Plugin-subset check for the BVH megakernel: same BSDF/emitter
     constraints as ``megakernel_applicable`` but faces bounded only by the
-    SMEM node budget (requires scene.packet_accel, built at make_scene)."""
+    SMEM node budget (requires scene.packet_accel, built at make_scene);
+    bitmap textures are brute-kernel-only for now."""
     from .traverse import MAX_NODES
 
     accel = getattr(scene, "packet_accel", None)
     if accel is None or accel.n_nodes > MAX_NODES:
         return False
-    return _plugin_subset_ok(scene)
+    return _plugin_subset_ok(scene, allow_tex=False)
 
 
 def pack_scene_bvh(scene, layout):
@@ -1145,7 +1476,7 @@ def pack_scene_bvh(scene, layout):
     btype | bparams | face_id) and permuted into HBM leaf rows."""
     from .traverse import pack_leaf_rows
 
-    tris, light, F, L = pack_scene(scene)
+    tris, light, F, L, _tex, _env = pack_scene(scene)
     t = tris[:F]
     e1 = t[:, 3:6]
     e2 = t[:, 6:9]
