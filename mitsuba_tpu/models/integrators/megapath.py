@@ -137,12 +137,13 @@ class MegakernelPathIntegrator:
             env_pos = int(scene.env_index)
             env_nee = (_env_nee_table(scene, lane, seed, self.max_depth)
                        if env_pos >= 0 else None)
+            smooth = any(m.normals is not None for m in scene.meshes)
             return megakernel_trace(
                 tris, light, lane, ray.o, ray.d, active, seed,
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_faces=n_faces, n_lights=n_lights, btypes=btypes,
                 interpret=interpret, tex=tex, env_meta=env_meta,
-                env_nee=env_nee, env_pos=env_pos,
+                env_nee=env_nee, env_pos=env_pos, smooth=smooth,
             )
         acc = scene.packet_accel
         rows, light, n_lights = pack_scene_bvh(scene, acc)

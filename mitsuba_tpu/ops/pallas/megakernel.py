@@ -72,7 +72,7 @@ SLOT_RR = 4
 #   15 is_light, 16 pdf_area, 17 bsdf_type (0 diffuse / 1 conductor /
 #   2 dielectric), 18:21 + 21:24 type params (conductor: eta, k rgb;
 #   dielectric: eta scalar in col 18)
-TRI_COLS = 30     # cols 24:30 = uv0 uv1 uv2 (textured scenes only)
+TRI_COLS = 39     # 24:30 uv0 uv1 uv2 (textured) | 30:39 n0 n1 n2 (smooth)
 BSDF_DIFFUSE = 0.0
 BSDF_CONDUCTOR = 1.0
 BSDF_DIELECTRIC = 2.0
@@ -248,8 +248,10 @@ def pack_scene(scene):
     is static metadata, so the light-face set and all indices are
     host-side numpy; only coordinates/colors are traced.
     """
-    v, f, _n, uv_all, *_ = scene.geometry()
+    v, f, n_all, uv_all, _fs, fsmooth = scene.geometry()
     v = jax.lax.stop_gradient(v)
+    n_all = jax.lax.stop_gradient(n_all)
+    fsm = np.asarray(jax.lax.stop_gradient(fsmooth))
     F = int(f.shape[0])
     F_pad = -(-F // SUB) * SUB
 
@@ -347,10 +349,19 @@ def pack_scene(scene):
     uv0 = jax.lax.stop_gradient(uv_all[f[:, 0]])
     uv1 = jax.lax.stop_gradient(uv_all[f[:, 1]])
     uv2 = jax.lax.stop_gradient(uv_all[f[:, 2]])
+    # shading-normal columns: vertex normals on smooth faces, the face
+    # normal replicated otherwise (interpolation then reproduces it)
+    ngf = jnp.cross(e1, e2)
+    ngf = ngf / jnp.sqrt(jnp.maximum(
+        jnp.sum(ngf * ngf, -1, keepdims=True), 1e-30))
+    smf = jnp.asarray(fsm, jnp.float32)[:, None]
+    n0 = jnp.where(smf > 0.5, n_all[f[:, 0]], ngf)
+    n1 = jnp.where(smf > 0.5, n_all[f[:, 1]], ngf)
+    n2 = jnp.where(smf > 0.5, n_all[f[:, 2]], ngf)
     tris = jnp.concatenate([
         p0, e1, e2, refl, emission,
         is_light[:, None], pdf_area[:, None],
-        btype, bparams, uv0, uv1, uv2,
+        btype, bparams, uv0, uv1, uv2, n0, n1, n2,
     ], axis=1)
     tris = jnp.pad(tris, ((0, F_pad - F), (0, 0)))
     env_meta = jnp.zeros((1, ENV_COLS))
@@ -691,8 +702,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     tuple of BSDF type codes present in the scene; the kernel specializes
     on it, so pure-diffuse scenes pay nothing for the extra lobes.
 
-    - ``closest(ox..dz, act) -> (valid, t, ngx, ngy, ngz, Rr, Rg, Rb,
-      IsL, PdfA, Btype, C0..C5)`` — closest-hit with resolved shading
+    - ``closest(ox..dz, act) -> (valid, t, ngx, ngy, ngz, shx, shy,
+      shz, Rr, Rg, Rb, IsL, PdfA, Btype, C0..C5)`` — closest-hit with
+      geometric + shading normals and resolved shading
       attrs (ng = unit geometric normal, Btype/C* zero when ``not
       multi``); ``act`` is the per-bounce live mask so dead lanes don't
       force BVH descent (their best_t would otherwise pin at inf);
@@ -723,8 +735,8 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     if True:  # (keeps the historical loop body indentation)
         for depth in range(max_depth):
             dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
-            (valid, t, ngx, ngy, ngz, Rr, Rg, Rb, IsL, PdfA,
-             Btype, C0, C1, C2, C3, C4, C5) = closest(
+            (valid, t, ngx, ngy, ngz, shx, shy, shz, Rr, Rg, Rb,
+             IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5) = closest(
                 ox, oy, oz, dx, dy, dz, act)
             valid = valid & act
 
@@ -791,10 +803,11 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                     * jnp.maximum(st_e, 1e-6)) * em(15)
                 m_esc = jnp.where(prev_delta > 0.5, 1.0,
                                   _mis(prev_pdf, pdf_env))
-                wesc = jnp.where(escaped, m_esc, 0.0)
-                Lr = Lr + Br * le_env[0] * wesc
-                Lg = Lg + Bg * le_env[1] * wesc
-                Lb = Lb + Bb * le_env[2] * wesc
+                # le/pdf carry NaN on dead lanes (inf/NaN ray state);
+                # the where must wrap the whole product
+                Lr = Lr + Br * jnp.where(escaped, le_env[0] * m_esc, 0.0)
+                Lg = Lg + Bg * jnp.where(escaped, le_env[1] * m_esc, 0.0)
+                Lb = Lb + Bb * jnp.where(escaped, le_env[2] * m_esc, 0.0)
 
             # single-emitter constant radiance: emission = is_light * Le
             # (pack_scene wrote the emission column as exactly this
@@ -818,14 +831,15 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             pz = oz + dz * t
             # one-sided diffuse/conductor conventions: front iff -d.n > 0;
             # dielectrics are two-sided (glass interiors)
-            cos_wi = -(dx * ngx + dy * ngy + dz * ngz)
+            cos_wi = -(dx * shx + dy * shy + dz * shz)    # shading
+            cos_geo = -(dx * ngx + dy * ngy + dz * ngz)   # geometric
             front = cos_wi > 0.0
 
             # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
             dist2 = t * t
             pdf_hit = jnp.where(
-                cos_wi > 1e-6,
-                PdfA * dist2 / jnp.maximum(cos_wi, 1e-6), 0.0)
+                cos_geo > 1e-6,
+                PdfA * dist2 / jnp.maximum(cos_geo, 1e-6), 0.0)
             if has_env:
                 pdf_hit = pdf_hit * em(16)   # area selection pmf
             m_h = jnp.where(prev_delta > 0.5, 1.0,
@@ -850,7 +864,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             # local shading frame (Duff; equals the wavefront SI frame
             # for the supported flat-mesh family) + local wi for the
             # GGX lobes
-            sx, sy, sz, tx, ty, tz = _frame(ngx, ngy, ngz)
+            sx, sy, sz, tx, ty, tz = _frame(shx, shy, shz)
             if has_ggx:
                 wix = -(dx * sx + dy * sy + dz * sz)
                 wiy = -(dx * tx + dy * ty + dz * tz)
@@ -925,7 +939,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                 Wr_nee = Ler * inv_pa
                 Wg_nee = Leg * inv_pa
                 Wb_nee = Leb * inv_pa
-            cos_s = sdx * ngx + sdy * ngy + sdz * ngz
+            cos_s = sdx * shx + sdy * shy + sdz * shz
             # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
             # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
             # drawn regardless so the dimension layout matches the
@@ -943,7 +957,10 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                     ok_nee = ok_nee & front_ok
             else:
                 ok_nee = ok_nee & (cos_s > 0.0)
-            sgn_s = jnp.where(cos_s >= 0.0, 1.0, -1.0)
+            # shadow-ray offset side follows the GEOMETRIC normal
+            # (spawn_ray_to uses si.n)
+            sgn_s = jnp.where(
+                sdx * ngx + sdy * ngy + sdz * ngz >= 0.0, 1.0, -1.0)
             occ = anyhit(
                 px + sgn_s * off * ngx, py + sgn_s * off * ngy,
                 pz + sgn_s * off * ngz,
@@ -1048,16 +1065,16 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
             # diffuse: cosine hemisphere (SmoothDiffuse.sample)
             dxl, dyl = _concentric_disk(ub1, ub2)
             dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
-            ddx = sx * dxl + tx * dyl + ngx * dzl
-            ddy = sy * dxl + ty * dyl + ngy * dzl
-            ddz = sz * dxl + tz * dyl + ngz * dzl
+            ddx = sx * dxl + tx * dyl + shx * dzl
+            ddy = sy * dxl + ty * dyl + shy * dzl
+            ddz = sz * dxl + tz * dyl + shz * dzl
             pdf_diff = INV_PI * dzl
 
             if multi:
                 # mirror direction (conductor + dielectric-reflect)
-                rx = dx + 2.0 * cos_wi * ngx
-                ry = dy + 2.0 * cos_wi * ngy
-                rz = dz + 2.0 * cos_wi * ngz
+                rx = dx + 2.0 * cos_wi * shx
+                ry = dy + 2.0 * cos_wi * shy
+                rz = dz + 2.0 * cos_wi * shz
 
                 # conductor Fresnel per channel (core/fresnel.py)
                 Fc_r = _fr_cond(cos_wi, C0, C3)
@@ -1084,9 +1101,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                                   -jnp.sign(cos_wi) * ctt)
                 # refracted world direction (fresnel.py refract, world form)
                 tfac = eta_ti * cos_wi + cos_t
-                wtx = eta_ti * dx + tfac * ngx
-                wty = eta_ti * dy + tfac * ngy
-                wtz = eta_ti * dz + tfac * ngz
+                wtx = eta_ti * dx + tfac * shx
+                wty = eta_ti * dy + tfac * shy
+                wtz = eta_ti * dz + tfac * shz
                 pick_refl = u_lobe <= Fd
                 pdf_diel = jnp.where(pick_refl, Fd, 1.0 - Fd)
                 w_diel = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
@@ -1118,9 +1135,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                 ok_rc = (wiz > 0.0) & (rlz > 0.0)
                 pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
                 # local -> world
-                rcx = sx * rlx + tx * rly + ngx * rlz
-                rcy = sy * rlx + ty * rly + ngy * rlz
-                rcz = sz * rlx + tz * rly + ngz * rlz
+                rcx = sx * rlx + tx * rly + shx * rlz
+                rcy = sy * rlx + ty * rly + shy * rlz
+                rcz = sz * rlx + tz * rly + shz * rlz
             else:
                 rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
                     jnp.zeros_like(ox)
@@ -1170,9 +1187,9 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
                 pdf_rd = jnp.where(valid_d, pdf_rd, 0.0)
                 eta_rd = jnp.where(pick_d, 1.0, eta_it)
                 # local -> world
-                tdx = sx * wdx + tx * wdy + ngx * wdz
-                tdy = sy * wdx + ty * wdy + ngy * wdz
-                tdz = sz * wdx + tz * wdy + ngz * wdz
+                tdx = sx * wdx + tx * wdy + shx * wdz
+                tdy = sy * wdx + ty * wdy + shy * wdz
+                tdz = sz * wdx + tz * wdy + shz * wdz
             else:
                 tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
                 eta_rd = jnp.ones_like(ox)
@@ -1246,7 +1263,7 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
 
 
 def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
-               n_tex_rows, env_pos=-1):
+               n_tex_rows, env_pos=-1, smooth=False):
     """Brute-force megakernel: SMEM triangle table, O(F) sweep per query
     (the right shape for scenes up to MAX_FACES)."""
 
@@ -1261,20 +1278,24 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
         has_tex = 5 in btypes
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
-            n_attr = TRI_COLS if has_tex else (24 if multi else 17)
+            if smooth:
+                n_attr = TRI_COLS
+            elif has_tex:
+                n_attr = 30
+            else:
+                n_attr = 24 if multi else 17
             hit = _closest_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
                                n_attr)
             (t, P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, Er, Eg, Eb, IsL, PdfA,
              Btype, C0, C1, C2, C3, C4, C5,
-             U0x, U0y, U1x, U1y, U2x, U2y) = hit
+             U0x, U0y, U1x, U1y, U2x, U2y,
+             N0x, N0y, N0z, N1x, N1y, N1z, N2x, N2y, N2z) = hit
             ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
             ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
-            if has_tex:
+            if has_tex or smooth:
                 # recompute the winner's barycentrics (compute_si mirror:
-                # ray_triangle then clip), interpolate uv, texture the
-                # reflectance; a textured face then continues as plain
-                # diffuse (Btype rewritten to 0)
+                # ray_triangle then clip)
                 pvx, pvy, pvz = _cross(dx, dy, dz, E2x, E2y, E2z)
                 det = E1x * pvx + E1y * pvy + E1z * pvz
                 okd = jnp.abs(det) > DET_EPS
@@ -1286,6 +1307,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
                 vb = jnp.clip((dx * qvx + dy * qvy + dz * qvz) * inv,
                               0.0, 1.0)
                 b0 = 1.0 - ub - vb
+            if has_tex:
                 uvx = U0x * b0 + U1x * ub + U2x * vb
                 uvy = U0y * b0 + U1y * ub + U2y * vb
                 is_texd = Btype >= 4.5
@@ -1295,8 +1317,18 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
                 Rg = jnp.where(is_texd, tg, Rg)
                 Rb = jnp.where(is_texd, tb, Rb)
                 Btype = jnp.where(is_texd, 0.0, Btype)
-            return (jnp.isfinite(t), t, ngx, ngy, ngz, Rr, Rg, Rb,
-                    IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
+            if smooth:
+                # interpolated shading normal (compute_si mirror;
+                # flat faces store ng at all three slots)
+                nsx = N0x * b0 + N1x * ub + N2x * vb
+                nsy = N0y * b0 + N1y * ub + N2y * vb
+                nsz = N0z * b0 + N1z * ub + N2z * vb
+                rinv = _rsqrt_safe_t(nsx * nsx + nsy * nsy + nsz * nsz)
+                shx, shy, shz = nsx * rinv, nsy * rinv, nsz * rinv
+            else:
+                shx, shy, shz = ngx, ngy, ngz
+            return (jnp.isfinite(t), t, ngx, ngy, ngz, shx, shy, shz,
+                    Rr, Rg, Rb, IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
         def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
             return _any_hit(tris_ref, n_faces, ox, oy, oz, dx, dy, dz,
@@ -1360,7 +1392,9 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                 Btype = C0 = C1 = C2 = C3 = C4 = C5 = zero
             valid = found > 0.0
             t = jnp.where(valid, t, jnp.inf)
-            return (valid, t, ngx, ngy, ngz, Rr, Rg, Rb,
+            # flat shading: the traverse leaf layout carries no vertex
+            # normals, and the gate excludes smooth meshes
+            return (valid, t, ngx, ngy, ngz, ngx, ngy, ngz, Rr, Rg, Rb,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
         def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
@@ -1385,12 +1419,13 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_faces", "n_lights",
-                          "btypes", "interpret", "env_pos"))
+                          "btypes", "interpret", "env_pos", "smooth"))
 def megakernel_trace(tris, light, lane, o, d, active, seed,
                      max_depth: int, rr_depth: int, n_faces: int,
                      n_lights: int, btypes: tuple = (0,),
                      interpret: bool = False, tex=None,
-                     env_meta=None, env_nee=None, env_pos: int = -1):
+                     env_meta=None, env_nee=None, env_pos: int = -1,
+                     smooth: bool = False):
     """Run the path-tracing megakernel.  Returns per-lane L (N, 3)."""
     if tex is None:
         tex = jnp.zeros((1, LANES))
@@ -1433,7 +1468,7 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
         en_spec = pl.BlockSpec((SUB, 1, LANES), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
     kernel = _mk_kernel(max_depth, rr_depth, n_faces, n_lights,
-                        btypes, n_tex_rows, env_pos)
+                        btypes, n_tex_rows, env_pos, smooth)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1459,11 +1494,15 @@ def megakernel_bvh_applicable(scene) -> bool:
     """Plugin-subset check for the BVH megakernel: same BSDF/emitter
     constraints as ``megakernel_applicable`` but faces bounded only by the
     SMEM node budget (requires scene.packet_accel, built at make_scene);
-    bitmap textures are brute-kernel-only for now."""
+    bitmap textures / envmaps / smooth shading normals are
+    brute-kernel-only for now (the traverse leaf layout carries neither
+    UVs nor vertex normals)."""
     from .traverse import MAX_NODES
 
     accel = getattr(scene, "packet_accel", None)
     if accel is None or accel.n_nodes > MAX_NODES:
+        return False
+    if any(m.normals is not None for m in scene.meshes):
         return False
     return _plugin_subset_ok(scene, allow_tex=False)
 
