@@ -17,6 +17,7 @@ standard data); linear interpolation between nodes.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 LAMBDA_MIN = 380.0
@@ -117,8 +118,11 @@ _E_WHITE_SRGB = None
 def _e_white():
     global _E_WHITE_SRGB
     if _E_WHITE_SRGB is None:
+        # computed OUTSIDE any trace: jnp ops here would return tracers
+        # when first called under jit (TracerArrayConversionError)
         lam = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1e-3, 1.0, np.float32)
-        resp = np.asarray(rgb_response(jnp.asarray(lam)))
+        with jax.ensure_compile_time_eval():
+            resp = np.asarray(rgb_response(jnp.asarray(lam)))
         _E_WHITE_SRGB = jnp.asarray(np.trapezoid(resp, lam, axis=0),
                                     jnp.float32)
     return _E_WHITE_SRGB

@@ -269,11 +269,14 @@ class DesignProblem:
             total = total + self.loss_scale * rms_loss(img)
         return total / len(self.sensors)
 
-    def optimize(self, fixed_efl=None, verbose=False, lr_overrides=None):
+    def optimize(self, fixed_efl=None, verbose=False, lr_overrides=None,
+                 callback=None):
         """Adam loop (design_problem.py:495-586).  ``fixed_efl``: hold the
         effective focal length by solving the rear surface per step
         (ConstrainedEFLProblem, :656).  ``lr_overrides``: per-parameter
-        learning rates (Optimizer.set_learning_rate)."""
+        learning rates (Optimizer.set_learning_rate).  ``callback``:
+        called as callback(iter, params, loss) after each step (the
+        reference's save_var_history, :495)."""
         p = self.params()
         if fixed_efl is not None:
             p.pop("lens0_c", None)
@@ -297,6 +300,8 @@ class DesignProblem:
             val, g = grad_fn(p, self.seed + it)
             p, state = opt.step(p, g, state)
             self.loss_history.append(float(val))
+            if callback is not None:
+                callback(it, p, float(val))
             if verbose:
                 print(f"iter {it:3d}: loss = {float(val):.5f}")
         if fixed_efl is not None:

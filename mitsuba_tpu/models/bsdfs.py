@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static
-from ..core.math import Frame, dot, reflect, mulsign
+from ..core.math import Frame, dot, reflect, mulsign, safe_div
 from ..core.fresnel import fresnel_dielectric, fresnel_conductor, refract
 from ..core import warp
 from ..core.records import BSDFSample
@@ -1055,83 +1055,236 @@ def _replace_uv(si, uv):
 
 @pytree
 class Principled:
-    """Disney-style principled BSDF — the metallic/roughness workflow
-    subset of src/bsdfs/principled.cpp (902 LoC): diffuse base + GGX
-    specular with Schlick Fresnel; metallic blends the diffuse away and
-    tints F0 with the base color.  (Clearcoat/sheen/transmission/
-    anisotropy are not yet implemented.)"""
+    """Disney-style principled BSDF (src/bsdfs/principled.cpp:902) —
+    full front-side lobe set: Burley diffuse with retro-reflection,
+    anisotropic GGX specular (metallic/spec_tint Fresnel blending),
+    GTR1 clearcoat, Schlick sheen, and a GGX microfacet transmission
+    lobe (spec_trans) that makes the material two-sided.
 
-    base_color: object            # texture
-    metallic: jnp.ndarray         # ()
-    roughness: jnp.ndarray        # ()
-    specular: jnp.ndarray = None  # () F0 scale, default 0.5 -> F0=0.04
+    Lobe selection uses normalized mixture weights; eval_pdf mixes the
+    matching per-lobe pdfs so sample/eval/pdf stay MIS-consistent
+    (chi2-tested in tests/test_principled.py)."""
+
+    base_color: object              # texture
+    metallic: jnp.ndarray           # ()
+    roughness: jnp.ndarray          # ()
+    specular: jnp.ndarray = None    # () F0 scale, default 0.5 -> F0=0.04
+    anisotropic: jnp.ndarray = None   # () in [0, 1)
+    clearcoat: jnp.ndarray = None     # ()
+    clearcoat_gloss: jnp.ndarray = None  # () 0 rough .. 1 glossy
+    sheen: jnp.ndarray = None         # ()
+    sheen_tint: jnp.ndarray = None    # ()
+    spec_tint: jnp.ndarray = None     # ()
+    spec_trans: jnp.ndarray = None    # () transmission fraction
+    eta: jnp.ndarray = None           # () relative IOR for spec_trans
     id: str = static("principled")
 
-    flags = Flags.DiffuseReflection | Flags.GlossyReflection
+    flags = (Flags.DiffuseReflection | Flags.GlossyReflection
+             | Flags.GlossyTransmission)
 
     def __post_init__(self):
-        if self.specular is None:
-            object.__setattr__(self, "specular", jnp.asarray(0.5))
+        defaults = dict(specular=0.5, anisotropic=0.0, clearcoat=0.0,
+                        clearcoat_gloss=1.0, sheen=0.0, sheen_tint=0.0,
+                        spec_tint=0.0, spec_trans=0.0, eta=1.5)
+        for k, v in defaults.items():
+            if getattr(self, k) is None:
+                object.__setattr__(self, k, jnp.asarray(v))
+
+    # --------------------------------------------------------- helpers
+
+    def _ax_ay(self):
+        """Anisotropic roughness (principled.cpp calc_dist_params)."""
+        aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(self.anisotropic,
+                                               0.0, 0.99))
+        a2 = jnp.maximum(self.roughness ** 2, 1e-3)
+        return a2 / aspect, a2 * aspect
+
+    def _tint(self, base):
+        lum = (0.2126 * base[..., 0] + 0.7152 * base[..., 1]
+               + 0.0722 * base[..., 2])
+        return jnp.where(lum[..., None] > 0.0,
+                         base / jnp.maximum(lum[..., None], 1e-8), 1.0)
 
     def _f0(self, base):
-        f0_dielectric = 0.08 * self.specular
-        return (1.0 - self.metallic) * f0_dielectric + \
-            self.metallic * base
+        tint = self._tint(base)
+        f0_diel = 0.08 * self.specular * (
+            (1.0 - self.spec_tint) + self.spec_tint * tint)
+        return (1.0 - self.metallic) * f0_diel + self.metallic * base
 
-    def _alpha(self):
-        return jnp.maximum(self.roughness**2, 1e-3)
+    def _cc_alpha(self):
+        return (0.1 * self.clearcoat_gloss
+                + 0.001 * (1.0 - self.clearcoat_gloss)) * 0.0 +             jnp.clip(0.1 * (1.0 - self.clearcoat_gloss)
+                     + 0.001 * self.clearcoat_gloss + 0.0, 1e-3, 0.3)
 
-    def _spec_prob(self):
-        return jnp.clip(0.5 + 0.5 * self.metallic, 0.0, 1.0)
+    def _trans_lobe(self):
+        return RoughDielectric(eta=jnp.maximum(self.eta, 1.001),
+                               alpha=jnp.maximum(self.roughness ** 2,
+                                                 1e-3))
 
-    def sample(self, si, sample1, sample2, active):
-        ax = self._alpha()
-        p_spec = self._spec_prob()
-        pick_spec = sample1 < p_spec
-        m = mf.sample_vndf(si.wi, sample2, ax, ax)
-        wo_spec = 2.0 * dot(si.wi, m)[..., None] * m - si.wi
-        wo_diff = warp.square_to_cosine_hemisphere(sample2)
-        wo = jnp.where(pick_spec[..., None], wo_spec, wo_diff)
-        val, pdf = self.eval_pdf(si, wo, active)
-        ok = active & (pdf > 0.0) & (Frame.cos_theta(wo) > 0.0) \
-            & (Frame.cos_theta(si.wi) > 0.0)
-        w = jnp.where(ok[..., None],
-                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
-        bs = BSDFSample(
-            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
-            eta=jnp.ones(pdf.shape),
-            delta=jnp.zeros(pdf.shape, bool),
-            sampled_type=jnp.where(
-                pick_spec, Flags.GlossyReflection, Flags.DiffuseReflection
-            ).astype(jnp.int32),
-        )
-        return bs, w
+    def _lobe_probs(self):
+        """Static-shape mixture weights (principled.cpp sampling
+        rates, :415)."""
+        w_spec = jnp.asarray(1.0)
+        w_diff = (1.0 - self.metallic) * (1.0 - self.spec_trans)
+        w_trans = (1.0 - self.metallic) * self.spec_trans
+        w_cc = 0.25 * self.clearcoat
+        tot = w_spec + w_diff + w_trans + w_cc
+        return w_spec / tot, w_diff / tot, w_trans / tot, w_cc / tot
+
+    # ----------------------------------------------------------- lobes
+
+    @staticmethod
+    def _gtr1_d(m, a):
+        """GTR1 NDF in the cancellation-free form: the denominator
+        1 + (a^2-1)cos^2 = sin^2 + a^2 cos^2 evaluated from the half
+        vector's components directly (f32-stable at glossy a ~ 1e-3)."""
+        a2 = a * a
+        sin2 = m[..., 0] ** 2 + m[..., 1] ** 2
+        cos2 = m[..., 2] ** 2
+        return safe_div(a2 - 1.0,
+                        jnp.pi * jnp.log(jnp.maximum(a2, 1e-8))
+                        * (sin2 + a2 * cos2))
 
     def eval_pdf(self, si, wo, active):
-        ax = self._alpha()
+        base = self.base_color.eval(si)
+        ax, ay = self._ax_ay()
         cos_i = Frame.cos_theta(si.wi)
         cos_o = Frame.cos_theta(wo)
-        ok = active & (cos_i > 0.0) & (cos_o > 0.0)
-        base = self.base_color.eval(si)
+        refl_side = (cos_i > 0.0) & (cos_o > 0.0)
+        p_spec, p_diff, p_trans, p_cc = self._lobe_probs()
+
+        # half vector for the reflective lobes
         m = si.wi + wo
         norm = jnp.sqrt(jnp.maximum(jnp.sum(m * m, -1, keepdims=True),
                                     1e-20))
         m = m / norm
         cos_hm = jnp.clip(dot(si.wi, m), 0.0, 1.0)
+        cos_hd = jnp.clip(dot(wo, m), 0.0, 1.0)
+
+        # main anisotropic GGX specular
         f0 = self._f0(base)
         fres = f0 + (1.0 - f0) * (1.0 - cos_hm[..., None]) ** 5
-        d = mf.ggx_D(m, ax, ax)
-        g2 = mf.smith_g2(si.wi, wo, m, ax, ax)
+        d = mf.ggx_D(m, ax, ay)
+        g2 = mf.smith_g2(si.wi, wo, m, ax, ay)
         spec = fres * (d * g2 / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
-        diff = (1.0 - self.metallic) * base * (
-            warp.INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
-        val = spec + diff
-        p_spec = self._spec_prob()
-        pdf_m = mf.vndf_pdf(si.wi, m, ax, ax)
-        jac = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-20)
-        pdf = (p_spec * pdf_m * jac
-               + (1.0 - p_spec) * warp.square_to_cosine_hemisphere_pdf(wo))
-        return (jnp.where(ok[..., None], val, 0.0), jnp.where(ok, pdf, 0.0))
+
+        # Burley diffuse with retro-reflection (Disney 2015)
+        fl = (1.0 - jnp.clip(cos_i, 0.0, 1.0)) ** 5
+        fv = (1.0 - jnp.clip(cos_o, 0.0, 1.0)) ** 5
+        rr = 2.0 * self.roughness * cos_hd * cos_hd
+        f_d = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv) \
+            + rr * (fl + fv + fl * fv * (rr - 1.0))
+        diff = ((1.0 - self.metallic) * (1.0 - self.spec_trans)
+                * f_d * warp.INV_PI * jnp.maximum(cos_o, 0.0)
+                )[..., None] * base
+
+        # sheen (principled.cpp: Schlick weight at the half vector)
+        tint = self._tint(base)
+        sheen_col = (1.0 - self.sheen_tint) + self.sheen_tint * tint
+        sheen = ((1.0 - self.metallic) * self.sheen
+                 * (1.0 - cos_hm) ** 5
+                 * jnp.maximum(cos_o, 0.0))[..., None] * sheen_col
+
+        # clearcoat: GTR1 D, GGX G at fixed 0.25, Schlick F0 = 0.04
+        a_cc = self._cc_alpha()
+        d_cc = self._gtr1_d(m, a_cc)
+        g_cc = mf.smith_g2(si.wi, wo, m, jnp.asarray(0.25),
+                           jnp.asarray(0.25))
+        f_cc = 0.04 + 0.96 * (1.0 - cos_hm) ** 5
+        cc = (0.25 * self.clearcoat * d_cc * g_cc * f_cc
+              / jnp.maximum(4.0 * cos_i, 1e-20))[..., None]
+
+        val_refl = spec + diff + sheen + cc
+        # reflection-side pdf mixture
+        pdf_m = mf.vndf_pdf(si.wi, m, ax, ay)
+        jac_r = 1.0 / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-20)
+        pdf_cc_m = d_cc * jnp.abs(m[..., 2])   # GTR1 sampled by D*cos
+        pdf_refl = (p_spec * pdf_m * jac_r
+                    + p_diff * warp.square_to_cosine_hemisphere_pdf(wo)
+                    + p_cc * pdf_cc_m * jac_r)
+
+        # transmission lobe (two-sided; also the only backside lobe)
+        tl = self._trans_lobe()
+        val_t, pdf_t = tl.eval_pdf(si, wo, active)
+        w_t = (1.0 - self.metallic) * self.spec_trans
+        trans_cfg = cos_i * cos_o < 0.0
+
+        val = jnp.where(refl_side[..., None], val_refl, 0.0) \
+            + w_t * val_t * base
+        pdf = jnp.where(refl_side, pdf_refl, 0.0) + p_trans * pdf_t
+        ok = active & (refl_side | trans_cfg)
+        return (jnp.where(ok[..., None], val, 0.0),
+                jnp.where(ok, pdf, 0.0))
+
+    def sample(self, si, sample1, sample2, active):
+        ax, ay = self._ax_ay()
+        p_spec, p_diff, p_trans, p_cc = self._lobe_probs()
+        cos_i = Frame.cos_theta(si.wi)
+
+        # lobe pick with sample reuse
+        c1 = p_spec
+        c2 = c1 + p_diff
+        c3 = c2 + p_trans
+        pick_spec = sample1 < c1
+        pick_diff = (sample1 >= c1) & (sample1 < c2)
+        pick_trans = (sample1 >= c2) & (sample1 < c3)
+        pick_cc = sample1 >= c3
+        # backside: only the transmission lobe applies
+        back = cos_i <= 0.0
+        pick_trans = pick_trans | back
+        pick_spec = pick_spec & ~back
+        pick_diff = pick_diff & ~back
+        pick_cc = pick_cc & ~back
+
+        m_spec = mf.sample_vndf(si.wi, sample2, ax, ay)
+        wo_spec = 2.0 * dot(si.wi, m_spec)[..., None] * m_spec - si.wi
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        # GTR1 clearcoat half vector (Disney sampling)
+        a_cc = self._cc_alpha()
+        a2 = a_cc * a_cc
+        t_cc = a2 ** (1.0 - sample2[..., 0])
+        # ch^2 = (1-t)/(1-a^2), sh^2 = (t-a^2)/(1-a^2): both computed
+        # from t directly so neither cancels at sharp gloss
+        ch2 = safe_div(1.0 - t_cc, 1.0 - a2)
+        sh2 = safe_div(t_cc - a2, 1.0 - a2)
+        ch = jnp.sqrt(jnp.clip(ch2, 0.0, 1.0))
+        sh = jnp.sqrt(jnp.clip(sh2, 0.0, 1.0))
+        phi = 2.0 * jnp.pi * sample2[..., 1]
+        m_cc = jnp.stack([sh * jnp.cos(phi), sh * jnp.sin(phi), ch],
+                         axis=-1)
+        wo_cc = 2.0 * dot(si.wi, m_cc)[..., None] * m_cc - si.wi
+
+        # transmission lobe via the embedded rough dielectric; rescale
+        # sample1 within its bin for the internal fresnel choice
+        tl = self._trans_lobe()
+        u_re = jnp.where(back, sample1,
+                         jnp.clip(safe_div(sample1 - c2,
+                                           jnp.maximum(p_trans, 1e-8)),
+                                  0.0, 1.0 - 2.0 ** -24))
+        bs_t, _ = tl.sample(si, u_re, sample2, active)
+
+        wo = jnp.where(pick_spec[..., None], wo_spec,
+                       jnp.where(pick_diff[..., None], wo_diff,
+                                 jnp.where(pick_cc[..., None], wo_cc,
+                                           bs_t.wo)))
+        val, pdf = self.eval_pdf(si, wo, active)
+        # a reflective-lobe pick that lands below the horizon would be
+        # double-counted against the transmission pdf — reject it
+        refl_pick = pick_spec | pick_diff | pick_cc
+        ok = active & (pdf > 0.0) & (
+            ~refl_pick | (Frame.cos_theta(wo) * cos_i > 0.0))
+        w = jnp.where(ok[..., None],
+                      val / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.where(pick_trans, bs_t.eta, 1.0),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.where(
+                pick_diff, Flags.DiffuseReflection,
+                jnp.where(pick_trans, Flags.GlossyTransmission,
+                          Flags.GlossyReflection)).astype(jnp.int32),
+        )
+        return bs, w
 
     def eval(self, si, wo, active):
         return self.eval_pdf(si, wo, active)[0]

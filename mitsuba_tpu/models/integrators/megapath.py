@@ -147,6 +147,7 @@ class MegakernelPathIntegrator:
             )
         acc = scene.packet_accel
         rows, light, n_lights = pack_scene_bvh(scene, acc)
+        smooth = any(m.normals is not None for m in scene.meshes)
         # Feed the kernel Morton-tiled packets: lanes arrive pixel-major
         # (16 consecutive pixels per 1024-ray packet = a thin strip); a
         # static Morton shuffle of the *order* turns each packet into a
@@ -168,6 +169,7 @@ class MegakernelPathIntegrator:
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
                 interpret=interpret, rpl=acc.rpl, batch=acc.batch,
+                smooth=smooth,
             )
             return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
@@ -176,4 +178,5 @@ class MegakernelPathIntegrator:
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
             interpret=interpret, rpl=acc.rpl, batch=acc.batch,
+            smooth=smooth,
         )

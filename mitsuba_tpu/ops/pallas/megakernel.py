@@ -1356,7 +1356,7 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
 
 
 def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
-                   rpl, batch):
+                   rpl, batch, smooth=False):
     """BVH-packet megakernel: same fused path loop, but ray queries run
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
     lifts the MAX_FACES cap to the SMEM node budget (~300k triangles)."""
@@ -1372,10 +1372,16 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
         shape = lane.shape
         zero = jnp.zeros(shape)
 
-        # 25-col leaf-row layout (traverse.py): 9:12 refl | 12:15 ng |
-        # 15 is_light | 16 pdf_area | 17 btype | 18:24 bparams
+        # 32-col leaf-row layout (traverse.py): 0:9 p0|e1|e2 | 9:12 refl
+        # | 12 is_light | 13 pdf_area(/alpha) | 14 btype | 15:21 bparams
+        # | 21 face_id | 22:31 n0 n1 n2; the geometric normal is
+        # recomputed from the edges
         multi = tuple(btypes) != (0,)
-        res_cols = tuple(range(9, 24)) if multi else tuple(range(9, 17))
+        res_cols = tuple(range(0, 15))
+        if multi:
+            res_cols += tuple(range(15, 21))
+        if smooth:
+            res_cols += tuple(range(22, 31))
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
             found, t, attrs = traverse_closest(
@@ -1384,17 +1390,42 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                 ox, oy, oz, dx, dy, dz,
                 jnp.full(shape, jnp.inf), act_b,
                 resolve_cols=res_cols, rpl=rpl, batch=batch)
+            (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
+             Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
+            k = 15
             if multi:
-                (Rr, Rg, Rb, ngx, ngy, ngz, IsL, PdfA,
-                 Btype, C0, C1, C2, C3, C4, C5) = attrs
+                C0, C1, C2, C3, C4, C5 = attrs[k:k + 6]
+                k += 6
             else:
-                Rr, Rg, Rb, ngx, ngy, ngz, IsL, PdfA = attrs
                 Btype = C0 = C1 = C2 = C3 = C4 = C5 = zero
+            ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
+            ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
+            if smooth:
+                (N0x, N0y, N0z, N1x, N1y, N1z,
+                 N2x, N2y, N2z) = attrs[k:k + 9]
+                # winner barycentrics -> interpolated shading normal
+                # (compute_si mirror; flat faces replicate ng)
+                pvx, pvy, pvz = _cross(dx, dy, dz, E2x, E2y, E2z)
+                det = E1x * pvx + E1y * pvy + E1z * pvz
+                okd = jnp.abs(det) > DET_EPS
+                inv = jnp.where(okd, 1.0 / jnp.where(okd, det, 1.0), 0.0)
+                tvx, tvy, tvz = ox - P0x, oy - P0y, oz - P0z
+                ub = jnp.clip((tvx * pvx + tvy * pvy + tvz * pvz) * inv,
+                              0.0, 1.0)
+                qvx, qvy, qvz = _cross(tvx, tvy, tvz, E1x, E1y, E1z)
+                vb = jnp.clip((dx * qvx + dy * qvy + dz * qvz) * inv,
+                              0.0, 1.0)
+                b0 = 1.0 - ub - vb
+                nsx = N0x * b0 + N1x * ub + N2x * vb
+                nsy = N0y * b0 + N1y * ub + N2y * vb
+                nsz = N0z * b0 + N1z * ub + N2z * vb
+                rinv = _rsqrt_safe_t(nsx * nsx + nsy * nsy + nsz * nsz)
+                shx, shy, shz = nsx * rinv, nsy * rinv, nsz * rinv
+            else:
+                shx, shy, shz = ngx, ngy, ngz
             valid = found > 0.0
             t = jnp.where(valid, t, jnp.inf)
-            # flat shading: the traverse leaf layout carries no vertex
-            # normals, and the gate excludes smooth meshes
-            return (valid, t, ngx, ngy, ngz, ngx, ngy, ngz, Rr, Rg, Rb,
+            return (valid, t, ngx, ngy, ngz, shx, shy, shz, Rr, Rg, Rb,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
         def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
@@ -1494,15 +1525,12 @@ def megakernel_bvh_applicable(scene) -> bool:
     """Plugin-subset check for the BVH megakernel: same BSDF/emitter
     constraints as ``megakernel_applicable`` but faces bounded only by the
     SMEM node budget (requires scene.packet_accel, built at make_scene);
-    bitmap textures / envmaps / smooth shading normals are
-    brute-kernel-only for now (the traverse leaf layout carries neither
-    UVs nor vertex normals)."""
+    bitmap textures / envmaps are brute-kernel-only for now (the
+    traverse leaf layout has no UV slots)."""
     from .traverse import MAX_NODES
 
     accel = getattr(scene, "packet_accel", None)
     if accel is None or accel.n_nodes > MAX_NODES:
-        return False
-    if any(m.normals is not None for m in scene.meshes):
         return False
     return _plugin_subset_ok(scene, allow_tex=False)
 
@@ -1517,17 +1545,14 @@ def pack_scene_bvh(scene, layout):
 
     tris, light, F, L, _tex, _env = pack_scene(scene)
     t = tris[:F]
-    e1 = t[:, 3:6]
-    e2 = t[:, 6:9]
-    ng = jnp.cross(e1, e2)
-    ng = ng / jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1, keepdims=True),
-                                   1e-30))
     cols = jnp.concatenate([
         t[:, 0:9],                 # p0 | e1 | e2
         t[:, 9:12],                # refl
-        ng,                        # unit geometric normal
-        t[:, 15:24],               # is_light | pdf_area | btype | bparams
+        t[:, 15:18],               # is_light | pdf_area(/alpha) | btype
+        t[:, 18:24],               # bparams
         jnp.arange(F, dtype=jnp.float32)[:, None],
+        t[:, 30:39],               # n0 n1 n2 (shading normals)
+        jnp.zeros((F, 1)),
     ], axis=1)
     rows = pack_leaf_rows(cols, layout)
     return rows, light, L
@@ -1535,13 +1560,15 @@ def pack_scene_bvh(scene, layout):
 
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_nodes", "n_lights",
-                          "btypes", "interpret", "rpl", "batch"))
+                          "btypes", "interpret", "rpl", "batch",
+                          "smooth"))
 def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          lane, o, d, active, seed,
                          max_depth: int, rr_depth: int, n_nodes: int,
                          n_lights: int, btypes: tuple = (0,),
                          interpret: bool = False,
-                         rpl: int = None, batch: int = None):
+                         rpl: int = None, batch: int = None,
+                         smooth: bool = False):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
     from .traverse import BATCH, QUEUE, RPL
@@ -1570,7 +1597,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
-                            btypes, rpl, batch)
+                            btypes, rpl, batch, smooth)
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,

@@ -46,17 +46,20 @@ LANES = 128
 R_TILE = SUB * LANES
 DET_EPS = 1e-9            # matches megakernel._tri_test
 
-PACK = 5          # triangles per 128-float row (stride 25, 3 cols pad)
-STRIDE = 25
+PACK = 4          # triangles per 128-float row (stride 32, exact fit)
+STRIDE = 32
 RPL = 8           # default rows per leaf block (8-row aligned DMA slices)
-TB = PACK * RPL   # default triangles per leaf/cluster (40)
+TB = PACK * RPL   # default triangles per leaf/cluster (32)
 BATCH = 4         # speculative nodes tested per traversal iteration
 
-# triangle row columns (within a 25-float slot):
-#   0:3 p0 | 3:6 e1 | 6:9 e2 | 9:12 refl | 12:15 ng (unit geo normal)
-#   15 is_light | 16 pdf_area | 17 btype | 18:24 bparams | 24 face_id
-COL_FACE_ID = 24
-N_COLS = 25
+# triangle row columns (within a 32-float slot); the geometric normal
+# is recomputed in-kernel from e1 x e2 so the slot can carry per-vertex
+# shading normals instead:
+#   0:3 p0 | 3:6 e1 | 6:9 e2 | 9:12 refl | 12 is_light
+#   13 pdf_area (or GGX alpha on rough faces) | 14 btype
+#   15:21 bparams | 21 face_id | 22:31 n0 n1 n2 | 31 pad
+COL_FACE_ID = 21
+N_COLS = 32
 
 
 # ----------------------------------------------------------------- build
@@ -175,22 +178,25 @@ def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
     return jnp.pad(rows, ((0, 0), (0, 128 - PACK * N_COLS)))
 
 
-def tri_columns(v, f, extra=None):
-    """Default (F, 25) geometry columns from concatenated verts/faces:
-    p0 | e1 | e2 | zeros(refl) | unit ng | zeros(meta) | face_id.
-    ``extra`` optionally overrides cols 9:24 with shading data (F, 15)."""
+def tri_columns(v, f, extra=None, normals=None):
+    """Default (F, 32) geometry columns from concatenated verts/faces:
+    p0 | e1 | e2 | zeros(shading 9:21) | face_id | n0 n1 n2 | pad.
+    ``extra`` optionally overrides cols 9:21 with shading data (F, 12);
+    ``normals`` optionally provides per-vertex shading normals
+    (F, 9 = n0|n1|n2), defaulting to the face normal replicated."""
     p0 = v[f[:, 0]]
     e1 = v[f[:, 1]] - p0
     e2 = v[f[:, 2]] - p0
-    ng = jnp.cross(e1, e2)
-    ng = ng / jnp.sqrt(jnp.maximum(jnp.sum(ng * ng, -1, keepdims=True),
-                                   1e-30))
     F = f.shape[0]
-    mid = (extra if extra is not None
-           else jnp.concatenate(
-               [jnp.zeros((F, 3)), ng, jnp.zeros((F, 9))], axis=1))
+    mid = (extra if extra is not None else jnp.zeros((F, 12)))
+    if normals is None:
+        ng = jnp.cross(e1, e2)
+        ng = ng / jnp.sqrt(jnp.maximum(
+            jnp.sum(ng * ng, -1, keepdims=True), 1e-30))
+        normals = jnp.concatenate([ng, ng, ng], axis=1)
     fid = jnp.arange(F, dtype=jnp.float32)[:, None]
-    return jnp.concatenate([p0, e1, e2, mid, fid], axis=1)
+    return jnp.concatenate(
+        [p0, e1, e2, mid, fid, normals, jnp.zeros((F, 1))], axis=1)
 
 
 # ---------------------------------------------------------- kernel pieces

@@ -314,6 +314,15 @@ def _make_bsdf(d):
             metallic=jnp.asarray(float(d.get("metallic", 0.0))),
             roughness=jnp.asarray(float(d.get("roughness", 0.5))),
             specular=jnp.asarray(float(d.get("specular", 0.5))),
+            anisotropic=jnp.asarray(float(d.get("anisotropic", 0.0))),
+            clearcoat=jnp.asarray(float(d.get("clearcoat", 0.0))),
+            clearcoat_gloss=jnp.asarray(
+                float(d.get("clearcoat_gloss", 1.0))),
+            sheen=jnp.asarray(float(d.get("sheen", 0.0))),
+            sheen_tint=jnp.asarray(float(d.get("sheen_tint", 0.0))),
+            spec_tint=jnp.asarray(float(d.get("spec_tint", 0.0))),
+            spec_trans=jnp.asarray(float(d.get("spec_trans", 0.0))),
+            eta=jnp.asarray(float(d.get("eta", 1.5))),
         )
     if t == "normalmap":
         from ..models.bsdfs import NormalMap
