@@ -376,10 +376,15 @@ def analytic_boundary_grads(scene, integrator, grad_image, seed,
 
 
 def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
-                            n_samples: int = 4096, eps_frac: float = 0.01):
+                            n_samples: int = 4096, eps_frac: float = 0.01,
+                            guiding: str = "uniform",
+                            n_warmup: int | None = None):
     """Shadow (indirect-visibility) boundary gradients for direct
     illumination (projective.py:228-373 indirect silhouettes, one-bounce
-    scope).
+    scope).  ``guiding="octree"`` runs a uniform warm-up pass, builds an
+    OcSpaceDistr over the (edge-u, t, light-u) sample cube from the
+    observed |integrand| (guiding.py:141), and importance-samples the
+    main pass from it.
 
     Sampling follows the light->edge->receiver construction: a light
     point y and a silhouette edge point x_e (silhouette AS SEEN FROM y)
@@ -432,6 +437,18 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
     # ---- detached sampling: light point y + edge point x_e ----
     u_lf = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB))
     u_ly = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 1))
+    if oc is not None:
+        u_sel = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB + 3))
+        u3 = jnp.stack([
+            rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB + 4)),
+            rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB + 5)),
+            rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB + 6)),
+        ], axis=-1)
+        q, pdf_oc = oc.sample(u_sel, u3)
+        inv_oc = 1.0 / jnp.maximum(pdf_oc, 1e-12)
+        u_lf = q[:, 2]
+    else:
+        inv_oc = jnp.ones((n_samples,))
     lidx, _ = ldistr.sample(u_lf)
     st = jnp.sqrt(jnp.maximum(1.0 - u_ly[:, 0], 0.0))
     b0 = 1.0 - st
@@ -442,8 +459,12 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
     n_y = n_y / jnp.sqrt(jnp.maximum(
         jnp.sum(n_y ** 2, -1, keepdims=True), 1e-20))
 
-    u_e = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_EDGE))
-    t_e = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_T))
+    if oc is not None:
+        u_e = q[:, 0]
+        t_e = q[:, 1]
+    else:
+        u_e = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_EDGE))
+        t_e = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_T))
     idx, pmf = distr.sample(u_e)
     p0 = p0_all[idx]
     p1 = p1_all[idx]
@@ -539,7 +560,7 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
         valid,
         -(w_px * h_px)
         * jnp.sum(delta * sw * f_val * le[None, :], -1)
-        * G * dV * speed * inv_pdf * A_L / n_samples,
+        * G * dV * speed * inv_pdf * A_L * inv_oc / n_samples,
         0.0,
     )
 
@@ -559,7 +580,11 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
         xb_att = jnp.nan_to_num(xb_att)
         return jnp.sum(coeff * jnp.sum(m_hat * xb_att, -1))
 
-    return jax.grad(S)(floats)
+    grads = jax.grad(S)(floats)
+    if collect:
+        pts = jnp.stack([u_e, t_e, u_lf], axis=-1)
+        return grads, pts, jnp.abs(coeff)
+    return grads, None, None
 
 # --------------------------------------------------------- integrators
 
@@ -691,7 +716,9 @@ def _ppr_bwd(integrator, spp, res, grad_image):
                 isinstance(e.radiance, ConstantTexture):
             ind = indirect_boundary_grads(
                 scene, edges, grad_image, seed_u,
-                n_samples=integrator.sppi)
+                n_samples=integrator.sppi,
+                guiding=("octree" if integrator.guiding == "octree"
+                         else "uniform"))
             total = [a + b for a, b in zip(total, ind)]
     _, _, cotangent = _float_partition(scene)
     edges_ct = jax.tree_util.tree_map(

@@ -192,3 +192,66 @@ def test_shadow_boundary_gradient_matches_fd():
         allow_int=True)(scene)
     ad0 = float(jnp.sum(g0.meshes[1].vertices[:, 0]))
     assert abs(ad0) < 0.3 * abs(fd), (ad0, fd)
+
+
+def test_octree_guiding_distribution():
+    """OcSpaceDistr: normalized density, pdf/sample agreement, and
+    adaptive concentration (guiding.py:141 OcSpaceDistr)."""
+    from mitsuba_tpu.models.integrators.guiding import OcSpaceDistr
+
+    rng_np = np.random.default_rng(3)
+    pts = rng_np.uniform(size=(4000, 3))
+    mass = np.exp(-30 * np.sum((pts - [0.8, 0.2, 0.5]) ** 2, -1))
+    oc = OcSpaceDistr.create_from_samples(jnp.asarray(pts),
+                                          jnp.asarray(mass))
+    assert oc.n_leaves > 8
+    u1 = jnp.asarray(rng_np.uniform(size=(100_000,)), jnp.float32)
+    u3 = jnp.asarray(rng_np.uniform(size=(100_000, 3)), jnp.float32)
+    p, pdf = oc.sample(u1, u3)
+    # density normalizes over the unit cube
+    assert abs(float(jnp.mean(1.0 / pdf)) - 1.0) < 0.02
+    # pdf() agrees with the sampling density
+    np.testing.assert_allclose(np.asarray(oc.pdf(p[:2000])),
+                               np.asarray(pdf[:2000]), rtol=3e-3)
+    # samples concentrate near the mass peak
+    mean = np.asarray(p).mean(0)
+    assert abs(mean[0] - 0.8) < 0.15 and abs(mean[1] - 0.2) < 0.15
+
+
+@pytest.mark.slow
+def test_octree_guided_shadow_gradient():
+    """Octree-guided indirect boundary sampling agrees with uniform and
+    with finite differences on the blocker-translation gradient."""
+    from mitsuba_tpu.models.integrators.projective import (
+        indirect_boundary_grads)
+
+    W = _loss_weights()
+    scene = _shadow_scene()
+    edges = build_silhouette_edges(scene)
+    integ = PathProjectiveIntegrator(max_depth=2, sppp=64, n_sub=1)
+
+    def primal_img(s):
+        from mitsuba_tpu.models.integrators.common import render
+
+        return render(s, PathIntegrator(max_depth=2), seed=0, spp=32)
+
+    # FD reference of the loss wrt blocker x
+    h = 0.03
+    f = lambda bx: float(jnp.sum(primal_img(_shadow_scene(bx)) * W))
+    fd = (f(h) - f(-h)) / (2 * h)
+
+    from mitsuba_tpu.models.integrators.projective import _float_partition
+
+    def ad(guiding, seed):
+        g = indirect_boundary_grads(scene, edges, W, jnp.uint32(seed),
+                                    n_samples=4096, guiding=guiding)
+        # blocker = meshes[1]; sum of x-gradients of its vertices
+        floats, rebuild, cot = _float_partition(scene)
+        gs = cot(g)
+        return float(jnp.sum(gs.meshes[1].vertices[:, 0]))
+
+    a_uni = ad("uniform", 1)
+    a_oct = ad("octree", 1)
+    assert np.isfinite(a_oct)
+    assert abs(a_oct - fd) < 0.35 * abs(fd) + 0.05, (a_oct, fd)
+    assert abs(a_uni - a_oct) < 0.35 * abs(fd) + 0.05, (a_uni, a_oct)
