@@ -46,6 +46,19 @@ class Ray:
 
 
 @pytree
+class RayDifferential:
+    """Primary ray plus its one-pixel-offset neighbors (ray.h
+    RayDifferential): offset rays transfer onto the hit plane to give
+    texture-space footprints (compute_uv_partials)."""
+
+    ray: Ray
+    o_x: jnp.ndarray   # (N, 3) origin of the +1px-in-x ray
+    d_x: jnp.ndarray   # (N, 3)
+    o_y: jnp.ndarray   # (N, 3)
+    d_y: jnp.ndarray   # (N, 3)
+
+
+@pytree
 class PreliminaryIntersection:
     t: jnp.ndarray          # (N,) hit distance (inf = miss)
     prim_index: jnp.ndarray  # (N,) global triangle/primitive index, int32
@@ -72,6 +85,10 @@ class SurfaceInteraction:
     prim_index: jnp.ndarray   # (N,) int32
     wavelengths: jnp.ndarray  # (N, W)
     time: jnp.ndarray       # (N,)
+    # screen-space uv footprint (compute_uv_partials); None unless ray
+    # differentials were attached (interaction.h:85 duv_dx/duv_dy)
+    duv_dx: jnp.ndarray = None   # (N, 2) or None
+    duv_dy: jnp.ndarray = None   # (N, 2) or None
 
     def is_valid(self):
         return self.shape_index >= 0

@@ -61,7 +61,7 @@ def mis_weight(pdf_a, pdf_b):
 
 
 def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
-                pass_index: int = 0):
+                pass_index: int = 0, with_differentials: bool = False):
     """Generate the primary-ray wavefront for one spp pass.
 
     Mirrors integrator.cpp:293-310 (idx -> pixel position arithmetic) +
@@ -92,6 +92,12 @@ def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
     aperture = rng.sample_2d(seed, lane, jnp.int32(DIM_APERTURE), spec)
     wav = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH), spec)
     time = jnp.zeros((n,))
+    if with_differentials:
+        from ..sensors import sample_ray_differential
+
+        rd, weight = sample_ray_differential(sensor, time, wav, pos_unit,
+                                             aperture)
+        return rd, weight, film_pos, lane
     ray, weight = sensor.sample_ray(time, wav, pos_unit, aperture)
     return ray, weight, film_pos, lane
 
@@ -133,11 +139,17 @@ def render(scene, integrator=None, seed: int = 0, spp: int | None = None,
 
 
 def _render_pass(scene, integrator, seed, spp, spp_pass, pass_index):
+    use_rd = bool(getattr(integrator, "ray_diffs", False))
     ray, weight, film_pos, lane = sample_rays(
-        scene, seed, spp, spp_pass, pass_index
+        scene, seed, spp, spp_pass, pass_index, with_differentials=use_rd
     )
-    active = jnp.ones((ray.o.shape[0],), bool)
-    L = integrator.sample(scene, ray, lane, seed, active)
+    if use_rd:
+        rd, ray = ray, ray.ray
+        active = jnp.ones((ray.o.shape[0],), bool)
+        L = integrator.sample(scene, ray, lane, seed, active, rd=rd)
+    else:
+        active = jnp.ones((ray.o.shape[0],), bool)
+        L = integrator.sample(scene, ray, lane, seed, active)
     # spp normalization happens in develop() via the filter-weight channel;
     # lanes are pixel-major so the dense scatter-free splat applies
     return scene.sensor.film.put_grouped(film_pos, L * weight, spp_pass,

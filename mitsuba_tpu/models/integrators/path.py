@@ -36,9 +36,12 @@ class PathIntegrator:
     max_depth: int = static(6)
     rr_depth: int = static(5)
     hide_emitters: bool = static(False)
+    # attach primary-hit ray differentials (sensor.h:62): textures with
+    # mip pyramids then use footprint-aware lookups
+    ray_diffs: bool = static(False)
     id: str = static("path")
 
-    def sample(self, scene, ray: Ray, lane, seed, active):
+    def sample(self, scene, ray: Ray, lane, seed, active, rd=None):
         """Per-lane radiance estimate L (N, 3)."""
         n = ray.o.shape[0]
         nee_enabled = len(scene.emitters) > 0
@@ -67,6 +70,13 @@ class PathIntegrator:
             act = s["active"]
 
             si = scene.ray_intersect(ray, act, ctx)
+            if rd is not None:
+                # footprint only at the primary hit (path.cpp: the ray
+                # differential is not propagated past the first bounce)
+                sid = scene.compute_si_differentials(si, rd, ctx)
+                first = (depth == 0).astype(jnp.float32)[..., None]
+                si = si.replace(duv_dx=sid.duv_dx * first,
+                                duv_dy=sid.duv_dy * first)
 
             # ---- environment radiance for escaped rays (w/ MIS) ----
             escaped = act & ~si.is_valid()

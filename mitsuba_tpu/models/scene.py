@@ -355,6 +355,57 @@ class Scene:
             si_sdf, si,
         )
 
+    def compute_si_differentials(self, si, rd, ctx=None, active=None):
+        """Attach screen-space uv footprints to an SI
+        (interaction.h:85 compute_uv_partials): transfer the offset
+        rays of a RayDifferential onto the hit plane and solve the
+        resulting position deltas against the face's (dpdu, dpdv)."""
+        if ctx is None:
+            ctx = self.trace_ctx()
+        td = ctx["tri_data"][jnp.maximum(si.prim_index, 0)]
+        p0, p1, p2 = td[:, 0:3], td[:, 3:6], td[:, 6:9]
+        uv0, uv1, uv2 = td[:, 18:20], td[:, 20:22], td[:, 22:24]
+        e1 = p1 - p0
+        e2 = p2 - p0
+        du1 = uv1 - uv0
+        du2 = uv2 - uv0
+        det_uv = du1[:, 0] * du2[:, 1] - du1[:, 1] * du2[:, 0]
+        ok_uv = jnp.abs(det_uv) > 1e-12
+        inv = jnp.where(ok_uv, 1.0 / jnp.where(ok_uv, det_uv, 1.0), 0.0)
+        dpdu = (du2[:, 1:2] * e1 - du1[:, 1:2] * e2) * inv[:, None]
+        dpdv = (-du2[:, 0:1] * e1 + du1[:, 0:1] * e2) * inv[:, None]
+
+        n = jax.lax.stop_gradient(si.n)
+        pp = jax.lax.stop_gradient(si.p)
+
+        def transfer(o, d):
+            dn = jnp.sum(d * n, -1)
+            tt = jnp.sum((pp - o) * n, -1) / jnp.where(
+                jnp.abs(dn) > 1e-9, dn, 1e-9)
+            return o + tt[:, None] * d - pp
+
+        dp_dx = transfer(rd.o_x, rd.d_x)
+        dp_dy = transfer(rd.o_y, rd.d_y)
+        # least-squares via the (dpdu, dpdv) Gram system
+        a00 = jnp.sum(dpdu * dpdu, -1)
+        a01 = jnp.sum(dpdu * dpdv, -1)
+        a11 = jnp.sum(dpdv * dpdv, -1)
+        det_g = a00 * a11 - a01 * a01
+        ok = ok_uv & (jnp.abs(det_g) > 1e-20) & si.is_valid()
+        if active is not None:
+            ok = ok & active
+        ig = jnp.where(ok, 1.0 / jnp.where(ok, det_g, 1.0), 0.0)
+
+        def solve(dp):
+            b0 = jnp.sum(dpdu * dp, -1)
+            b1 = jnp.sum(dpdv * dp, -1)
+            du = (a11 * b0 - a01 * b1) * ig
+            dv = (a00 * b1 - a01 * b0) * ig
+            return jnp.where(ok[:, None],
+                             jnp.stack([du, dv], -1), 0.0)
+
+        return si.replace(duv_dx=solve(dp_dx), duv_dy=solve(dp_dy))
+
     def ray_test(self, ray: Ray, active=None, ctx=None):
         """Any-hit (shadow) query (scene.cpp:203)."""
         if ctx is None:

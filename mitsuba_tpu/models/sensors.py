@@ -539,3 +539,25 @@ class DistantSensor:
             emitter_index=jnp.zeros((n,), jnp.int32),
         )
         return ds, jnp.zeros((n, 3))
+
+
+def sample_ray_differential(sensor, time, wavelength_sample,
+                            position_sample, aperture_sample):
+    """Primary ray + one-pixel-offset neighbor rays (the reference's
+    default Sensor::sample_ray_differential, sensor.cpp — two extra
+    sample_ray calls at +1px in x and y with the same aperture and
+    wavelength samples).  Returns (RayDifferential, weight)."""
+    from ..core.records import RayDifferential
+
+    film = sensor.film
+    dx = jnp.asarray([1.0 / film.width, 0.0])
+    dy = jnp.asarray([0.0, 1.0 / film.height])
+    ray, weight = sensor.sample_ray(time, wavelength_sample,
+                                    position_sample, aperture_sample)
+    ray_x, _ = sensor.sample_ray(time, wavelength_sample,
+                                 position_sample + dx, aperture_sample)
+    ray_y, _ = sensor.sample_ray(time, wavelength_sample,
+                                 position_sample + dy, aperture_sample)
+    rd = RayDifferential(ray=ray, o_x=ray_x.o, d_x=ray_x.d,
+                         o_y=ray_y.o, d_y=ray_y.d)
+    return rd, weight

@@ -52,27 +52,42 @@ class BitmapTexture:
     """
 
     data: jnp.ndarray  # (H, W, C)
+    mips: tuple = ()   # optional box-filtered pyramid (coarser levels)
     filter_nearest: bool = static(False)
     wrap_repeat: bool = static(True)
     id: str = static("bitmap")
 
-    def eval(self, si):
-        h, w = self.data.shape[0], self.data.shape[1]
-        u = si.uv[..., 0]
-        v = si.uv[..., 1]
-        if self.wrap_repeat:
-            u = u - jnp.floor(u)
-            v = v - jnp.floor(v)
-        else:
-            u = jnp.clip(u, 0.0, 1.0)
-            v = jnp.clip(v, 0.0, 1.0)
-        # image convention: v=0 is the top row (matches the reference loader)
+    @staticmethod
+    def with_mips(data, filter_nearest=False, wrap_repeat=True):
+        """Build the mip pyramid for footprint-aware (ray-differential)
+        lookups: repeated 2x2 box downsampling to 1x1.  The pyramid is
+        detached — gradients flow through the base level only, like the
+        reference's differentiable bitmap."""
+        import jax
+
+        data = jnp.asarray(data, jnp.float32)
+        mips = []
+        cur = jax.lax.stop_gradient(data)
+        while cur.shape[0] > 1 or cur.shape[1] > 1:
+            h = max(cur.shape[0] // 2, 1)
+            w = max(cur.shape[1] // 2, 1)
+            cur = cur[: 2 * h, : 2 * w]
+            cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                          + cur[0::2, 1::2] + cur[1::2, 1::2])
+            mips.append(cur)
+        return BitmapTexture(data=data, mips=tuple(mips),
+                             filter_nearest=filter_nearest,
+                             wrap_repeat=wrap_repeat)
+
+    def _level_eval(self, data, u, v):
+        h, w = data.shape[0], data.shape[1]
+        # image convention: v=0 is the top row (matches the loader)
         x = u * w - 0.5
         y = (1.0 - v) * h - 0.5
         if self.filter_nearest:
             xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
             yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
-            return self.data[yi, xi]
+            return data[yi, xi]
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = (x - x0)[..., None]
@@ -81,13 +96,47 @@ class BitmapTexture:
         x1i = jnp.clip(x0i + 1, 0, w - 1)
         y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
         y1i = jnp.clip(y0i + 1, 0, h - 1)
-        d = self.data
         return (
-            d[y0i, x0i] * (1 - fx) * (1 - fy)
-            + d[y0i, x1i] * fx * (1 - fy)
-            + d[y1i, x0i] * (1 - fx) * fy
-            + d[y1i, x1i] * fx * fy
+            data[y0i, x0i] * (1 - fx) * (1 - fy)
+            + data[y0i, x1i] * fx * (1 - fy)
+            + data[y1i, x0i] * (1 - fx) * fy
+            + data[y1i, x1i] * fx * fy
         )
+
+    def eval(self, si):
+        u = si.uv[..., 0]
+        v = si.uv[..., 1]
+        if self.wrap_repeat:
+            u = u - jnp.floor(u)
+            v = v - jnp.floor(v)
+        else:
+            u = jnp.clip(u, 0.0, 1.0)
+            v = jnp.clip(v, 0.0, 1.0)
+        base = self._level_eval(self.data, u, v)
+        duv_dx = getattr(si, "duv_dx", None)
+        if not self.mips or duv_dx is None:
+            return base
+        # footprint-aware trilinear lookup: isotropic LOD from the
+        # larger screen-space uv derivative (si.bsdf(ray) ray-diff
+        # path; bitmap.cpp + interaction.h:85)
+        h, w = self.data.shape[0], self.data.shape[1]
+        fp = jnp.maximum(
+            jnp.sqrt(jnp.sum(duv_dx ** 2, -1)) * w,
+            jnp.sqrt(jnp.sum(si.duv_dy ** 2, -1)) * h)
+        lod = jnp.log2(jnp.maximum(fp, 1e-8))
+        n_lv = len(self.mips)
+        lod = jnp.clip(lod, 0.0, float(n_lv))
+        lo = jnp.floor(lod)
+        fr = (lod - lo)[..., None]
+        levels = (self.data,) + self.mips
+        out_lo = jnp.zeros_like(base)
+        out_hi = jnp.zeros_like(base)
+        for k, lv in enumerate(levels):
+            val = self._level_eval(lv, u, v)
+            out_lo = jnp.where((lo == k)[..., None], val, out_lo)
+            out_hi = jnp.where(
+                (jnp.minimum(lo + 1, n_lv) == k)[..., None], val, out_hi)
+        return out_lo * (1.0 - fr) + out_hi * fr
 
     def mean(self):
         return jnp.mean(self.data)

@@ -201,6 +201,10 @@ def _texture(val, default):
                 from .bitmap import read_image
 
                 data = jnp.asarray(read_image(val["filename"]), jnp.float32)
+            if val.get("mipmap", False):
+                return BitmapTexture.with_mips(
+                    data,
+                    filter_nearest=val.get("filter_type") == "nearest")
             return BitmapTexture(
                 data=data,
                 filter_nearest=val.get("filter_type") == "nearest",
@@ -655,7 +659,9 @@ def _make_integrator(d):
     if t == "path":
         return PathIntegrator(max_depth=int(d.get("max_depth", 6)),
                               rr_depth=int(d.get("rr_depth", 5)),
-                              hide_emitters=bool(d.get("hide_emitters", False)))
+                              hide_emitters=bool(d.get("hide_emitters",
+                                                       False)),
+                              ray_diffs=bool(d.get("ray_diffs", False)))
     if t == "direct":
         return DirectIntegrator(
             emitter_samples=int(d.get("emitter_samples",
