@@ -13,6 +13,7 @@ eval() per lane; everything else consumes to_rgb().
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static
@@ -31,6 +32,18 @@ def _response_rgb(eval_fn):
     range (midpoint rule on an 81-node grid)."""
     vals = eval_fn(_GRID)
     resp = rgb_response(_GRID)
+    dl = (LAMBDA_MAX - LAMBDA_MIN) / (_GRID.shape[0] - 1)
+    return jnp.sum(vals[:, None] * resp, axis=0) * dl
+
+
+def _response_rgb_flat(eval_fn):
+    """Same integral against the flat-normalized response — the one the
+    hero-wavelength estimators apply (core/spectrum.rgb_response_flat),
+    so fitted rgb2spec spectra round-trip exactly."""
+    from ..core.spectrum import rgb_response_flat
+
+    vals = eval_fn(_GRID)
+    resp = rgb_response_flat(_GRID)
     dl = (LAMBDA_MAX - LAMBDA_MIN) / (_GRID.shape[0] - 1)
     return jnp.sum(vals[:, None] * resp, axis=0) * dl
 
@@ -99,28 +112,91 @@ class IrregularSpectrum:
         return _response_rgb(self.eval)
 
 
+def _rgb2spec_fit(rgb):
+    """Jakob-Hanika 2019 sigmoid-polynomial fit (the reference's
+    rgb2spec model, srgb.cpp:14-32 + ext/rgb2spec): Gauss-Newton on the
+    3 coefficients of S(x) = sigmoid(c0 x^2 + c1 x + c2) so that
+    integrating S against this renderer's rgb response recovers the
+    target color exactly.  Host-side numpy (runs once per color at
+    scene build, like the reference's table fetch).  Returns
+    (coeff (3,), scale ()) with colors > 1 handled by scaling."""
+    from ..core.spectrum import rgb_response_flat
+
+    rgb = np.asarray(jax.lax.stop_gradient(rgb), np.float64).reshape(3)
+    scale = max(float(rgb.max()), 1e-8)
+    target = np.clip(rgb / scale, 0.0, 1.0)
+
+    lam = np.linspace(380.0, 780.0, 161)
+    x = (lam - 380.0) / 400.0 - 0.5              # conditioned abscissa
+    resp = np.asarray(rgb_response_flat(jnp.asarray(lam)), np.float64)
+    wq = np.gradient(lam)                         # trapezoid weights
+    basis = resp * wq[:, None]                    # (L, 3)
+    A = np.stack([x * x, x, np.ones_like(x)], axis=1)   # (L, 3)
+
+    def sigmoid(t):
+        return 0.5 + 0.5 * t / np.sqrt(1.0 + t * t)
+
+    # Levenberg-Marquardt (plain Gauss-Newton overshoots the sigmoid's
+    # flat tails)
+    c = np.zeros(3)
+    lm = 1e-4
+    r = basis.T @ sigmoid(A @ c) - target
+    for _ in range(200):
+        t = A @ c
+        dsig = 0.5 / np.power(1.0 + t * t, 1.5)   # d sigmoid / dt
+        J = basis.T @ (dsig[:, None] * A)         # (3, 3)
+        try:
+            step = np.linalg.solve(J + lm * np.eye(3), r)
+        except np.linalg.LinAlgError:
+            break
+        c2 = c - step
+        r2 = basis.T @ sigmoid(A @ c2) - target
+        if np.abs(r2).sum() < np.abs(r).sum():
+            c, r = c2, r2
+            lm = max(lm * 0.5, 1e-9)
+        else:
+            lm = min(lm * 10.0, 1e12)
+        if np.abs(r).max() < 1e-7:
+            break
+    return (jnp.asarray(c, jnp.float32),
+            jnp.asarray(scale, jnp.float32))
+
+
 @pytree
 class SRGBSpectrum:
     """Smooth spectrum reproducing an sRGB color (src/spectra/srgb.cpp).
 
-    The reference fetches rgb2spec sigmoid-polynomial coefficients; here
-    the spectrum is expanded in the (normalized) CIE response basis —
-    smooth, differentiable in ``rgb``, and self-consistent with
-    core/spectrum.rgb_response integration (integrating eval x response
-    recovers approximately ``rgb``).
-    """
+    ``create`` fits the reference's rgb2spec sigmoid-polynomial model
+    (Jakob-Hanika 2019) host-side; ``coeff``/``scale`` are then the
+    differentiable leaves, like the reference's fetched coefficients.
+    A bare ``SRGBSpectrum(rgb=...)`` (no fit) falls back to the smooth
+    CIE-response-basis expansion, which stays differentiable in
+    ``rgb``."""
 
     rgb: jnp.ndarray  # (3,)
+    coeff: jnp.ndarray = None   # (3,) sigmoid-polynomial coefficients
+    scale: jnp.ndarray = None   # () brightness for colors outside [0,1]
     id: str = static("srgb")
 
+    @staticmethod
+    def create(rgb):
+        rgb = jnp.asarray(rgb, jnp.float32)
+        coeff, scale = _rgb2spec_fit(rgb)
+        return SRGBSpectrum(rgb=rgb, coeff=coeff, scale=scale)
+
     def eval(self, lam_nm):
-        basis = rgb_response(lam_nm)                     # (..., 3)
-        # normalize the basis so a flat-1 rgb gives a flat-ish spectrum
-        norm = _response_rgb(lambda l: jnp.ones(jnp.shape(l)))
-        return jnp.sum(basis * (self.rgb / norm), axis=-1)
+        if self.coeff is None:
+            basis = rgb_response(lam_nm)                 # (..., 3)
+            norm = _response_rgb(lambda l: jnp.ones(jnp.shape(l)))
+            return jnp.sum(basis * (self.rgb / norm), axis=-1)
+        x = (jnp.asarray(lam_nm) - 380.0) / 400.0 - 0.5
+        t = (self.coeff[0] * x + self.coeff[1]) * x + self.coeff[2]
+        return self.scale * (0.5 + 0.5 * t / jnp.sqrt(1.0 + t * t))
 
     def to_rgb(self):
-        return self.rgb
+        if self.coeff is None:
+            return self.rgb
+        return _response_rgb_flat(self.eval)
 
 
 # CIE standard illuminant D65, 300-780 nm at 10 nm (relative SPD,

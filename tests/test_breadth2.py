@@ -388,3 +388,31 @@ def test_hero_wavelength_response_unbiased():
     w = np.asarray(rgb_response_flat(lam)
                    / np.maximum(np.asarray(pdf), 1e-12)[:, None])
     assert np.allclose(w.mean(0), 1.0, atol=0.02), w.mean(0)
+
+
+def test_srgb_rgb2spec_roundtrip():
+    """Fitted sigmoid spectra (rgb2spec, srgb.cpp:14-32) round-trip the
+    target color through the renderer's response integration, stay in
+    [0, max] and are smooth."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.models.spectra import SRGBSpectrum
+
+    palette = [
+        [0.2, 0.5, 0.8], [0.9, 0.1, 0.05], [0.05, 0.8, 0.1],
+        [0.7, 0.7, 0.7], [0.01, 0.01, 0.9], [1.5, 0.4, 0.2],  # HDR-ish
+    ]
+    lam = jnp.linspace(380.0, 780.0, 401)
+    for rgb in palette:
+        s = SRGBSpectrum.create(jnp.asarray(rgb))
+        back = np.asarray(s.to_rgb())
+        np.testing.assert_allclose(back, rgb, rtol=2e-2, atol=5e-3)
+        vals = np.asarray(s.eval(lam))
+        assert (vals >= -1e-6).all()
+        assert vals.max() <= max(max(rgb), 1.0) * 1.05
+        # smoothness: a sigmoid of a quadratic has no oscillation —
+        # at most two monotone sections (saturated colors are steep
+        # but still monotone)
+        sign_changes = int(np.abs(np.diff(np.sign(
+            np.diff(vals) + 1e-12))).sum() // 2)
+        assert sign_changes <= 1, sign_changes
