@@ -925,6 +925,40 @@ def load_dict(scene_dict: dict, use_bvh=None):
             if "sampling_weight" in val:
                 emitters[-1] = emitters[-1].replace(
                     sampling_weight=float(val["sampling_weight"]))
+        elif t == "merge":
+            # merge.cpp: fuse child shapes that share a material into
+            # one mesh (fewer dispatch groups / smaller static scene)
+            groups = {}
+            for ck, cv in val.items():
+                if not isinstance(cv, dict) or ck in ("type", "id"):
+                    continue
+                if cv.get("type") not in SHAPE_TYPES:
+                    continue
+                b_idx = bsdf_index_of(cv.get("bsdf"))
+                m = _make_shape_mesh(dict(cv, id=cv.get("id", ck)),
+                                     b_idx, -1)
+                groups.setdefault(b_idx, []).append(m)
+            for b_idx, ms in groups.items():
+                if len(ms) == 1:
+                    meshes.append(ms[0])
+                    continue
+                has_n = all(m.normals is not None for m in ms)
+                has_uv = all(m.uvs is not None for m in ms)
+                offs = np.cumsum(
+                    [0] + [int(m.vertices.shape[0]) for m in ms])
+                meshes.append(type(ms[0])(
+                    vertices=jnp.concatenate(
+                        [m.vertices for m in ms]),
+                    faces=jnp.concatenate(
+                        [m.faces + offs[i] for i, m in enumerate(ms)]),
+                    normals=(jnp.concatenate(
+                        [m.normals for m in ms]) if has_n else None),
+                    uvs=(jnp.concatenate([m.uvs for m in ms])
+                         if has_uv else None),
+                    bsdf_index=b_idx,
+                    emitter_index=-1,
+                    id=val.get("id", key) + f"_merged{b_idx}",
+                ))
         elif t == "shapegroup":
             group = []
             for ck, cv in val.items():

@@ -121,6 +121,77 @@ def _parse_plugin(node, defaults, base_dir):
     return out
 
 
+
+
+def _camel_to_underscore(name):
+    out = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if i + 1 < len(name) and c.islower() and name[i + 1].isupper():
+            out.append(c)
+            out.append("_")
+            i += 1
+            while i < len(name) and name[i].isupper():
+                out.append(name[i].lower())
+                i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def upgrade_tree(root, version):
+    """In-memory version migration of pre-2.0 scene files
+    (xml.cpp:302 upgrade_tree): camelCase parameter names become
+    underscore_case, <lookAt> becomes <lookat>, reserved '_'-prefixed
+    ids are renamed, diffuse's 'diffuse_reflectance' becomes
+    'reflectance', and legacy uoffset/voffset/uscale/vscale floats are
+    folded into a 'to_uv' transform block."""
+    try:
+        major = int(str(version).split(".")[0])
+    except (ValueError, AttributeError):
+        return root
+    if major >= 2:
+        return root
+
+    for node in root.iter():
+        if node.tag == "lookAt":
+            node.tag = "lookat"
+        if node.tag != "default" and node.get("name"):
+            node.set("name", _camel_to_underscore(node.get("name")))
+        if node.get("id", "").startswith("_"):
+            node.set("id", "ID" + node.get("id") + "__UPGR")
+
+    for bsdf in root.iter("bsdf"):
+        if bsdf.get("type") == "diffuse":
+            for ch in bsdf:
+                if ch.get("name") == "diffuse_reflectance":
+                    ch.set("name", "reflectance")
+
+    # uoffset/voffset/uscale/vscale -> <transform name="to_uv">
+    for node in root.iter():
+        legacy = {ch.get("name"): ch for ch in list(node)
+                  if ch.tag == "float" and ch.get("name") in
+                  ("uoffset", "voffset", "uscale", "vscale")}
+        if not legacy:
+            continue
+        off = [float(legacy[k].get("value", 0.0))
+               if k in legacy else 0.0 for k in ("uoffset", "voffset")]
+        scl = [float(legacy[k].get("value", 1.0))
+               if k in legacy else 1.0 for k in ("uscale", "vscale")]
+        for ch in legacy.values():
+            node.remove(ch)
+        trafo = ET.SubElement(node, "transform", {"name": "to_uv"})
+        if off != [0.0, 0.0]:
+            ET.SubElement(trafo, "translate",
+                          {"x": str(off[0]), "y": str(off[1])})
+        if scl != [1.0, 1.0]:
+            ET.SubElement(trafo, "scale",
+                          {"x": str(scl[0]), "y": str(scl[1])})
+    return root
+
+
 def xml_to_dict(path_or_string, defaults=None):
     """Parse scene XML into a load_dict-compatible dictionary."""
     defaults = dict(defaults or {})
@@ -132,6 +203,7 @@ def xml_to_dict(path_or_string, defaults=None):
         root = ET.fromstring(path_or_string)
         base_dir = os.getcwd()
     assert root.tag == "scene", f"expected <scene>, got <{root.tag}>"
+    root = upgrade_tree(root, root.get("version", "3.0.0"))
 
     # collect <default name=... value=...>
     for child in root:

@@ -209,3 +209,31 @@ def test_vol_file_roundtrip_and_plugins(tmp_path, np_rng):
     med = sc.scene_medium
     assert med is not None
     np.testing.assert_allclose(np.asarray(med.density), d)
+
+
+def test_merge_shape_plugin():
+    """merge.cpp analogue: same-material children fuse into one mesh."""
+    import numpy as np
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.utils.load import load_dict
+
+    sc = load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective"},
+        "white": {"type": "diffuse", "id": "white"},
+        "m": {"type": "merge",
+              "a": {"type": "rectangle",
+                    "to_world": np.asarray(tf.translate([1, 0, 0]),
+                                           np.float32),
+                    "bsdf": {"type": "ref", "id": "white"}},
+              "b": {"type": "rectangle",
+                    "to_world": np.asarray(tf.translate([-1, 0, 0]),
+                                           np.float32),
+                    "bsdf": {"type": "ref", "id": "white"}},
+              "c": {"type": "cube",
+                    "bsdf": {"type": "conductor"}}},
+    })
+    # two diffuse rectangles merged; the conductor cube stays separate
+    sizes = sorted(int(m.faces.shape[0]) for m in sc.meshes)
+    assert len(sc.meshes) == 2
+    assert sizes == [4, 12]

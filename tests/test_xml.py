@@ -89,3 +89,34 @@ def test_xml_defaults_override(tmp_path):
     p.write_text(_XML)
     scene = load_file(str(p), defaults={"spp": 2})
     assert scene.sensor.sampler.sample_count == 2
+
+
+def test_upgrade_tree_v1_scene():
+    """Pre-2.0 scene files are migrated in memory (xml.cpp:302):
+    camelCase names, lookAt tags, and diffuseReflectance."""
+    from mitsuba_tpu.utils.xml import xml_to_dict
+
+    xml = """
+    <scene version="0.6.0">
+      <sensor type="perspective">
+        <float name="nearClip" value="0.01"/>
+        <transform name="toWorld">
+          <lookAt origin="0,0,-3" target="0,0,0" up="0,1,0"/>
+        </transform>
+      </sensor>
+      <bsdf type="diffuse" id="_mat">
+        <rgb name="diffuseReflectance" value="0.4 0.5 0.6"/>
+      </bsdf>
+      <shape type="rectangle">
+        <ref id="_mat"/>
+      </shape>
+    </scene>
+    """
+    d = xml_to_dict(xml)
+    sensor = [v for v in d.values()
+              if isinstance(v, dict) and v.get("type") == "perspective"][0]
+    assert "near_clip" in sensor
+    assert "to_world" in sensor
+    mats = [v for v in d.values()
+            if isinstance(v, dict) and v.get("type") == "diffuse"]
+    assert mats and "reflectance" in mats[0]
