@@ -96,11 +96,50 @@ def _env_nee_table(scene, lane, seed, max_depth):
     return jnp.stack(feats, axis=1)
 
 
+
+
+def _part1by2(x):
+    """Spread 10 bits to every 3rd position (Morton interleave)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _bounce_sort_key(state, center, inv_r):
+    """Coherence key for per-bounce re-sorting: direction octant (high
+    bits) then Morton-coded position cell; dead lanes sort to the end.
+    Lane ids ride the permutation, so RNG streams — and therefore the
+    image — are bit-identical to the unsorted pipeline."""
+    ox, oy, oz, dx, dy, dz = state[:6]
+    act = state[15]
+    octant = ((dx >= 0).astype(jnp.int32)
+              + 2 * (dy >= 0).astype(jnp.int32)
+              + 4 * (dz >= 0).astype(jnp.int32))
+
+    def q(p, c):
+        t = (p - c) * inv_r * 0.5 + 0.5
+        return jnp.clip(t * 127.0, 0.0, 127.0).astype(jnp.int32)
+
+    m = (_part1by2(q(ox, center[0]))
+         | (_part1by2(q(oy, center[1])) << 1)
+         | (_part1by2(q(oz, center[2])) << 2))
+    key = (octant << 21) | m
+    return jnp.where(act > 0.5, key, jnp.int32(0x7FFFFFFF))
+
+
 @pytree
 class MegakernelPathIntegrator:
     max_depth: int = static(6)
     rr_depth: int = static(5)
     strict: bool = static(False)
+    # per-bounce ray re-sorting for the BVH path: one kernel launch per
+    # depth with rays regrouped by (octant, position cell) in between —
+    # keeps every packet's traversal coherent at the cost of an argsort
+    # + gather per bounce.  Bit-identical images (lanes ride the sort).
+    sort_bounces: bool = static(False)
     id: str = static("megapath")
 
     def sample(self, scene, ray, lane, seed, active):
@@ -148,6 +187,10 @@ class MegakernelPathIntegrator:
         acc = scene.packet_accel
         rows, light, n_lights = pack_scene_bvh(scene, acc)
         smooth = any(m.normals is not None for m in scene.meshes)
+        if self.sort_bounces:
+            return self._sorted_bvh(scene, acc, rows, light, n_lights,
+                                    btypes, smooth, lane, ray, active,
+                                    seed, interpret)
         # Feed the kernel Morton-tiled packets: lanes arrive pixel-major
         # (16 consecutive pixels per 1024-ray packet = a thin strip); a
         # static Morton shuffle of the *order* turns each packet into a
@@ -180,3 +223,34 @@ class MegakernelPathIntegrator:
             interpret=interpret, rpl=acc.rpl, batch=acc.batch,
             smooth=smooth,
         )
+
+    def _sorted_bvh(self, scene, acc, rows, light, n_lights, btypes,
+                    smooth, lane, ray, active, seed, interpret):
+        """Per-bounce pipeline: sort -> one-bounce kernel, repeated."""
+        from ...ops.pallas.megakernel import megakernel_bounce_bvh
+
+        n = ray.o.shape[0]
+        z = jnp.zeros((n,))
+        o1 = jnp.ones((n,))
+        state = (ray.o[:, 0], ray.o[:, 1], ray.o[:, 2],
+                 ray.d[:, 0], ray.d[:, 1], ray.d[:, 2],
+                 z, z, z, o1, o1, o1, o1, o1, o1,
+                 active.astype(jnp.float32))
+        center = scene.scene_center
+        inv_r = 1.0 / jnp.maximum(scene.scene_radius, 1e-6)
+        lane_c = lane.astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        for depth in range(self.max_depth):
+            key = _bounce_sort_key(state, center, inv_r)
+            perm = jnp.argsort(key)
+            state = tuple(x[perm] for x in state)
+            lane_c = lane_c[perm]
+            idx = idx[perm]
+            state = megakernel_bounce_bvh(
+                acc.node_box, acc.node_meta, rows, light, lane_c, seed,
+                state, depth=depth, max_depth=self.max_depth,
+                rr_depth=self.rr_depth, n_nodes=acc.n_nodes,
+                n_lights=n_lights, btypes=btypes, interpret=interpret,
+                rpl=acc.rpl, batch=acc.batch, smooth=smooth)
+        L = jnp.stack([state[6], state[7], state[8]], axis=-1)
+        return jnp.zeros((n, 3)).at[idx].set(L)

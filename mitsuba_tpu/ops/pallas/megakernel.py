@@ -712,6 +712,32 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     - ``lc(j, k)`` — scalar accessor into the packed light table.
     """
     multi = tuple(btypes) != (0,)
+    state = (
+        ox, oy, oz, dx, dy, dz,
+        jnp.zeros_like(ox), jnp.zeros_like(ox), jnp.zeros_like(ox),  # L
+        jnp.ones_like(ox), jnp.ones_like(ox), jnp.ones_like(ox),    # B
+        jnp.ones_like(ox),     # eta_acc
+        jnp.ones_like(ox),     # prev_pdf
+        jnp.ones_like(ox),     # prev_delta (f32 0/1: Mosaic i1 carry)
+        act,
+    )
+    for depth in range(max_depth):
+        state = _bounce_step(closest, anyhit, lc, n_lights, btypes,
+                             depth, max_depth, rr_depth, lane, seed_x,
+                             env_ctx, state)
+    return state[6], state[7], state[8]
+
+
+def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
+                 rr_depth, lane, seed_x, env_ctx, state):
+    """ONE path-tracing bounce over a ray tile: closest-hit, env/emitter
+    MIS terms, NEE + shadow, BSDF sampling, russian roulette.  Shared by
+    the all-depth megakernels (Python-unrolled) and the sorted
+    per-bounce pipeline (one kernel launch per depth with ray
+    re-sorting in between).  ``state`` is the 16-tuple
+    (o(3), d(3), L(3), B(3), eta_acc, prev_pdf, prev_delta(f32), act).
+    """
+    multi = tuple(btypes) != (0,)
     has_cond = 1 in btypes
     has_diel = 2 in btypes
     has_rcond = 3 in btypes
@@ -721,545 +747,533 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     if has_env:
         em, en, env_tex_ref, n_env_rows, env_pos = env_ctx
         n_em = 2 if n_lights > 0 else 1
-    Lr = jnp.zeros_like(ox)
-    Lg = jnp.zeros_like(ox)
-    Lb = jnp.zeros_like(ox)
-    Br = jnp.ones_like(ox)
-    Bg = jnp.ones_like(ox)
-    Bb = jnp.ones_like(ox)
-    eta_acc = jnp.ones_like(ox)
-    prev_pdf = jnp.ones_like(ox)
-    # prev_delta carried as f32 0/1 (Mosaic mislays i1 in selects)
-    prev_delta = jnp.ones_like(ox)
+    (ox, oy, oz, dx, dy, dz, Lr, Lg, Lb, Br, Bg, Bb, eta_acc,
+     prev_pdf, prev_delta, act) = state
+    dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
+    (valid, t, ngx, ngy, ngz, shx, shy, shz, Rr, Rg, Rb,
+     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5) = closest(
+        ox, oy, oz, dx, dy, dz, act)
+    valid = valid & act
 
-    if True:  # (keeps the historical loop body indentation)
-        for depth in range(max_depth):
-            dbase = DIM_BOUNCE_BASE + depth * DIMS_PER_BOUNCE
-            (valid, t, ngx, ngy, ngz, shx, shy, shz, Rr, Rg, Rb,
-             IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5) = closest(
-                ox, oy, oz, dx, dy, dz, act)
-            valid = valid & act
+    if has_env:
+        # escaped rays collect the environment with MIS
+        # (path.py eval_env branch; envmap.cpp conventions)
+        escaped = act & ~valid
+        r00, r01, r02 = em(0), em(1), em(2)
+        r10, r11, r12 = em(3), em(4), em(5)
+        r20, r21, r22 = em(6), em(7), em(8)
+        exv = r00 * dx + r01 * dy + r02 * dz
+        eyv = r10 * dx + r11 * dy + r12 * dz
+        ezv = r20 * dx + r21 * dy + r22 * dz
+        ue = jnp.arctan2(exv, -ezv) * jnp.float32(0.5 / jnp.pi)
+        ue = ue - jnp.floor(ue)
+        ve = jnp.arccos(jnp.clip(eyv, -1.0, 1.0)) \
+            * jnp.float32(1.0 / jnp.pi)
+        Wt, Ht = em(10), em(11)
+        Wi_e = Wt.astype(jnp.int32)
+        Hi_e = Ht.astype(jnp.int32)
+        offr = em(12).astype(jnp.int32)
+        offp = em(13).astype(jnp.int32)
+        hw_e = Wi_e * Hi_e
+        # bilinear radiance (envmap._bilinear: wrap x, clamp y)
+        xe = ue * Wt - 0.5
+        ye = ve * Ht - 0.5
+        xe0 = jnp.floor(xe)
+        ye0 = jnp.floor(ye)
+        fxe = xe - xe0
+        fye = ye - ye0
+        x0e = jnp.mod(xe0.astype(jnp.int32), Wi_e)
+        x1e = jnp.mod(x0e + 1, Wi_e)
+        y0e = jnp.clip(ye0.astype(jnp.int32), 0, Hi_e - 1)
+        y1e = jnp.clip(y0e + 1, 0, Hi_e - 1)
+        le_env = []
+        for c in range(3):
+            po = offr + c * hw_e
+            f00 = _lut_fetch(env_tex_ref, po + y0e * Wi_e + x0e,
+                             n_env_rows)
+            f10 = _lut_fetch(env_tex_ref, po + y0e * Wi_e + x1e,
+                             n_env_rows)
+            f01 = _lut_fetch(env_tex_ref, po + y1e * Wi_e + x0e,
+                             n_env_rows)
+            f11 = _lut_fetch(env_tex_ref, po + y1e * Wi_e + x1e,
+                             n_env_rows)
+            le_env.append(
+                (f00 * (1 - fxe) * (1 - fye)
+                 + f10 * fxe * (1 - fye)
+                 + f01 * (1 - fxe) * fye
+                 + f11 * fxe * fye) * em(9))
+        # Marginal2D.pdf at the cell + solid-angle factor
+        # (envmap.pdf_direction) + selection pmf
+        ce = jnp.clip((ue * Wt).astype(jnp.int32), 0, Wi_e - 1)
+        re = jnp.clip((ve * Ht).astype(jnp.int32), 0, Hi_e - 1)
+        cell = _lut_fetch(env_tex_ref, offp + re * Wi_e + ce,
+                          n_env_rows)
+        tot = em(14)
+        pdf_uv = jnp.where(jnp.abs(tot) > 1e-20,
+                           cell * (Wt * Ht) / tot, 0.0)
+        st_e = jnp.sqrt(jnp.maximum(
+            1.0 - jnp.square(jnp.cos(jnp.pi * ve)), 1e-12))
+        pdf_env = pdf_uv / (
+            2.0 * jnp.float32(jnp.pi) ** 2
+            * jnp.maximum(st_e, 1e-6)) * em(15)
+        m_esc = jnp.where(prev_delta > 0.5, 1.0,
+                          _mis(prev_pdf, pdf_env))
+        # le/pdf carry NaN on dead lanes (inf/NaN ray state);
+        # the where must wrap the whole product
+        Lr = Lr + Br * jnp.where(escaped, le_env[0] * m_esc, 0.0)
+        Lg = Lg + Bg * jnp.where(escaped, le_env[1] * m_esc, 0.0)
+        Lb = Lb + Bb * jnp.where(escaped, le_env[2] * m_esc, 0.0)
 
-            if has_env:
-                # escaped rays collect the environment with MIS
-                # (path.py eval_env branch; envmap.cpp conventions)
-                escaped = act & ~valid
-                r00, r01, r02 = em(0), em(1), em(2)
-                r10, r11, r12 = em(3), em(4), em(5)
-                r20, r21, r22 = em(6), em(7), em(8)
-                exv = r00 * dx + r01 * dy + r02 * dz
-                eyv = r10 * dx + r11 * dy + r12 * dz
-                ezv = r20 * dx + r21 * dy + r22 * dz
-                ue = jnp.arctan2(exv, -ezv) * jnp.float32(0.5 / jnp.pi)
-                ue = ue - jnp.floor(ue)
-                ve = jnp.arccos(jnp.clip(eyv, -1.0, 1.0)) \
-                    * jnp.float32(1.0 / jnp.pi)
-                Wt, Ht = em(10), em(11)
-                Wi_e = Wt.astype(jnp.int32)
-                Hi_e = Ht.astype(jnp.int32)
-                offr = em(12).astype(jnp.int32)
-                offp = em(13).astype(jnp.int32)
-                hw_e = Wi_e * Hi_e
-                # bilinear radiance (envmap._bilinear: wrap x, clamp y)
-                xe = ue * Wt - 0.5
-                ye = ve * Ht - 0.5
-                xe0 = jnp.floor(xe)
-                ye0 = jnp.floor(ye)
-                fxe = xe - xe0
-                fye = ye - ye0
-                x0e = jnp.mod(xe0.astype(jnp.int32), Wi_e)
-                x1e = jnp.mod(x0e + 1, Wi_e)
-                y0e = jnp.clip(ye0.astype(jnp.int32), 0, Hi_e - 1)
-                y1e = jnp.clip(y0e + 1, 0, Hi_e - 1)
-                le_env = []
-                for c in range(3):
-                    po = offr + c * hw_e
-                    f00 = _lut_fetch(env_tex_ref, po + y0e * Wi_e + x0e,
-                                     n_env_rows)
-                    f10 = _lut_fetch(env_tex_ref, po + y0e * Wi_e + x1e,
-                                     n_env_rows)
-                    f01 = _lut_fetch(env_tex_ref, po + y1e * Wi_e + x0e,
-                                     n_env_rows)
-                    f11 = _lut_fetch(env_tex_ref, po + y1e * Wi_e + x1e,
-                                     n_env_rows)
-                    le_env.append(
-                        (f00 * (1 - fxe) * (1 - fye)
-                         + f10 * fxe * (1 - fye)
-                         + f01 * (1 - fxe) * fye
-                         + f11 * fxe * fye) * em(9))
-                # Marginal2D.pdf at the cell + solid-angle factor
-                # (envmap.pdf_direction) + selection pmf
-                ce = jnp.clip((ue * Wt).astype(jnp.int32), 0, Wi_e - 1)
-                re = jnp.clip((ve * Ht).astype(jnp.int32), 0, Hi_e - 1)
-                cell = _lut_fetch(env_tex_ref, offp + re * Wi_e + ce,
-                                  n_env_rows)
-                tot = em(14)
-                pdf_uv = jnp.where(jnp.abs(tot) > 1e-20,
-                                   cell * (Wt * Ht) / tot, 0.0)
-                st_e = jnp.sqrt(jnp.maximum(
-                    1.0 - jnp.square(jnp.cos(jnp.pi * ve)), 1e-12))
-                pdf_env = pdf_uv / (
-                    2.0 * jnp.float32(jnp.pi) ** 2
-                    * jnp.maximum(st_e, 1e-6)) * em(15)
-                m_esc = jnp.where(prev_delta > 0.5, 1.0,
-                                  _mis(prev_pdf, pdf_env))
-                # le/pdf carry NaN on dead lanes (inf/NaN ray state);
-                # the where must wrap the whole product
-                Lr = Lr + Br * jnp.where(escaped, le_env[0] * m_esc, 0.0)
-                Lg = Lg + Bg * jnp.where(escaped, le_env[1] * m_esc, 0.0)
-                Lb = Lb + Bb * jnp.where(escaped, le_env[2] * m_esc, 0.0)
+    # single-emitter constant radiance: emission = is_light * Le
+    # (pack_scene wrote the emission column as exactly this
+    # product, so the arithmetic is unchanged)
+    Er = IsL * lc(0, 14)
+    Eg = IsL * lc(0, 15)
+    Eb = IsL * lc(0, 16)
+    if multi:
+        is_diff = Btype < 0.5
+        is_cond = (Btype >= 0.5) & (Btype < 1.5)
+        is_diel = (Btype >= 1.5) & (Btype < 2.5)
+        is_rcond = (Btype >= 2.5) & (Btype < 3.5)
+        is_rdiel = Btype >= 3.5
+    else:
+        is_diff = jnp.ones_like(act)
+        is_cond = is_diel = is_rcond = is_rdiel = \
+            jnp.zeros_like(act)
 
-            # single-emitter constant radiance: emission = is_light * Le
-            # (pack_scene wrote the emission column as exactly this
-            # product, so the arithmetic is unchanged)
-            Er = IsL * lc(0, 14)
-            Eg = IsL * lc(0, 15)
-            Eb = IsL * lc(0, 16)
-            if multi:
-                is_diff = Btype < 0.5
-                is_cond = (Btype >= 0.5) & (Btype < 1.5)
-                is_diel = (Btype >= 1.5) & (Btype < 2.5)
-                is_rcond = (Btype >= 2.5) & (Btype < 3.5)
-                is_rdiel = Btype >= 3.5
-            else:
-                is_diff = jnp.ones_like(act)
-                is_cond = is_diel = is_rcond = is_rdiel = \
-                    jnp.zeros_like(act)
+    px = ox + dx * t
+    py = oy + dy * t
+    pz = oz + dz * t
+    # one-sided diffuse/conductor conventions: front iff -d.n > 0;
+    # dielectrics are two-sided (glass interiors)
+    cos_wi = -(dx * shx + dy * shy + dz * shz)    # shading
+    cos_geo = -(dx * ngx + dy * ngy + dz * ngz)   # geometric
+    front = cos_wi > 0.0
 
-            px = ox + dx * t
-            py = oy + dy * t
-            pz = oz + dz * t
-            # one-sided diffuse/conductor conventions: front iff -d.n > 0;
-            # dielectrics are two-sided (glass interiors)
-            cos_wi = -(dx * shx + dy * shy + dz * shz)    # shading
-            cos_geo = -(dx * ngx + dy * ngy + dz * ngz)   # geometric
-            front = cos_wi > 0.0
+    # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
+    dist2 = t * t
+    pdf_hit = jnp.where(
+        cos_geo > 1e-6,
+        PdfA * dist2 / jnp.maximum(cos_geo, 1e-6), 0.0)
+    if has_env:
+        pdf_hit = pdf_hit * em(16)   # area selection pmf
+    m_h = jnp.where(prev_delta > 0.5, 1.0,
+                    _mis(prev_pdf, pdf_hit))
+    wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
+    Lr = Lr + Br * Er * wgt
+    Lg = Lg + Bg * Eg * wgt
+    Lb = Lb + Bb * Eb * wgt
 
-            # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
-            dist2 = t * t
-            pdf_hit = jnp.where(
-                cos_geo > 1e-6,
-                PdfA * dist2 / jnp.maximum(cos_geo, 1e-6), 0.0)
-            if has_env:
-                pdf_hit = pdf_hit * em(16)   # area selection pmf
-            m_h = jnp.where(prev_delta > 0.5, 1.0,
-                            _mis(prev_pdf, pdf_hit))
-            wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
-            Lr = Lr + Br * Er * wgt
-            Lg = Lg + Bg * Eg * wgt
-            Lb = Lb + Bb * Eb * wgt
+    if multi:
+        two_sided = is_diel | is_rdiel if has_rdiel else is_diel
+        act_next = (valid & (front | two_sided)
+                    & (depth + 1 < max_depth))
+    else:
+        act_next = valid & front & (depth + 1 < max_depth)
 
-            if multi:
-                two_sided = is_diel | is_rdiel if has_rdiel else is_diel
-                act_next = (valid & (front | two_sided)
-                            & (depth + 1 < max_depth))
-            else:
-                act_next = valid & front & (depth + 1 < max_depth)
+    # spawn-ray offset scale (records.py spawn_ray)
+    off = RAY_EPS * jnp.maximum(
+        1.0, jnp.maximum(jnp.abs(px),
+                         jnp.maximum(jnp.abs(py), jnp.abs(pz))))
 
-            # spawn-ray offset scale (records.py spawn_ray)
-            off = RAY_EPS * jnp.maximum(
-                1.0, jnp.maximum(jnp.abs(px),
-                                 jnp.maximum(jnp.abs(py), jnp.abs(pz))))
+    # local shading frame (Duff; equals the wavefront SI frame
+    # for the supported flat-mesh family) + local wi for the
+    # GGX lobes
+    sx, sy, sz, tx, ty, tz = _frame(shx, shy, shz)
+    if has_ggx:
+        wix = -(dx * sx + dy * sy + dz * sz)
+        wiy = -(dx * tx + dy * ty + dz * tz)
+        wiz = cos_wi
+        alpha = jnp.maximum(PdfA, 1e-4)   # col 16 (rough faces)
 
-            # local shading frame (Duff; equals the wavefront SI frame
-            # for the supported flat-mesh family) + local wi for the
-            # GGX lobes
-            sx, sy, sz, tx, ty, tz = _frame(shx, shy, shz)
-            if has_ggx:
-                wix = -(dx * sx + dy * sy + dz * sz)
-                wiy = -(dx * tx + dy * ty + dz * tz)
-                wiz = cos_wi
-                alpha = jnp.maximum(PdfA, 1e-4)   # col 16 (rough faces)
+    # ---- NEE toward the area light (path.py:92-105) ----
+    u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
+    ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
+    z = jnp.zeros_like(u_sel)
+    if has_env:
+        # uniform emitter selection with sample reuse
+        # (DiscreteDistribution.sample_reuse_pmf)
+        if n_em == 2:
+            second = u_sel > 0.5
+            pick_env = second if env_pos == 1 else ~second
+            lo_sel = jnp.where(second, 0.5, 0.0)
+            u_face = jnp.clip((u_sel - lo_sel) / 0.5,
+                              0.0, 1.0 - 2.0 ** -24)
+        else:
+            pick_env = jnp.ones_like(u_sel, bool)
+            u_face = jnp.clip(u_sel, 0.0, 1.0 - 2.0 ** -24)
+    else:
+        u_face = u_sel
+    idx = z
+    for j in range(n_lights):
+        idx = idx + (lc(j, 12) < u_face).astype(jnp.float32)
+    sel = [z] * LIGHT_COLS
+    for j in range(n_lights):
+        m = (idx == j).astype(jnp.float32)
+        for k in list(range(12)) + list(range(13, LIGHT_COLS)):
+            sel[k] = sel[k] + m * lc(j, k)
+    (lp0x, lp0y, lp0z, le1x, le1y, le1z, le2x, le2y, le2z,
+     lnx, lny, lnz) = sel[:12]
+    lpdfA = sel[13]
+    Ler, Leg, Leb = sel[14], sel[15], sel[16]
+    # warp.square_to_uniform_triangle
+    stri = jnp.sqrt(jnp.maximum(1.0 - ue1, 0.0))
+    b0 = 1.0 - stri
+    b1 = stri * ue2
+    lpx = lp0x + le1x * b0 + le2x * b1
+    lpy = lp0y + le1y * b0 + le2y * b1
+    lpz = lp0z + le1z * b0 + le2z * b1
+    sdx = lpx - px
+    sdy = lpy - py
+    sdz = lpz - pz
+    sdist2 = jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-12)
+    sdist = jnp.sqrt(sdist2)
+    sdx, sdy, sdz = sdx / sdist, sdy / sdist, sdz / sdist
+    cos_l = -(sdx * lnx + sdy * lny + sdz * lnz)
+    pdf_nee = jnp.where(
+        cos_l > 1e-6,
+        lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
+    maxt_s = sdist * (1.0 - 1e-3)
+    # per-lane NEE sample: (direction, effective pdf incl.
+    # selection, emitter weight W = Le/pdf/sel, shadow maxt)
+    if has_env:
+        sel_area = em(16)
+        e_pdf = en(depth, 3)
+        sdx = jnp.where(pick_env, en(depth, 0), sdx)
+        sdy = jnp.where(pick_env, en(depth, 1), sdy)
+        sdz = jnp.where(pick_env, en(depth, 2), sdz)
+        maxt_s = jnp.where(pick_env, en(depth, 7), maxt_s)
+        pdf_eff = jnp.where(pick_env, e_pdf, pdf_nee * sel_area)
+        inv_pa = 1.0 / (jnp.maximum(pdf_nee, 1e-20) * sel_area)
+        Wr_nee = jnp.where(pick_env, en(depth, 4), Ler * inv_pa)
+        Wg_nee = jnp.where(pick_env, en(depth, 5), Leg * inv_pa)
+        Wb_nee = jnp.where(pick_env, en(depth, 6), Leb * inv_pa)
+    else:
+        pdf_eff = pdf_nee
+        inv_pa = 1.0 / jnp.maximum(pdf_nee, 1e-20)
+        Wr_nee = Ler * inv_pa
+        Wg_nee = Leg * inv_pa
+        Wb_nee = Leb * inv_pa
+    cos_s = sdx * shx + sdy * shy + sdz * shz
+    # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
+    # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
+    # drawn regardless so the dimension layout matches the
+    # wavefront path
+    ok_nee = act_next & (pdf_eff > 0.0)
+    if multi:
+        # diffuse/rough-conductor need the light on the front
+        # side; rough dielectric is two-sided (its eval handles
+        # the reflection/transmission configuration itself)
+        nee_lobe = is_diff | is_rcond if has_rcond else is_diff
+        front_ok = nee_lobe & front & (cos_s > 0.0)
+        if has_rdiel:
+            ok_nee = ok_nee & (front_ok | is_rdiel)
+        else:
+            ok_nee = ok_nee & front_ok
+    else:
+        ok_nee = ok_nee & (cos_s > 0.0)
+    # shadow-ray offset side follows the GEOMETRIC normal
+    # (spawn_ray_to uses si.n)
+    sgn_s = jnp.where(
+        sdx * ngx + sdy * ngy + sdz * ngz >= 0.0, 1.0, -1.0)
+    occ = anyhit(
+        px + sgn_s * off * ngx, py + sgn_s * off * ngy,
+        pz + sgn_s * off * ngz,
+        sdx, sdy, sdz, maxt_s, ok_nee)
+    ok_nee = ok_nee & ~occ
+    # per-lobe f (RGB, premultiplied by cos) + pdf for MIS
+    f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
+    fr_nee = Rr * (INV_PI * cos_s)
+    fg_nee = Rg * (INV_PI * cos_s)
+    fb_nee = Rb * (INV_PI * cos_s)
+    if has_rcond:
+        # RoughConductor.eval mirror: half vector of (wi, wo_nee)
+        wox = sdx * sx + sdy * sy + sdz * sz
+        woy = sdx * tx + sdy * ty + sdz * tz
+        woz = cos_s
+        hmx, hmy, hmz = wix + wox, wiy + woy, wiz + woz
+        hnorm = jnp.sqrt(jnp.maximum(
+            hmx * hmx + hmy * hmy + hmz * hmz, 1e-20))
+        hmx, hmy, hmz = hmx / hnorm, hmy / hnorm, hmz / hnorm
+        d_ggx = _ggx_d(hmx, hmy, hmz, alpha)
+        g2 = (_ggx_g1(wix, wiy, wiz, hmx, hmy, hmz, alpha)
+              * _ggx_g1(wox, woy, woz, hmx, hmy, hmz, alpha))
+        cos_im = wix * hmx + wiy * hmy + wiz * hmz
+        scal = d_ggx * g2 / jnp.maximum(4.0 * wiz, 1e-20)
+        fr_r = _fr_cond(cos_im, C0, C3) * scal
+        fg_r = _fr_cond(cos_im, C1, C4) * scal
+        fb_r = _fr_cond(cos_im, C2, C5) * scal
+        pdf_r_nee = _vndf_pdf(wix, wiy, wiz, hmx, hmy, hmz,
+                              alpha) / jnp.maximum(
+            4.0 * jnp.abs(wox * hmx + woy * hmy + woz * hmz),
+            1e-20)
+        fr_nee = jnp.where(is_rcond, fr_r, fr_nee)
+        fg_nee = jnp.where(is_rcond, fg_r, fg_nee)
+        fb_nee = jnp.where(is_rcond, fb_r, fb_nee)
+        f_pdf = jnp.where(is_rcond, pdf_r_nee, f_pdf)
+    if has_rdiel:
+        # RoughDielectric._eval_pdf_impl mirror (two-sided)
+        wox = sdx * sx + sdy * sy + sdz * sz
+        woy = sdx * tx + sdy * ty + sdz * tz
+        woz = cos_s
+        eta_d = jnp.maximum(C0, 1e-3)
+        refl_cfg = wiz * woz > 0.0
+        eta_path = jnp.where(wiz > 0.0, eta_d, 1.0 / eta_d)
+        qx = jnp.where(refl_cfg, wix + wox, wix + wox * eta_path)
+        qy = jnp.where(refl_cfg, wiy + woy, wiy + woy * eta_path)
+        qz = jnp.where(refl_cfg, wiz + woz, wiz + woz * eta_path)
+        n2 = qx * qx + qy * qy + qz * qz
+        qinv = jnp.where(n2 > 1e-20,
+                         1.0 / jnp.sqrt(jnp.maximum(n2, 1e-20)),
+                         0.0)
+        qx, qy, qz = qx * qinv, qy * qinv, qz * qinv
+        sg_m = jnp.where(qz >= 0.0, 1.0, -1.0)
+        qx, qy, qz = qx * sg_m, qy * sg_m, qz * sg_m
+        sg_o = jnp.where(wiz >= 0.0, 1.0, -1.0)
+        mox, moy, moz = qx * sg_o, qy * sg_o, qz * sg_o
+        cim = wix * mox + wiy * moy + wiz * moz
+        com = wox * mox + woy * moy + woz * moz
+        fD, _, eta_it, eta_ti = _fr_diel(cim, eta_d)
+        sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
+        sgn_o = jnp.where(woz >= 0.0, 1.0, -1.0)
+        d_g = _ggx_d(qx, qy, qz, alpha)
+        g2d = (_ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                       qx, qy, qz, alpha)
+               * _ggx_g1(wox * sgn_o, woy * sgn_o, woz * sgn_o,
+                         qx, qy, qz, alpha))
+        val_rr = fD * d_g * g2d / jnp.maximum(
+            4.0 * jnp.abs(wiz), 1e-20)
+        den = cim + eta_it * com
+        val_tt = ((1.0 - fD) * d_g * g2d
+                  * jnp.abs(cim * com) * (eta_it * eta_it)
+                  / jnp.maximum(jnp.abs(wiz) * den * den, 1e-20)
+                  ) * (eta_ti * eta_ti)
+        val_d = jnp.where(refl_cfg, val_rr, jnp.abs(val_tt))
+        pdm = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                        qx, qy, qz, alpha)
+        jr = 1.0 / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
+        jt = jnp.abs(com) * (eta_it * eta_it) / jnp.maximum(
+            den * den, 1e-20)
+        pdf_d = pdm * jnp.where(refl_cfg, fD * jr,
+                                (1.0 - fD) * jt)
+        ok_d = ((jnp.abs(wiz) > 1e-6) & (n2 > 1e-20)
+                & (refl_cfg | (cim * com < 0.0)))
+        val_d = jnp.where(ok_d, val_d, 0.0)
+        pdf_d = jnp.where(ok_d, pdf_d, 0.0)
+        fr_nee = jnp.where(is_rdiel, val_d, fr_nee)
+        fg_nee = jnp.where(is_rdiel, val_d, fg_nee)
+        fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
+        f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
+        ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
+    wnee = jnp.where(ok_nee, _mis(pdf_eff, f_pdf), 0.0)
+    # the f/W terms carry inf/NaN on miss lanes (t = inf); the
+    # where must wrap the product, not just the weight
+    Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee * Wr_nee, 0.0)
+    Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee * Wg_nee, 0.0)
+    Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee * Wb_nee, 0.0)
 
-            # ---- NEE toward the area light (path.py:92-105) ----
-            u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
-            ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
-            z = jnp.zeros_like(u_sel)
-            if has_env:
-                # uniform emitter selection with sample reuse
-                # (DiscreteDistribution.sample_reuse_pmf)
-                if n_em == 2:
-                    second = u_sel > 0.5
-                    pick_env = second if env_pos == 1 else ~second
-                    lo_sel = jnp.where(second, 0.5, 0.0)
-                    u_face = jnp.clip((u_sel - lo_sel) / 0.5,
-                                      0.0, 1.0 - 2.0 ** -24)
-                else:
-                    pick_env = jnp.ones_like(u_sel, bool)
-                    u_face = jnp.clip(u_sel, 0.0, 1.0 - 2.0 ** -24)
-            else:
-                u_face = u_sel
-            idx = z
-            for j in range(n_lights):
-                idx = idx + (lc(j, 12) < u_face).astype(jnp.float32)
-            sel = [z] * LIGHT_COLS
-            for j in range(n_lights):
-                m = (idx == j).astype(jnp.float32)
-                for k in list(range(12)) + list(range(13, LIGHT_COLS)):
-                    sel[k] = sel[k] + m * lc(j, k)
-            (lp0x, lp0y, lp0z, le1x, le1y, le1z, le2x, le2y, le2z,
-             lnx, lny, lnz) = sel[:12]
-            lpdfA = sel[13]
-            Ler, Leg, Leb = sel[14], sel[15], sel[16]
-            # warp.square_to_uniform_triangle
-            stri = jnp.sqrt(jnp.maximum(1.0 - ue1, 0.0))
-            b0 = 1.0 - stri
-            b1 = stri * ue2
-            lpx = lp0x + le1x * b0 + le2x * b1
-            lpy = lp0y + le1y * b0 + le2y * b1
-            lpz = lp0z + le1z * b0 + le2z * b1
-            sdx = lpx - px
-            sdy = lpy - py
-            sdz = lpz - pz
-            sdist2 = jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-12)
-            sdist = jnp.sqrt(sdist2)
-            sdx, sdy, sdz = sdx / sdist, sdy / sdist, sdz / sdist
-            cos_l = -(sdx * lnx + sdy * lny + sdz * lnz)
-            pdf_nee = jnp.where(
-                cos_l > 1e-6,
-                lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
-            maxt_s = sdist * (1.0 - 1e-3)
-            # per-lane NEE sample: (direction, effective pdf incl.
-            # selection, emitter weight W = Le/pdf/sel, shadow maxt)
-            if has_env:
-                sel_area = em(16)
-                e_pdf = en(depth, 3)
-                sdx = jnp.where(pick_env, en(depth, 0), sdx)
-                sdy = jnp.where(pick_env, en(depth, 1), sdy)
-                sdz = jnp.where(pick_env, en(depth, 2), sdz)
-                maxt_s = jnp.where(pick_env, en(depth, 7), maxt_s)
-                pdf_eff = jnp.where(pick_env, e_pdf, pdf_nee * sel_area)
-                inv_pa = 1.0 / (jnp.maximum(pdf_nee, 1e-20) * sel_area)
-                Wr_nee = jnp.where(pick_env, en(depth, 4), Ler * inv_pa)
-                Wg_nee = jnp.where(pick_env, en(depth, 5), Leg * inv_pa)
-                Wb_nee = jnp.where(pick_env, en(depth, 6), Leb * inv_pa)
-            else:
-                pdf_eff = pdf_nee
-                inv_pa = 1.0 / jnp.maximum(pdf_nee, 1e-20)
-                Wr_nee = Ler * inv_pa
-                Wg_nee = Leg * inv_pa
-                Wb_nee = Leb * inv_pa
-            cos_s = sdx * shx + sdy * shy + sdz * shz
-            # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
-            # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
-            # drawn regardless so the dimension layout matches the
-            # wavefront path
-            ok_nee = act_next & (pdf_eff > 0.0)
-            if multi:
-                # diffuse/rough-conductor need the light on the front
-                # side; rough dielectric is two-sided (its eval handles
-                # the reflection/transmission configuration itself)
-                nee_lobe = is_diff | is_rcond if has_rcond else is_diff
-                front_ok = nee_lobe & front & (cos_s > 0.0)
-                if has_rdiel:
-                    ok_nee = ok_nee & (front_ok | is_rdiel)
-                else:
-                    ok_nee = ok_nee & front_ok
-            else:
-                ok_nee = ok_nee & (cos_s > 0.0)
-            # shadow-ray offset side follows the GEOMETRIC normal
-            # (spawn_ray_to uses si.n)
-            sgn_s = jnp.where(
-                sdx * ngx + sdy * ngy + sdz * ngz >= 0.0, 1.0, -1.0)
-            occ = anyhit(
-                px + sgn_s * off * ngx, py + sgn_s * off * ngy,
-                pz + sgn_s * off * ngz,
-                sdx, sdy, sdz, maxt_s, ok_nee)
-            ok_nee = ok_nee & ~occ
-            # per-lobe f (RGB, premultiplied by cos) + pdf for MIS
-            f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
-            fr_nee = Rr * (INV_PI * cos_s)
-            fg_nee = Rg * (INV_PI * cos_s)
-            fb_nee = Rb * (INV_PI * cos_s)
-            if has_rcond:
-                # RoughConductor.eval mirror: half vector of (wi, wo_nee)
-                wox = sdx * sx + sdy * sy + sdz * sz
-                woy = sdx * tx + sdy * ty + sdz * tz
-                woz = cos_s
-                hmx, hmy, hmz = wix + wox, wiy + woy, wiz + woz
-                hnorm = jnp.sqrt(jnp.maximum(
-                    hmx * hmx + hmy * hmy + hmz * hmz, 1e-20))
-                hmx, hmy, hmz = hmx / hnorm, hmy / hnorm, hmz / hnorm
-                d_ggx = _ggx_d(hmx, hmy, hmz, alpha)
-                g2 = (_ggx_g1(wix, wiy, wiz, hmx, hmy, hmz, alpha)
-                      * _ggx_g1(wox, woy, woz, hmx, hmy, hmz, alpha))
-                cos_im = wix * hmx + wiy * hmy + wiz * hmz
-                scal = d_ggx * g2 / jnp.maximum(4.0 * wiz, 1e-20)
-                fr_r = _fr_cond(cos_im, C0, C3) * scal
-                fg_r = _fr_cond(cos_im, C1, C4) * scal
-                fb_r = _fr_cond(cos_im, C2, C5) * scal
-                pdf_r_nee = _vndf_pdf(wix, wiy, wiz, hmx, hmy, hmz,
-                                      alpha) / jnp.maximum(
-                    4.0 * jnp.abs(wox * hmx + woy * hmy + woz * hmz),
-                    1e-20)
-                fr_nee = jnp.where(is_rcond, fr_r, fr_nee)
-                fg_nee = jnp.where(is_rcond, fg_r, fg_nee)
-                fb_nee = jnp.where(is_rcond, fb_r, fb_nee)
-                f_pdf = jnp.where(is_rcond, pdf_r_nee, f_pdf)
-            if has_rdiel:
-                # RoughDielectric._eval_pdf_impl mirror (two-sided)
-                wox = sdx * sx + sdy * sy + sdz * sz
-                woy = sdx * tx + sdy * ty + sdz * tz
-                woz = cos_s
-                eta_d = jnp.maximum(C0, 1e-3)
-                refl_cfg = wiz * woz > 0.0
-                eta_path = jnp.where(wiz > 0.0, eta_d, 1.0 / eta_d)
-                qx = jnp.where(refl_cfg, wix + wox, wix + wox * eta_path)
-                qy = jnp.where(refl_cfg, wiy + woy, wiy + woy * eta_path)
-                qz = jnp.where(refl_cfg, wiz + woz, wiz + woz * eta_path)
-                n2 = qx * qx + qy * qy + qz * qz
-                qinv = jnp.where(n2 > 1e-20,
-                                 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-20)),
-                                 0.0)
-                qx, qy, qz = qx * qinv, qy * qinv, qz * qinv
-                sg_m = jnp.where(qz >= 0.0, 1.0, -1.0)
-                qx, qy, qz = qx * sg_m, qy * sg_m, qz * sg_m
-                sg_o = jnp.where(wiz >= 0.0, 1.0, -1.0)
-                mox, moy, moz = qx * sg_o, qy * sg_o, qz * sg_o
-                cim = wix * mox + wiy * moy + wiz * moz
-                com = wox * mox + woy * moy + woz * moz
-                fD, _, eta_it, eta_ti = _fr_diel(cim, eta_d)
-                sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
-                sgn_o = jnp.where(woz >= 0.0, 1.0, -1.0)
-                d_g = _ggx_d(qx, qy, qz, alpha)
-                g2d = (_ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                               qx, qy, qz, alpha)
-                       * _ggx_g1(wox * sgn_o, woy * sgn_o, woz * sgn_o,
-                                 qx, qy, qz, alpha))
-                val_rr = fD * d_g * g2d / jnp.maximum(
-                    4.0 * jnp.abs(wiz), 1e-20)
-                den = cim + eta_it * com
-                val_tt = ((1.0 - fD) * d_g * g2d
-                          * jnp.abs(cim * com) * (eta_it * eta_it)
-                          / jnp.maximum(jnp.abs(wiz) * den * den, 1e-20)
-                          ) * (eta_ti * eta_ti)
-                val_d = jnp.where(refl_cfg, val_rr, jnp.abs(val_tt))
-                pdm = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                                qx, qy, qz, alpha)
-                jr = 1.0 / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
-                jt = jnp.abs(com) * (eta_it * eta_it) / jnp.maximum(
-                    den * den, 1e-20)
-                pdf_d = pdm * jnp.where(refl_cfg, fD * jr,
-                                        (1.0 - fD) * jt)
-                ok_d = ((jnp.abs(wiz) > 1e-6) & (n2 > 1e-20)
-                        & (refl_cfg | (cim * com < 0.0)))
-                val_d = jnp.where(ok_d, val_d, 0.0)
-                pdf_d = jnp.where(ok_d, pdf_d, 0.0)
-                fr_nee = jnp.where(is_rdiel, val_d, fr_nee)
-                fg_nee = jnp.where(is_rdiel, val_d, fg_nee)
-                fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
-                f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
-                ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
-            wnee = jnp.where(ok_nee, _mis(pdf_eff, f_pdf), 0.0)
-            # the f/W terms carry inf/NaN on miss lanes (t = inf); the
-            # where must wrap the product, not just the weight
-            Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee * Wr_nee, 0.0)
-            Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee * Wg_nee, 0.0)
-            Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee * Wb_nee, 0.0)
+    # ---- BSDF sampling (diffuse / conductor / dielectric) ----
+    if multi:
+        u_lobe = _rng1(seed_x, lane, dbase + SLOT_BSDF_LOBE)
+    ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
 
-            # ---- BSDF sampling (diffuse / conductor / dielectric) ----
-            if multi:
-                u_lobe = _rng1(seed_x, lane, dbase + SLOT_BSDF_LOBE)
-            ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
+    # diffuse: cosine hemisphere (SmoothDiffuse.sample)
+    dxl, dyl = _concentric_disk(ub1, ub2)
+    dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
+    ddx = sx * dxl + tx * dyl + shx * dzl
+    ddy = sy * dxl + ty * dyl + shy * dzl
+    ddz = sz * dxl + tz * dyl + shz * dzl
+    pdf_diff = INV_PI * dzl
 
-            # diffuse: cosine hemisphere (SmoothDiffuse.sample)
-            dxl, dyl = _concentric_disk(ub1, ub2)
-            dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
-            ddx = sx * dxl + tx * dyl + shx * dzl
-            ddy = sy * dxl + ty * dyl + shy * dzl
-            ddz = sz * dxl + tz * dyl + shz * dzl
-            pdf_diff = INV_PI * dzl
+    if multi:
+        # mirror direction (conductor + dielectric-reflect)
+        rx = dx + 2.0 * cos_wi * shx
+        ry = dy + 2.0 * cos_wi * shy
+        rz = dz + 2.0 * cos_wi * shz
 
-            if multi:
-                # mirror direction (conductor + dielectric-reflect)
-                rx = dx + 2.0 * cos_wi * shx
-                ry = dy + 2.0 * cos_wi * shy
-                rz = dz + 2.0 * cos_wi * shz
+        # conductor Fresnel per channel (core/fresnel.py)
+        Fc_r = _fr_cond(cos_wi, C0, C3)
+        Fc_g = _fr_cond(cos_wi, C1, C4)
+        Fc_b = _fr_cond(cos_wi, C2, C5)
 
-                # conductor Fresnel per channel (core/fresnel.py)
-                Fc_r = _fr_cond(cos_wi, C0, C3)
-                Fc_g = _fr_cond(cos_wi, C1, C4)
-                Fc_b = _fr_cond(cos_wi, C2, C5)
+        # dielectric Fresnel with signed cosine (fresnel_dielectric)
+        eta_rel = jnp.maximum(C0, 1e-3)
+        outside = cos_wi >= 0.0
+        eta_it = jnp.where(outside, eta_rel, 1.0 / eta_rel)
+        eta_ti = jnp.where(outside, 1.0 / eta_rel, eta_rel)
+        cti = jnp.abs(cos_wi)
+        sin2_t = eta_ti * eta_ti * jnp.maximum(1.0 - cti * cti, 0.0)
+        tir = sin2_t >= 1.0
+        ctt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        frs = (cti - eta_it * ctt) / jnp.maximum(
+            cti + eta_it * ctt, 1e-20)
+        frp = (eta_it * cti - ctt) / jnp.maximum(
+            eta_it * cti + ctt, 1e-20)
+        Fd = 0.5 * (frs * frs + frp * frp)
+        Fd = jnp.where(tir, 1.0, Fd)
+        Fd = jnp.where(jnp.abs(eta_rel - 1.0) < 1e-6, 0.0, Fd)
+        cos_t = jnp.where(tir, 0.0,
+                          -jnp.sign(cos_wi) * ctt)
+        # refracted world direction (fresnel.py refract, world form)
+        tfac = eta_ti * cos_wi + cos_t
+        wtx = eta_ti * dx + tfac * shx
+        wty = eta_ti * dy + tfac * shy
+        wtz = eta_ti * dz + tfac * shz
+        pick_refl = u_lobe <= Fd
+        pdf_diel = jnp.where(pick_refl, Fd, 1.0 - Fd)
+        w_diel = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
+        eta_mult = jnp.where(pick_refl, 1.0, eta_it)
+        gdx = jnp.where(pick_refl, rx, wtx)
+        gdy = jnp.where(pick_refl, ry, wty)
+        gdz = jnp.where(pick_refl, rz, wtz)
 
-                # dielectric Fresnel with signed cosine (fresnel_dielectric)
-                eta_rel = jnp.maximum(C0, 1e-3)
-                outside = cos_wi >= 0.0
-                eta_it = jnp.where(outside, eta_rel, 1.0 / eta_rel)
-                eta_ti = jnp.where(outside, 1.0 / eta_rel, eta_rel)
-                cti = jnp.abs(cos_wi)
-                sin2_t = eta_ti * eta_ti * jnp.maximum(1.0 - cti * cti, 0.0)
-                tir = sin2_t >= 1.0
-                ctt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-                frs = (cti - eta_it * ctt) / jnp.maximum(
-                    cti + eta_it * ctt, 1e-20)
-                frp = (eta_it * cti - ctt) / jnp.maximum(
-                    eta_it * cti + ctt, 1e-20)
-                Fd = 0.5 * (frs * frs + frp * frp)
-                Fd = jnp.where(tir, 1.0, Fd)
-                Fd = jnp.where(jnp.abs(eta_rel - 1.0) < 1e-6, 0.0, Fd)
-                cos_t = jnp.where(tir, 0.0,
-                                  -jnp.sign(cos_wi) * ctt)
-                # refracted world direction (fresnel.py refract, world form)
-                tfac = eta_ti * cos_wi + cos_t
-                wtx = eta_ti * dx + tfac * shx
-                wty = eta_ti * dy + tfac * shy
-                wtz = eta_ti * dz + tfac * shz
-                pick_refl = u_lobe <= Fd
-                pdf_diel = jnp.where(pick_refl, Fd, 1.0 - Fd)
-                w_diel = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
-                eta_mult = jnp.where(pick_refl, 1.0, eta_it)
-                gdx = jnp.where(pick_refl, rx, wtx)
-                gdy = jnp.where(pick_refl, ry, wty)
-                gdz = jnp.where(pick_refl, rz, wtz)
+    if has_rcond:
+        # GGX rough conductor (RoughConductor.sample mirror:
+        # VNDF half-vector, weight = F * G2/G1)
+        mgx, mgy, mgz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
+                                     alpha)
+        cim = wix * mgx + wiy * mgy + wiz * mgz
+        rlx = 2.0 * cim * mgx - wix
+        rly = 2.0 * cim * mgy - wiy
+        rlz = 2.0 * cim * mgz - wiz
+        pdf_m = _vndf_pdf(wix, wiy, wiz, mgx, mgy, mgz, alpha)
+        com = rlx * mgx + rly * mgy + rlz * mgz
+        pdf_rc = pdf_m / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
+        g1w = _ggx_g1(wix, wiy, wiz, mgx, mgy, mgz, alpha)
+        g1o = _ggx_g1(rlx, rly, rlz, mgx, mgy, mgz, alpha)
+        wgt_g = jnp.where(g1w > 0.0,
+                          g1w * g1o / jnp.maximum(g1w, 1e-20),
+                          0.0)
+        Frc_r = _fr_cond(cim, C0, C3) * wgt_g
+        Frc_g = _fr_cond(cim, C1, C4) * wgt_g
+        Frc_b = _fr_cond(cim, C2, C5) * wgt_g
+        ok_rc = (wiz > 0.0) & (rlz > 0.0)
+        pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
+        # local -> world
+        rcx = sx * rlx + tx * rly + shx * rlz
+        rcy = sy * rlx + ty * rly + shy * rlz
+        rcz = sz * rlx + tz * rly + shz * rlz
+    else:
+        rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
+            jnp.zeros_like(ox)
 
-            if has_rcond:
-                # GGX rough conductor (RoughConductor.sample mirror:
-                # VNDF half-vector, weight = F * G2/G1)
-                mgx, mgy, mgz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
-                                             alpha)
-                cim = wix * mgx + wiy * mgy + wiz * mgz
-                rlx = 2.0 * cim * mgx - wix
-                rly = 2.0 * cim * mgy - wiy
-                rlz = 2.0 * cim * mgz - wiz
-                pdf_m = _vndf_pdf(wix, wiy, wiz, mgx, mgy, mgz, alpha)
-                com = rlx * mgx + rly * mgy + rlz * mgz
-                pdf_rc = pdf_m / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
-                g1w = _ggx_g1(wix, wiy, wiz, mgx, mgy, mgz, alpha)
-                g1o = _ggx_g1(rlx, rly, rlz, mgx, mgy, mgz, alpha)
-                wgt_g = jnp.where(g1w > 0.0,
-                                  g1w * g1o / jnp.maximum(g1w, 1e-20),
-                                  0.0)
-                Frc_r = _fr_cond(cim, C0, C3) * wgt_g
-                Frc_g = _fr_cond(cim, C1, C4) * wgt_g
-                Frc_b = _fr_cond(cim, C2, C5) * wgt_g
-                ok_rc = (wiz > 0.0) & (rlz > 0.0)
-                pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
-                # local -> world
-                rcx = sx * rlx + tx * rly + shx * rlz
-                rcy = sy * rlx + ty * rly + shy * rlz
-                rcz = sz * rlx + tz * rly + shz * rlz
-            else:
-                rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
-                    jnp.zeros_like(ox)
+    if has_rdiel:
+        # GGX rough dielectric (RoughDielectric.sample mirror)
+        eta_d = jnp.maximum(C0, 1e-3)
+        sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
+        mdx, mdy, mdz = _vndf_sample(
+            wix * sgn_i, wiy * sgn_i, wiz * sgn_i, ub1, ub2,
+            alpha)
+        modx, mody, modz = mdx * sgn_i, mdy * sgn_i, mdz * sgn_i
+        cim = wix * modx + wiy * mody + wiz * modz
+        fD, cost_d, eta_it, eta_ti = _fr_diel(cim, eta_d)
+        pick_d = u_lobe <= fD
+        # reflect / refract about the micronormal
+        wrx = 2.0 * cim * modx - wix
+        wry = 2.0 * cim * mody - wiy
+        wrz = 2.0 * cim * modz - wiz
+        tfac2 = cim * eta_ti + cost_d
+        wtx2 = modx * tfac2 - wix * eta_ti
+        wty2 = mody * tfac2 - wiy * eta_ti
+        wtz2 = modz * tfac2 - wiz * eta_ti
+        wdx = jnp.where(pick_d, wrx, wtx2)
+        wdy = jnp.where(pick_d, wry, wty2)
+        wdz = jnp.where(pick_d, wrz, wtz2)
+        g1i = _ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                      mdx, mdy, mdz, alpha)
+        sgn_od = jnp.where(wdz >= 0.0, 1.0, -1.0)
+        g2o = g1i * _ggx_g1(wdx * sgn_od, wdy * sgn_od,
+                            wdz * sgn_od, mdx, mdy, mdz, alpha)
+        w_rd = jnp.where(g1i > 0.0,
+                         g2o / jnp.maximum(g1i, 1e-20), 0.0)
+        w_rd = jnp.where(pick_d, w_rd, w_rd * (eta_ti * eta_ti))
+        pdm_d = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                          mdx, mdy, mdz, alpha)
+        com_d = wdx * modx + wdy * mody + wdz * modz
+        jr_d = 1.0 / jnp.maximum(4.0 * jnp.abs(com_d), 1e-20)
+        den_d = cim + eta_it * com_d
+        jt_d = jnp.abs(com_d) * (eta_it * eta_it) / jnp.maximum(
+            den_d * den_d, 1e-20)
+        pdf_rd = pdm_d * jnp.where(pick_d, fD * jr_d,
+                                   (1.0 - fD) * jt_d)
+        same_sd = wdz * wiz > 0.0
+        valid_d = jnp.where(pick_d, same_sd,
+                            ~same_sd & (cost_d != 0.0))
+        pdf_rd = jnp.where(valid_d, pdf_rd, 0.0)
+        eta_rd = jnp.where(pick_d, 1.0, eta_it)
+        # local -> world
+        tdx = sx * wdx + tx * wdy + shx * wdz
+        tdy = sy * wdx + ty * wdy + shy * wdz
+        tdz = sz * wdx + tz * wdy + shz * wdz
+    else:
+        tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
+        eta_rd = jnp.ones_like(ox)
 
-            if has_rdiel:
-                # GGX rough dielectric (RoughDielectric.sample mirror)
-                eta_d = jnp.maximum(C0, 1e-3)
-                sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
-                mdx, mdy, mdz = _vndf_sample(
-                    wix * sgn_i, wiy * sgn_i, wiz * sgn_i, ub1, ub2,
-                    alpha)
-                modx, mody, modz = mdx * sgn_i, mdy * sgn_i, mdz * sgn_i
-                cim = wix * modx + wiy * mody + wiz * modz
-                fD, cost_d, eta_it, eta_ti = _fr_diel(cim, eta_d)
-                pick_d = u_lobe <= fD
-                # reflect / refract about the micronormal
-                wrx = 2.0 * cim * modx - wix
-                wry = 2.0 * cim * mody - wiy
-                wrz = 2.0 * cim * modz - wiz
-                tfac2 = cim * eta_ti + cost_d
-                wtx2 = modx * tfac2 - wix * eta_ti
-                wty2 = mody * tfac2 - wiy * eta_ti
-                wtz2 = modz * tfac2 - wiz * eta_ti
-                wdx = jnp.where(pick_d, wrx, wtx2)
-                wdy = jnp.where(pick_d, wry, wty2)
-                wdz = jnp.where(pick_d, wrz, wtz2)
-                g1i = _ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                              mdx, mdy, mdz, alpha)
-                sgn_od = jnp.where(wdz >= 0.0, 1.0, -1.0)
-                g2o = g1i * _ggx_g1(wdx * sgn_od, wdy * sgn_od,
-                                    wdz * sgn_od, mdx, mdy, mdz, alpha)
-                w_rd = jnp.where(g1i > 0.0,
-                                 g2o / jnp.maximum(g1i, 1e-20), 0.0)
-                w_rd = jnp.where(pick_d, w_rd, w_rd * (eta_ti * eta_ti))
-                pdm_d = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                                  mdx, mdy, mdz, alpha)
-                com_d = wdx * modx + wdy * mody + wdz * modz
-                jr_d = 1.0 / jnp.maximum(4.0 * jnp.abs(com_d), 1e-20)
-                den_d = cim + eta_it * com_d
-                jt_d = jnp.abs(com_d) * (eta_it * eta_it) / jnp.maximum(
-                    den_d * den_d, 1e-20)
-                pdf_rd = pdm_d * jnp.where(pick_d, fD * jr_d,
-                                           (1.0 - fD) * jt_d)
-                same_sd = wdz * wiz > 0.0
-                valid_d = jnp.where(pick_d, same_sd,
-                                    ~same_sd & (cost_d != 0.0))
-                pdf_rd = jnp.where(valid_d, pdf_rd, 0.0)
-                eta_rd = jnp.where(pick_d, 1.0, eta_it)
-                # local -> world
-                tdx = sx * wdx + tx * wdy + shx * wdz
-                tdy = sy * wdx + ty * wdy + shy * wdz
-                tdz = sz * wdx + tz * wdy + shz * wdz
-            else:
-                tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
-                eta_rd = jnp.ones_like(ox)
+    # combine by surface type
+    if multi:
+        ndx = jnp.where(is_diff, ddx, jnp.where(
+            is_cond, rx, jnp.where(is_diel, gdx, jnp.where(
+                is_rcond, rcx, tdx))))
+        ndy = jnp.where(is_diff, ddy, jnp.where(
+            is_cond, ry, jnp.where(is_diel, gdy, jnp.where(
+                is_rcond, rcy, tdy))))
+        ndz = jnp.where(is_diff, ddz, jnp.where(
+            is_cond, rz, jnp.where(is_diel, gdz, jnp.where(
+                is_rcond, rcz, tdz))))
+        wR = jnp.where(is_diff, Rr, jnp.where(
+            is_cond, Fc_r, jnp.where(is_diel, w_diel, jnp.where(
+                is_rcond, Frc_r, w_rd))))
+        wG = jnp.where(is_diff, Rg, jnp.where(
+            is_cond, Fc_g, jnp.where(is_diel, w_diel, jnp.where(
+                is_rcond, Frc_g, w_rd))))
+        wB = jnp.where(is_diff, Rb, jnp.where(
+            is_cond, Fc_b, jnp.where(is_diel, w_diel, jnp.where(
+                is_rcond, Frc_b, w_rd))))
+        pdf_fwd = jnp.where(is_diff, pdf_diff, jnp.where(
+            is_cond, 1.0, jnp.where(is_diel, pdf_diel, jnp.where(
+                is_rcond, pdf_rc, pdf_rd))))
+    else:
+        ndx, ndy, ndz = ddx, ddy, ddz
+        wR, wG, wB = Rr, Rg, Rb
+        pdf_fwd = pdf_diff
+    Br = jnp.where(act_next, Br * wR, Br)
+    Bg = jnp.where(act_next, Bg * wG, Bg)
+    Bb = jnp.where(act_next, Bb * wB, Bb)
+    if multi:
+        eta_acc = jnp.where(act_next & is_diel,
+                            eta_acc * eta_mult, eta_acc)
+        if has_rdiel:
+            eta_acc = jnp.where(act_next & is_rdiel,
+                                eta_acc * eta_rd, eta_acc)
+    bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
+    act_next = act_next & (pdf_fwd > 0.0) & (bmax > 0.0)
+    sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
+                      1.0, -1.0)
+    ox = px + sgn_b * off * ngx
+    oy = py + sgn_b * off * ngy
+    oz = pz + sgn_b * off * ngz
+    dx, dy, dz = ndx, ndy, ndz
+    prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
+    if multi:
+        smooth_lobe = is_diff | is_rcond if has_rcond else is_diff
+        prev_delta = jnp.where(act_next,
+                               jnp.where(smooth_lobe, 0.0, 1.0),
+                               prev_delta)
+    else:
+        prev_delta = jnp.where(act_next, 0.0, prev_delta)
 
-            # combine by surface type
-            if multi:
-                ndx = jnp.where(is_diff, ddx, jnp.where(
-                    is_cond, rx, jnp.where(is_diel, gdx, jnp.where(
-                        is_rcond, rcx, tdx))))
-                ndy = jnp.where(is_diff, ddy, jnp.where(
-                    is_cond, ry, jnp.where(is_diel, gdy, jnp.where(
-                        is_rcond, rcy, tdy))))
-                ndz = jnp.where(is_diff, ddz, jnp.where(
-                    is_cond, rz, jnp.where(is_diel, gdz, jnp.where(
-                        is_rcond, rcz, tdz))))
-                wR = jnp.where(is_diff, Rr, jnp.where(
-                    is_cond, Fc_r, jnp.where(is_diel, w_diel, jnp.where(
-                        is_rcond, Frc_r, w_rd))))
-                wG = jnp.where(is_diff, Rg, jnp.where(
-                    is_cond, Fc_g, jnp.where(is_diel, w_diel, jnp.where(
-                        is_rcond, Frc_g, w_rd))))
-                wB = jnp.where(is_diff, Rb, jnp.where(
-                    is_cond, Fc_b, jnp.where(is_diel, w_diel, jnp.where(
-                        is_rcond, Frc_b, w_rd))))
-                pdf_fwd = jnp.where(is_diff, pdf_diff, jnp.where(
-                    is_cond, 1.0, jnp.where(is_diel, pdf_diel, jnp.where(
-                        is_rcond, pdf_rc, pdf_rd))))
-            else:
-                ndx, ndy, ndz = ddx, ddy, ddz
-                wR, wG, wB = Rr, Rg, Rb
-                pdf_fwd = pdf_diff
-            Br = jnp.where(act_next, Br * wR, Br)
-            Bg = jnp.where(act_next, Bg * wG, Bg)
-            Bb = jnp.where(act_next, Bb * wB, Bb)
-            if multi:
-                eta_acc = jnp.where(act_next & is_diel,
-                                    eta_acc * eta_mult, eta_acc)
-                if has_rdiel:
-                    eta_acc = jnp.where(act_next & is_rdiel,
-                                        eta_acc * eta_rd, eta_acc)
-            bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
-            act_next = act_next & (pdf_fwd > 0.0) & (bmax > 0.0)
-            sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
-                              1.0, -1.0)
-            ox = px + sgn_b * off * ngx
-            oy = py + sgn_b * off * ngy
-            oz = pz + sgn_b * off * ngz
-            dx, dy, dz = ndx, ndy, ndz
-            prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
-            if multi:
-                smooth_lobe = is_diff | is_rcond if has_rcond else is_diff
-                prev_delta = jnp.where(act_next,
-                                       jnp.where(smooth_lobe, 0.0, 1.0),
-                                       prev_delta)
-            else:
-                prev_delta = jnp.where(act_next, 0.0, prev_delta)
-
-            # ---- russian roulette (path.py:117-128; eta^2 factor) ----
-            if depth + 1 >= rr_depth:
-                rr_p = jnp.minimum(bmax * eta_acc * eta_acc, 0.95)
-                u_rr = _rng1(seed_x, lane, dbase + SLOT_RR)
-                survive = u_rr < rr_p
-                inv_p = 1.0 / jnp.maximum(rr_p, 1e-8)
-                Br = jnp.where(act_next, Br * inv_p, Br)
-                Bg = jnp.where(act_next, Bg * inv_p, Bg)
-                Bb = jnp.where(act_next, Bb * inv_p, Bb)
-                act_next = act_next & survive
-            act = act_next
-
-    return Lr, Lg, Lb
+    # ---- russian roulette (path.py:117-128; eta^2 factor) ----
+    if depth + 1 >= rr_depth:
+        rr_p = jnp.minimum(bmax * eta_acc * eta_acc, 0.95)
+        u_rr = _rng1(seed_x, lane, dbase + SLOT_RR)
+        survive = u_rr < rr_p
+        inv_p = 1.0 / jnp.maximum(rr_p, 1e-8)
+        Br = jnp.where(act_next, Br * inv_p, Br)
+        Bg = jnp.where(act_next, Bg * inv_p, Bg)
+        Bb = jnp.where(act_next, Bb * inv_p, Bb)
+        act_next = act_next & survive
+    return (ox, oy, oz, dx, dy, dz, Lr, Lg, Lb, Br, Bg, Bb, eta_acc,
+            prev_pdf, prev_delta, act_next)
 
 
 def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
@@ -1618,3 +1632,179 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
 
     flat = lambda x: x.reshape(n_pad)[:n]
     return jnp.stack([flat(lr), flat(lg), flat(lb)], axis=-1)
+
+
+# ------------------------------------------- sorted per-bounce pipeline
+
+def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
+                          btypes, rpl, batch, smooth, env_pos):
+    """ONE bounce of the BVH megakernel with full state I/O — the
+    building block of the sorted per-bounce pipeline: between launches
+    the caller re-sorts rays by (direction octant, position cell) so
+    every packet traverses coherently (PERF.md round-2: sorted packets
+    are ~8-10x cheaper than divergent ones)."""
+    from .traverse import traverse_any, traverse_closest
+
+    def kernel(node_box_ref, node_meta_ref, light_ref, env_ref, tex_ref,
+               en_ref, rows_ref, lane_ref, seed_ref, *st_refs):
+        in_refs = st_refs[:16]
+        out_refs = st_refs[16:32]
+        qbuf, sems = st_refs[32], st_refs[33]
+        lane = lane_ref[:]
+        seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
+        shape = lane.shape
+        zero = jnp.zeros(shape)
+
+        multi = tuple(btypes) != (0,)
+        res_cols = tuple(range(0, 15))
+        if multi:
+            res_cols += tuple(range(15, 21))
+        if smooth:
+            res_cols += tuple(range(22, 31))
+
+        def closest(ox, oy, oz, dx, dy, dz, act_b):
+            found, t, attrs = traverse_closest(
+                node_box_ref, node_meta_ref, rows_ref,
+                qbuf, sems, n_nodes,
+                ox, oy, oz, dx, dy, dz,
+                jnp.full(shape, jnp.inf), act_b,
+                resolve_cols=res_cols, rpl=rpl, batch=batch)
+            (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
+             Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
+            k = 15
+            if multi:
+                C0, C1, C2, C3, C4, C5 = attrs[k:k + 6]
+                k += 6
+            else:
+                Btype = C0 = C1 = C2 = C3 = C4 = C5 = zero
+            ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
+            ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
+            if smooth:
+                (N0x, N0y, N0z, N1x, N1y, N1z,
+                 N2x, N2y, N2z) = attrs[k:k + 9]
+                pvx, pvy, pvz = _cross(dx, dy, dz, E2x, E2y, E2z)
+                det = E1x * pvx + E1y * pvy + E1z * pvz
+                okd = jnp.abs(det) > DET_EPS
+                inv = jnp.where(okd, 1.0 / jnp.where(okd, det, 1.0), 0.0)
+                tvx, tvy, tvz = ox - P0x, oy - P0y, oz - P0z
+                ub = jnp.clip((tvx * pvx + tvy * pvy + tvz * pvz) * inv,
+                              0.0, 1.0)
+                qvx, qvy, qvz = _cross(tvx, tvy, tvz, E1x, E1y, E1z)
+                vb = jnp.clip((dx * qvx + dy * qvy + dz * qvz) * inv,
+                              0.0, 1.0)
+                b0 = 1.0 - ub - vb
+                nsx = N0x * b0 + N1x * ub + N2x * vb
+                nsy = N0y * b0 + N1y * ub + N2y * vb
+                nsz = N0z * b0 + N1z * ub + N2z * vb
+                rinv = _rsqrt_safe_t(nsx * nsx + nsy * nsy + nsz * nsz)
+                shx, shy, shz = nsx * rinv, nsy * rinv, nsz * rinv
+            else:
+                shx, shy, shz = ngx, ngy, ngz
+            valid = found > 0.0
+            t = jnp.where(valid, t, jnp.inf)
+            return (valid, t, ngx, ngy, ngz, shx, shy, shz, Rr, Rg, Rb,
+                    IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
+
+        def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
+            return traverse_any(
+                node_box_ref, node_meta_ref, rows_ref,
+                qbuf, sems, n_nodes,
+                ox, oy, oz, dx, dy, dz, maxt, act_b,
+                rpl=rpl, batch=batch) > 0.5
+
+        lc = lambda j, k: light_ref[j, k]
+        env_ctx = None
+        if env_pos >= 0:
+            env_ctx = (
+                lambda k: env_ref[0, k],
+                # per-bounce slab carries only THIS depth's 8 features
+                lambda dth, k: en_ref[:, k, :],
+                tex_ref, int(tex_ref.shape[0]), env_pos,
+            )
+        state = tuple(r[:] for r in in_refs[:15]) + (in_refs[15][:] > 0.5,)
+        out = _bounce_step(closest, anyhit, lc, n_lights, btypes, depth,
+                           max_depth, rr_depth, lane, seed_x, env_ctx,
+                           state)
+        for r, v in zip(out_refs[:15], out[:15]):
+            r[:] = v
+        out_refs[15][:] = out[15].astype(jnp.float32)
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("depth", "max_depth", "rr_depth", "n_nodes",
+                          "n_lights", "btypes", "interpret", "rpl",
+                          "batch", "smooth", "env_pos"))
+def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
+                          state, depth: int, max_depth: int,
+                          rr_depth: int, n_nodes: int, n_lights: int,
+                          btypes: tuple = (0,), interpret: bool = False,
+                          rpl: int = None, batch: int = None,
+                          smooth: bool = False, env_meta=None,
+                          env_nee_d=None, env_pos: int = -1, tex=None):
+    """One sorted-pipeline bounce over flat (N,) state arrays.  ``state``
+    is the 16-tuple of (N,) float arrays matching _bounce_step (act as
+    f32 0/1); ``env_nee_d`` is this depth's (N, 8) envmap NEE slice."""
+    from .traverse import BATCH, QUEUE, RPL
+
+    rpl = RPL if rpl is None else rpl
+    batch = BATCH if batch is None else batch
+    n = lane.shape[0]
+    n_pad = -(-n // R_TILE) * R_TILE
+    pad = n_pad - n
+    rows_t = n_pad // LANES
+
+    def comp(x, fill=0.0):
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            rows_t, LANES)
+
+    lane_t = comp(lane.astype(jnp.uint32)).astype(jnp.uint32)
+    seed_t = jnp.full((rows_t, LANES), jnp.asarray(seed, jnp.uint32))
+    fills = [0.0] * 5 + [1.0] + [0.0] * 10   # dz pad 1 to keep rays valid
+    st_t = [comp(x, f) for x, f in zip(state, fills)]
+
+    grid = (rows_t // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    if env_pos >= 0:
+        en_t = jnp.pad(env_nee_d, ((0, pad), (0, 0))).reshape(
+            rows_t, LANES, 8)
+        en_t = jnp.transpose(en_t, (0, 2, 1))
+        en_spec = pl.BlockSpec((SUB, 8, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        en_t = jnp.zeros((SUB, 1, LANES))
+        en_spec = pl.BlockSpec((SUB, 1, LANES), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    if env_meta is None:
+        env_meta = jnp.zeros((1, ENV_COLS))
+    if tex is None:
+        tex = jnp.zeros((1, LANES))
+    kernel = _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes,
+                                   n_lights, btypes, rpl, batch, smooth,
+                                   env_pos)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # light
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # env meta
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tex arena
+            en_spec,                                  # env NEE slice
+            pl.BlockSpec(memory_space=pl.ANY),       # leaf rows (HBM)
+        ] + [ray_spec] * 18,
+        out_specs=[ray_spec] * 16,
+        out_shape=[jax.ShapeDtypeStruct((rows_t, LANES),
+                                        jnp.float32)] * 16,
+        scratch_shapes=[
+            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE,)),
+        ],
+        interpret=interpret,
+    )(node_box, node_meta, light, env_meta, tex,
+      en_t, rows, lane_t, seed_t, *st_t)
+    flat = lambda x: x.reshape(n_pad)[:n]
+    return tuple(flat(x) for x in out)

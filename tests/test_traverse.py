@@ -168,3 +168,22 @@ def test_bvh_megakernel_matches_wavefront(big_scene):
     # brute sweep; those lanes diverge but stay unbiased (mean check)
     assert close.mean() > 0.96, f"only {close.mean():.4f} lanes match"
     assert np.abs(mk.mean() - ref.mean()) / ref.mean() < 5e-3
+
+
+def test_sorted_per_bounce_matches_unsorted(big_scene):
+    """The sorted per-bounce pipeline must produce the IDENTICAL image:
+    lane ids ride the permutation, so every RNG stream is unchanged."""
+    from mitsuba_tpu.models.integrators import (
+        MegakernelPathIntegrator, sample_rays)
+
+    seed = jnp.uint32(7)
+    ray, weight, film_pos, lane = sample_rays(big_scene, seed, 2)
+    active = jnp.ones((ray.o.shape[0],), bool)
+
+    L_all = MegakernelPathIntegrator(max_depth=3).sample(
+        big_scene, ray, lane, seed, active)
+    L_srt = MegakernelPathIntegrator(max_depth=3, sort_bounces=True).sample(
+        big_scene, ray, lane, seed, active)
+    a, b = np.asarray(L_all), np.asarray(L_srt)
+    close = np.isclose(a, b, rtol=1e-5, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.999, close.mean()
