@@ -28,11 +28,13 @@ point along +m grows the (-m)-side region, so dI = (L(-m side) -
 L(+m side)) x (m . du/dtheta) per unit screen length.
 
 Scope: primarily-visible silhouettes (camera discontinuities) with
-uniform or grid-guided edge sampling (guiding.py), plus one-bounce
-shadow (indirect-visibility) boundaries via the light->edge->receiver
-construction (indirect_boundary_grads).  Deeper-bounce visibility
-boundaries and receiver-motion terms are future work — the reference
-gates those behind its octree guiding modes as well.
+uniform or grid-guided edge sampling (guiding.py), shadow
+(indirect-visibility) boundaries via the light->edge->receiver
+construction (indirect_boundary_grads) with optional octree guiding
+(OcSpaceDistr) and an optional extra camera-side bounce
+(indirect_depth=2) so shadow boundaries are differentiated even when
+their receiver is only indirectly visible.  Receiver-motion terms and
+arbitrary-depth boundary prefixes remain future work.
 """
 from __future__ import annotations
 
@@ -378,7 +380,8 @@ def analytic_boundary_grads(scene, integrator, grad_image, seed,
 def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
                             n_samples: int = 4096, eps_frac: float = 0.01,
                             guiding: str = "uniform",
-                            n_warmup: int | None = None):
+                            n_warmup: int | None = None,
+                            indirect_depth: int = 1):
     """Shadow (indirect-visibility) boundary gradients for direct
     illumination (projective.py:228-373 indirect silhouettes, one-bounce
     scope).  ``guiding="octree"`` runs a uniform warm-up pass, builds an
@@ -401,6 +404,28 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
     the curve — the in-plane normal orientation cancels as in the
     primary case.  Receiver motion is a further term (future work).
     """
+    if guiding == "octree":
+        from .guiding import OcSpaceDistr
+
+        n_w = n_warmup or max(n_samples // 4, 512)
+        _, pts, mass = _indirect_pass(
+            scene, edges, grad_image, seed ^ 0x5EED0C7, n_w, eps_frac,
+            oc=None, collect=True, indirect_depth=indirect_depth)
+        oc = OcSpaceDistr.create_from_samples(pts, mass)
+        g, _, _ = _indirect_pass(scene, edges, grad_image, seed,
+                                 n_samples, eps_frac, oc=oc,
+                                 indirect_depth=indirect_depth)
+        return g
+    g, _, _ = _indirect_pass(scene, edges, grad_image, seed, n_samples,
+                             eps_frac, indirect_depth=indirect_depth)
+    return g
+
+
+def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
+                   n_samples, eps_frac, oc=None, collect=False,
+                   indirect_depth=1):
+    """One boundary-sampling pass; ``oc`` importance-samples the
+    (u_edge, t, u_light) cube.  Returns (grads, points, |mass|)."""
     scene_det = jax.lax.stop_gradient(scene)
     floats, rebuild, _ = _float_partition(scene)
     ctx_det = scene_det.trace_ctx()
@@ -493,6 +518,8 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
     x_b = si_r.p
     r_tot = jnp.sqrt(jnp.maximum(jnp.sum((x_b - y) ** 2, -1), 1e-20))
 
+    valid_b = valid          # boundary validity, pre camera connection
+
     # ---- camera connection (ptracer-style) ----
     uv, in_frustum, cam_p = _project(sensor_det, x_b, valid)
     d_cam = cam_p - x_b
@@ -540,7 +567,7 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
         sgn_v = jnp.sign(jnp.sum(dn * n_recv, -1, keepdims=True))
         o = xp + sgn_v * off * n_recv
         sh = Ray.make(o, dn, maxt=dist * (1.0 - 2e-3))
-        return 1.0 - scene_det.ray_test(sh, valid, ctx_det).astype(
+        return 1.0 - scene_det.ray_test(sh, valid_b, ctx_det).astype(
             jnp.float32)
 
     dV = vis(x_b + eps * m_hat) - vis(x_b - eps * m_hat)
@@ -563,6 +590,57 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
         * G * dV * speed * inv_pdf * A_L * inv_oc / n_samples,
         0.0,
     )
+
+    if indirect_depth >= 2:
+        # ---- depth-2 camera prefix (projective.py:228-373 indirect
+        # visibility at deeper bounces): the shadow-boundary point x_B
+        # is observed through ONE extra bounce.  For variance, the
+        # extra vertex x_2 is found by tracing a camera ray through a
+        # uniformly sampled film position and CONNECTING x_2 <-> x_B
+        # (bidirectional-style): every sample lands on a camera-visible
+        # surface and a concrete pixel delta, unlike naive cosine
+        # bouncing from x_B.
+        u_px = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 7))
+        u_ap = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 8))
+        cam_ray, _cw = sensor_det.sample_ray(
+            jnp.zeros((n_samples,)), jnp.zeros((n_samples,)), u_px,
+            u_ap)
+        si_2 = scene_det.ray_intersect(cam_ray, valid_b, ctx_det)
+        ok2 = valid_b & si_2.is_valid() & \
+            (si_2.shape_index != light_shape)
+        d_2b = x_b - si_2.p
+        r2b = jnp.sqrt(jnp.maximum(jnp.sum(d_2b * d_2b, -1), 1e-20))
+        d_2b = d_2b / r2b[:, None]
+        # visibility x_2 -> x_B
+        off2 = 1e-4 * jnp.maximum(
+            1.0, jnp.max(jnp.abs(si_2.p), -1, keepdims=True))
+        sg2 = jnp.sign(jnp.sum(d_2b * si_2.n, -1, keepdims=True))
+        sh2 = Ray.make(si_2.p + sg2 * off2 * si_2.n, d_2b,
+                       maxt=r2b * (1.0 - 2e-3))
+        occ2 = scene_det.ray_test(sh2, ok2, ctx_det)
+        ok2 = ok2 & ~occ2
+        # f at x_2: wi = from the camera (primary), wo = toward x_B
+        # (includes the x_2-side cosine of the connection)
+        f_2, _ = scene_det.bsdf_eval_pdf(
+            si_2, si_2.to_local(d_2b), ok2)
+        # f at x_B: wi = from the light, wo = toward x_2 (includes the
+        # x_B-side cosine)
+        f_b, _ = scene_det.bsdf_eval_pdf(
+            si_r, si_r.to_local(-d_2b), ok2)
+        px2 = jnp.clip((u_px[:, 0] * w_px).astype(jnp.int32), 0,
+                       w_px - 1)
+        py2 = jnp.clip((u_px[:, 1] * h_px).astype(jnp.int32), 0,
+                       h_px - 1)
+        delta2 = grad_image[py2, px2]
+        tput2 = jnp.sum(delta2 * f_2 * f_b * le[None, :], -1) \
+            / jnp.maximum(r2b * r2b, 1e-12)
+        coeff2 = jnp.where(
+            ok2,
+            -(w_px * h_px) * tput2
+            * G * dV * speed * inv_pdf * A_L * inv_oc / n_samples,
+            0.0,
+        )
+        coeff = coeff + coeff2
 
     lidx_d = lidx
     idx_d = idx
@@ -601,6 +679,9 @@ class PathProjectiveIntegrator:
     guiding: str = static("grid")
     indirect: bool = static(True)  # shadow-boundary term
     sppi: int = static(16384)      # shadow-boundary samples
+    # 1: light->edge->receiver->camera; 2: + one extra camera-side
+    # diffuse bounce (deeper indirect visibility, projective.py:228-373)
+    indirect_depth: int = static(1)
     id: str = static("prb_projective")
 
     def sample(self, scene, ray, lane, seed, active):
@@ -718,7 +799,8 @@ def _ppr_bwd(integrator, spp, res, grad_image):
                 scene, edges, grad_image, seed_u,
                 n_samples=integrator.sppi,
                 guiding=("octree" if integrator.guiding == "octree"
-                         else "uniform"))
+                         else "uniform"),
+                indirect_depth=integrator.indirect_depth)
             total = [a + b for a, b in zip(total, ind)]
     _, _, cotangent = _float_partition(scene)
     edges_ct = jax.tree_util.tree_map(

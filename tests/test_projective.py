@@ -232,6 +232,7 @@ def test_octree_guided_shadow_gradient():
 
     def primal_img(s):
         from mitsuba_tpu.models.integrators.common import render
+        from mitsuba_tpu.models.integrators.path import PathIntegrator
 
         return render(s, PathIntegrator(max_depth=2), seed=0, spp=32)
 
@@ -242,16 +243,96 @@ def test_octree_guided_shadow_gradient():
 
     from mitsuba_tpu.models.integrators.projective import _float_partition
 
-    def ad(guiding, seed):
-        g = indirect_boundary_grads(scene, edges, W, jnp.uint32(seed),
-                                    n_samples=4096, guiding=guiding)
-        # blocker = meshes[1]; sum of x-gradients of its vertices
+    def ad(guiding, seeds):
         floats, rebuild, cot = _float_partition(scene)
-        gs = cot(g)
-        return float(jnp.sum(gs.meshes[1].vertices[:, 0]))
+        vals = []
+        for sd in seeds:
+            g = indirect_boundary_grads(scene, edges, W, jnp.uint32(sd),
+                                        n_samples=8192, guiding=guiding)
+            gs = cot(g)
+            # blocker = meshes[1]; sum of x-gradients of its vertices
+            vals.append(float(jnp.sum(gs.meshes[1].vertices[:, 0])))
+        return float(np.mean(vals))
 
-    a_uni = ad("uniform", 1)
-    a_oct = ad("octree", 1)
+    a_uni = ad("uniform", (1, 2, 3))
+    a_oct = ad("octree", (1, 2, 3))
     assert np.isfinite(a_oct)
     assert abs(a_oct - fd) < 0.35 * abs(fd) + 0.05, (a_oct, fd)
     assert abs(a_uni - a_oct) < 0.35 * abs(fd) + 0.05, (a_uni, a_oct)
+
+
+def _wall_shadow_scene(bx=0.0):
+    """The shadowed floor is OUT of frame: the camera sees only a
+    vertical wall lit by the floor's bounce light, so d(image)/d(blocker)
+    exists ONLY through the depth-2 indirect visibility boundary."""
+    floor = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0, 0, 0]), tf.scale(2.0)), np.float32)),
+        bsdf_index=0, id="floor")
+    blocker = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([bx, 0.0, 1.0]), tf.scale(0.12)),
+        np.float32)), bsdf_index=0, id="blocker")
+    light = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0, 0, 2.0]), tf.rotate([1, 0, 0], 180),
+                   tf.scale(0.1)), np.float32)),
+        bsdf_index=0, emitter_index=0, id="light")
+    wall = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0.9, 0, 0.45]), tf.rotate([0, 1, 0], -90),
+                   tf.scale(0.45)), np.float32)),
+        bsdf_index=0, id="wall")
+    em = AreaEmitter(radiance=ConstantTexture(jnp.full((3,), 240.0)))
+    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), 0.8)))
+    cam = PerspectiveCamera(
+        to_world=jnp.asarray(tf.look_at([-0.35, 0, 0.45], [0.9, 0, 0.45],
+                                        [0, 0, 1])),
+        fov=30.0,
+        film=Film(width=24, height=24,
+                  rfilter=ReconstructionFilter.box()),
+    )
+    return make_scene([floor, blocker, light, wall], [white], [em], cam,
+                      use_bvh=False)
+
+
+@pytest.mark.slow
+def test_depth2_shadow_boundary_matches_fd():
+    """Indirect visibility boundary observed through one extra bounce
+    (indirect_depth=2, bidirectional x_2 connection): AD matches FD on
+    a scene whose shadow is only indirectly visible; the depth-1
+    estimator misses the gradient entirely."""
+    from mitsuba_tpu.models.integrators.common import render
+    from mitsuba_tpu.models.integrators.path import PathIntegrator
+    from mitsuba_tpu.models.integrators.projective import (
+        _float_partition, indirect_boundary_grads)
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    W = jnp.asarray(((xx / 23.0) - 0.5)[..., None]
+                    * np.ones((24, 24, 3)), jnp.float32)
+
+    h = 0.04
+
+    def loss(bx):
+        s = _wall_shadow_scene(bx)
+        return float(jnp.sum(
+            render(s, PathIntegrator(max_depth=3), seed=0, spp=256) * W))
+
+    fd = (loss(h) - loss(-h)) / (2 * h)
+    assert abs(fd) > 0.3, fd      # the indirect shadow effect exists
+
+    scene = _wall_shadow_scene()
+    edges = build_silhouette_edges(scene)
+    _, _, cot = _float_partition(scene)
+
+    def ad(depth, seeds):
+        vals = []
+        for sd in seeds:
+            g = indirect_boundary_grads(
+                scene, edges, W, jnp.uint32(sd), n_samples=65536,
+                indirect_depth=depth)
+            gs = cot(g)
+            vals.append(float(jnp.sum(gs.meshes[1].vertices[:, 0])))
+        return float(np.mean(vals))
+
+    ad2 = ad(2, (0, 1, 2, 3))
+    ad1 = ad(1, (0, 1))
+    assert np.isfinite(ad2)
+    assert abs(ad2 - fd) < 0.5 * abs(fd), (ad2, fd)
+    assert abs(ad1) < 0.25 * abs(fd), (ad1, fd)
