@@ -16,3 +16,4 @@ from .projective import (  # noqa: F401
 )
 from .aov import AOVIntegrator, MomentIntegrator, render_aov, render_moments  # noqa: F401
 from .stokes import StokesIntegrator  # noqa: F401
+from .volpathmis import VolPathMISIntegrator  # noqa: F401

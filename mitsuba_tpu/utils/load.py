@@ -716,11 +716,12 @@ def _make_integrator(d):
         nested = _make_integrator(nested_d) if nested_d else None
         return AOVIntegrator(aovs=parsed, nested=nested)
     if t == "volpathmis":
-        # volpathmis: our volpath already performs the spectral/channel
-        # MIS for distance sampling (volpathmis.cpp) — same estimator
+        # product-form spectral MIS (volpathmis.cpp:596) for homogeneous
+        # media; grid media keep volpath's per-event channel weighting
         from ..models.integrators import VolPathIntegrator
+        from ..models.integrators.volpathmis import VolPathMISIntegrator
 
-        return VolPathIntegrator(
+        return VolPathMISIntegrator(
             max_depth=int(d.get("max_depth", 8)),
             rr_depth=int(d.get("rr_depth", 6)),
             hide_emitters=bool(d.get("hide_emitters", False)),
@@ -1059,7 +1060,16 @@ def _make_medium(d):
             phase=phase,
         )
     if t == "heterogeneous":
-        density = d["density"]
+        # heterogeneous.cpp takes the extinction field as `sigma_t`
+        # (a volume); our dicts also accept it under `density`
+        density = d.get("density")
+        sig_spec, sig_default = d.get("sigma_t"), jnp.ones(3)
+        if density is None and isinstance(sig_spec, (dict, str)):
+            density, sig_spec = sig_spec, None
+        if density is None:
+            raise ValueError(
+                "heterogeneous medium needs `density` or a gridvolume "
+                "`sigma_t`")
         bbox_default = ([-1, -1, -1], [1, 1, 1])
         # `.vol` gridvolume container (volumegrid.cpp:128), either as a
         # nested {"type": "gridvolume", "filename": ...} or a direct path
@@ -1074,7 +1084,7 @@ def _make_medium(d):
             bbox_default = (mn, mx)
         return GridMedium(
             density=jnp.asarray(density, jnp.float32),
-            sigma_t=_spectrum(d.get("sigma_t"), jnp.ones(3)),
+            sigma_t=_spectrum(sig_spec, sig_default),
             albedo=_spectrum(d.get("albedo"), jnp.full((3,), 0.75)),
             bbox_min=jnp.asarray(d.get("bbox_min", bbox_default[0]),
                                  jnp.float32),
