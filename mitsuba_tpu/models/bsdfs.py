@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.pytree import pytree, static
-from ..core.math import Frame, dot, reflect, mulsign, safe_div
+from ..core.math import Frame, dot, reflect, reflect_n, mulsign, safe_div
 from ..core.fresnel import fresnel_dielectric, fresnel_conductor, refract
 from ..core import warp
 from ..core.records import BSDFSample
@@ -2309,3 +2309,234 @@ def dielectric_sample_mueller(self, si, sample1, sample2, active):
 
 
 SmoothDielectric.sample_mueller = dielectric_sample_mueller
+
+
+# ---------------------------------------------------------------------------
+# Measured polarized pBRDF (Baek et al. 2020 KAIST dataset)
+# ---------------------------------------------------------------------------
+
+
+def _rot_z(v, ang):
+    """Rotate (N, 3) vectors about +z by `ang` (N,) radians."""
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return jnp.stack([v[..., 0] * c - v[..., 1] * s,
+                      v[..., 0] * s + v[..., 1] * c,
+                      v[..., 2]], axis=-1)
+
+
+def _safe_unit(v, fallback):
+    n2 = jnp.sum(v * v, -1, keepdims=True)
+    bad = n2 < 1e-16
+    v = jnp.where(bad, fallback, v)
+    return v / jnp.sqrt(jnp.maximum(
+        jnp.sum(v * v, -1, keepdims=True), 1e-20)), bad[..., 0]
+
+
+@pytree
+class MeasuredPolarized:
+    """Measured pBRDF: 4x4 Mueller matrices tabulated over the
+    Rusinkiewicz angles and wavelength (measured_polarized.cpp:108-343).
+
+    The table is quadri-linearly interpolated over the non-uniform
+    (phi_d, theta_d, theta_h, wavelength) node grid — the reference's
+    ``Marginal2D<4>::eval`` at the 16 inner points (i/3, j/3), which
+    land exactly on the 4x4 Mueller entries.  Stokes reference frames
+    of the stored data lie in the reflection plane of the *standard*
+    configuration (incident azimuth rotated to the x-axis); eval
+    rotates them into the implicit ``stokes_basis`` frames of the
+    local in/out directions (measured_polarized.cpp:246-300).
+
+    RGB mode evaluates the table at three representative wavelengths
+    (the reference restricts itself to spectral variants or a single
+    fixed ``wavelength``; an RGB projection is the TPU-native
+    equivalent of its fixed-wavelength mode, vectorized per channel).
+    Sampling mixes cosine-hemisphere with GGX-VNDF at the reference's
+    0.1/0.9 weights (measured_polarized.cpp:13,196-215).
+    """
+
+    grid: jnp.ndarray            # (P*D*H*W, 16) flat Mueller entries
+    phi_d_nodes: jnp.ndarray     # (P,)
+    theta_d_nodes: jnp.ndarray   # (D,)
+    theta_h_nodes: jnp.ndarray   # (H,)
+    wvl_nodes: jnp.ndarray       # (W,)
+    channel_wvls: jnp.ndarray    # (3,) per-RGB eval wavelengths
+    dims: tuple = static((1, 1, 1, 1))   # (P, D, H, W)
+    alpha_sample: float = static(0.1)
+    id: str = static("measured_polarized")
+
+    flags = Flags.GlossyReflection
+
+    # ---- 4-D multilinear interpolation over non-uniform nodes ----
+    def _axis(self, nodes, x):
+        i0 = jnp.clip(jnp.searchsorted(nodes, x, side="right") - 1,
+                      0, nodes.shape[0] - 2)
+        denom = jnp.maximum(nodes[i0 + 1] - nodes[i0], 1e-12)
+        w = jnp.clip((x - nodes[i0]) / denom, 0.0, 1.0)
+        return i0, w
+
+    def _interp(self, phi_d, theta_d, theta_h, wvl):
+        """All args (N, 3) -> (N, 3, 4, 4)."""
+        P, D, H, W = self.dims
+        ip, wp = self._axis(self.phi_d_nodes, phi_d)
+        it, wt = self._axis(self.theta_d_nodes, theta_d)
+        ih, wh = self._axis(self.theta_h_nodes, theta_h)
+        iw, ww = self._axis(self.wvl_nodes, wvl)
+        out = 0.0
+        for bp in (0, 1):
+            for bt in (0, 1):
+                for bh in (0, 1):
+                    for bw in (0, 1):
+                        flat = (((ip + bp) * D + (it + bt)) * H
+                                + (ih + bh)) * W + (iw + bw)
+                        wgt = ((wp if bp else 1.0 - wp)
+                               * (wt if bt else 1.0 - wt)
+                               * (wh if bh else 1.0 - wh)
+                               * (ww if bw else 1.0 - ww))
+                        out = out + self.grid[flat] * wgt[..., None]
+        return out.reshape(out.shape[:-1] + (4, 4))
+
+    # ---- Rusinkiewicz angles + data-frame Stokes bases ----
+    def _geometry(self, wi_hat, wo_hat):
+        phi_std = jnp.arctan2(wi_hat[..., 1], wi_hat[..., 0])
+        wo_std = _rot_z(wo_hat, -phi_std)
+        wi_std = _rot_z(wi_hat, -phi_std)
+        i, o = wo_std, wi_std            # light arrives along -wo
+        h, _ = _safe_unit(i + o, jnp.asarray([0.0, 0.0, 1.0]))
+        z = jnp.asarray([0.0, 0.0, 1.0])
+        b, b_bad = _safe_unit(jnp.cross(jnp.broadcast_to(z, h.shape), h),
+                              jnp.asarray([0.0, 1.0, 0.0]))
+        t = jnp.cross(b, h)
+        td = jnp.arccos(jnp.clip(jnp.sum(h * i, -1), -1.0, 1.0))
+        th = jnp.arccos(jnp.clip(h[..., 2], -1.0, 1.0))
+        i_prj, prj_bad = _safe_unit(
+            i - jnp.sum(i * h, -1, keepdims=True) * h,
+            jnp.asarray([1.0, 0.0, 0.0]))
+        pd = jnp.arctan2(jnp.clip(jnp.sum(b * i_prj, -1), -1.0, 1.0),
+                         jnp.clip(jnp.sum(t * i_prj, -1), -1.0, 1.0))
+        pd = jnp.where(prj_bad, 0.0, pd)
+
+        # data-frame Stokes reference vectors (Baek et al. Fig. 4)
+        zo = -wo_std
+        to, to_bad = _safe_unit(jnp.cross(wo_std - wi_std, zo),
+                                jnp.asarray([0.0, 1.0, 0.0]))
+        yo, _ = _safe_unit(jnp.cross(to, zo), jnp.asarray([0.0, 1.0, 0.0]))
+        xo = jnp.cross(yo, zo)
+        zi = wi_std
+        ti, _ = _safe_unit(jnp.cross(wi_std - wo_std, zi),
+                           jnp.asarray([0.0, 1.0, 0.0]))
+        yi, _ = _safe_unit(jnp.cross(ti, zi), jnp.asarray([0.0, 1.0, 0.0]))
+        xi = jnp.cross(yi, zi)
+        # retro-reflection fallback: any common perpendicular frame
+        from ..core import mueller
+        xo = jnp.where(to_bad[..., None], mueller.stokes_basis(zo), xo)
+        xi = jnp.where(to_bad[..., None], mueller.stokes_basis(zi), xi)
+        xo_hat = _rot_z(xo, phi_std)
+        xi_hat = _rot_z(xi, phi_std)
+        return pd, th, td, xo_hat, xi_hat
+
+    def _mueller_raw(self, si, wo, active):
+        """Full (N, 3, 4, 4) Mueller in implicit local Stokes bases,
+        including the cos_theta_o factor."""
+        from ..core import mueller
+
+        wo_hat, wi_hat = wo, si.wi
+        cos_o = Frame.cos_theta(wo_hat)
+        pd, th, td, xo_hat, xi_hat = self._geometry(wi_hat, wo_hat)
+        wvl = jnp.broadcast_to(self.channel_wvls,
+                               pd.shape + (3,))
+        M = self._interp(pd[..., None] + 0.0 * wvl,
+                         td[..., None] + 0.0 * wvl,
+                         th[..., None] + 0.0 * wvl, wvl)
+        # NaN-encoded invalid configurations -> zero
+        M = jnp.where(jnp.isnan(M[..., 0:1, 0:1]), 0.0, M)
+        M = M.at[..., 0, 0].set(jnp.maximum(M[..., 0, 0], 0.0))
+        M = mueller.rotate_mueller_basis(
+            M,
+            -wo_hat[:, None, :], xo_hat[:, None, :],
+            mueller.stokes_basis(-wo_hat)[:, None, :],
+            wi_hat[:, None, :], xi_hat[:, None, :],
+            mueller.stokes_basis(wi_hat)[:, None, :])
+        M = M * jnp.maximum(cos_o, 0.0)[..., None, None, None]
+        return jnp.where(active[..., None, None, None], M, 0.0)
+
+    # ---- scalar (unpolarized-promotion) interface ----
+    def eval(self, si, wo, active):
+        ok = active & (Frame.cos_theta(si.wi) > 0.0) \
+            & (Frame.cos_theta(wo) > 0.0)
+        return self._mueller_raw(si, wo, ok)[..., 0, 0]
+
+    def pdf(self, si, wo, active):
+        cos_i = Frame.cos_theta(si.wi)
+        cos_o = Frame.cos_theta(wo)
+        a = self.alpha_sample
+        h, _ = _safe_unit(si.wi + wo, jnp.asarray([0.0, 0.0, 1.0]))
+        p_mf = mf.vndf_pdf(si.wi, h, a, a) / jnp.maximum(
+            4.0 * jnp.sum(wo * h, -1), 1e-12)
+        p = 0.1 * warp.square_to_cosine_hemisphere_pdf(wo) + 0.9 * p_mf
+        return jnp.where(active & (cos_i > 0.0) & (cos_o > 0.0), p, 0.0)
+
+    def eval_pdf(self, si, wo, active):
+        return self.eval(si, wo, active), self.pdf(si, wo, active)
+
+    def _sample_common(self, si, sample1, sample2, active):
+        cos_i = Frame.cos_theta(si.wi)
+        act = active & (cos_i > 0.0)
+        a = self.alpha_sample
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        m = mf.sample_vndf(si.wi, sample2, a, a)
+        wo_mf = reflect_n(si.wi, m)
+        wo = jnp.where((sample1 < 0.1)[..., None], wo_diff, wo_mf)
+        pdf = self.pdf(si, wo, act)
+        ok = act & (pdf > 0.0)
+        bs = BSDFSample(
+            wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+            eta=jnp.ones_like(pdf),
+            delta=jnp.zeros(pdf.shape, bool),
+            sampled_type=jnp.full(pdf.shape, Flags.GlossyReflection,
+                                  jnp.int32))
+        return bs, ok
+
+    def sample(self, si, sample1, sample2, active):
+        bs, ok = self._sample_common(si, sample1, sample2, active)
+        val = self.eval(si, bs.wo, ok)
+        w = safe_div(val, bs.pdf[..., None])
+        return bs, jnp.where(ok[..., None], w, 0.0)
+
+    # ---- polarized interface ----
+    def eval_mueller(self, si, wo, active):
+        ok = active & (Frame.cos_theta(si.wi) > 0.0) \
+            & (Frame.cos_theta(wo) > 0.0)
+        return self._mueller_raw(si, wo, ok), self.pdf(si, wo, ok)
+
+    def sample_mueller(self, si, sample1, sample2, active):
+        bs, ok = self._sample_common(si, sample1, sample2, active)
+        M = self._mueller_raw(si, bs.wo, ok)
+        M = safe_div(M, bs.pdf[..., None, None, None])
+        return bs, jnp.where(ok[..., None, None, None], M, 0.0)
+
+
+def make_measured_polarized(filename, alpha_sample=0.1, wavelength=-1.0,
+                            channel_wvls=(620.0, 532.0, 465.0)):
+    """Build from a KAIST `.pbsdf` tensor file
+    (measured_polarized.cpp:120-177).  ``wavelength > 0`` pins all
+    three RGB channels to one wavelength (the reference's non-spectral
+    mode); otherwise each channel reads its representative wavelength."""
+    from ..utils.tensor_io import read_tensor_file
+
+    f = read_tensor_file(filename)
+    th = jnp.asarray(f["theta_h"], jnp.float32).reshape(-1)
+    td = jnp.asarray(f["theta_d"], jnp.float32).reshape(-1)
+    pd = jnp.asarray(f["phi_d"], jnp.float32).reshape(-1)
+    wvls = jnp.asarray(f["wvls"].astype("float32")).reshape(-1)
+    M = f["M"]
+    P, D, H, W = M.shape[:4]
+    assert M.shape == (P, D, H, W, 4, 4), M.shape
+    if wavelength > 0:
+        cw = jnp.full((3,), float(wavelength), jnp.float32)
+    else:
+        cw = jnp.asarray(channel_wvls, jnp.float32)
+    return MeasuredPolarized(
+        grid=jnp.asarray(M, jnp.float32).reshape(P * D * H * W, 16),
+        phi_d_nodes=pd, theta_d_nodes=td, theta_h_nodes=th,
+        wvl_nodes=wvls, channel_wvls=cw, dims=(P, D, H, W),
+        alpha_sample=float(alpha_sample))

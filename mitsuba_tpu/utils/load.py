@@ -55,7 +55,7 @@ BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "twosided", "mask", "null", "blendbsdf", "principled",
               "normalmap", "bumpmap", "dispersive_dielectric", "dispersive",
               "principledthin", "pplastic", "hair", "measured",
-              "polarizer", "retarder", "circular"}
+              "measured_polarized", "polarizer", "retarder", "circular"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
                "ply", "mesh", "linearcurve", "bsplinecurve", "serialized"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
@@ -381,6 +381,13 @@ def _make_bsdf(d):
             transmittance=_texture(d.get("transmittance"), [1.0] * 3),
             left_handed=bool(d.get("left_handed", False)),
         )
+    if t == "measured_polarized":
+        from ..models.bsdfs import make_measured_polarized
+
+        return make_measured_polarized(
+            d["filename"],
+            alpha_sample=float(d.get("alpha_sample", 0.1)),
+            wavelength=float(d.get("wavelength", -1.0)))
     if t == "measured":
         if "filename" in d:
             # Dupuy-Jakob '.bsdf' container with NDF-warp sampling
