@@ -199,6 +199,96 @@ class TabulatedPhase:
         return self.eval(wi_world, wo_world, active)
 
 
+def _sggx_mat(s):
+    """[S_xx, S_yy, S_zz, S_xy, S_xz, S_yz] (…, 6) -> (…, 3, 3)."""
+    xx, yy, zz, xy, xz, yz = (s[..., i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([xx, xy, xz], -1),
+        jnp.stack([xy, yy, yz], -1),
+        jnp.stack([xz, yz, zz], -1)], -2)
+
+
+def _sggx_ndf(wm, s):
+    """SGGX NDF D(wm) = |S|^{3/2} / (pi (wm^T adj(S) wm)^2)
+    (microflake.h sggx_pdf)."""
+    xx, yy, zz, xy, xz, yz = (s[..., i] for i in range(6))
+    x, y, z = wm[..., 0], wm[..., 1], wm[..., 2]
+    det = jnp.abs(xx * yy * zz - xx * yz * yz - yy * xz * xz
+                  - zz * xy * xy + 2.0 * xy * xz * yz)
+    den = (x * x * (yy * zz - yz * yz) + y * y * (xx * zz - xz * xz)
+           + z * z * (xx * yy - xy * xy)
+           + 2.0 * (x * y * (xz * yz - zz * xy)
+                    + x * z * (xy * yz - yy * xz)
+                    + y * z * (xy * xz - xx * yz)))
+    return jnp.maximum(det, 0.0) * jnp.sqrt(jnp.maximum(det, 0.0)) / (
+        jnp.pi * jnp.maximum(den * den, 1e-20))
+
+
+def _sggx_sigma(wi, s):
+    """Projected microflake area sqrt(wi^T S wi) (microflake.h)."""
+    xx, yy, zz, xy, xz, yz = (s[..., i] for i in range(6))
+    x, y, z = wi[..., 0], wi[..., 1], wi[..., 2]
+    s2 = (x * x * xx + y * y * yy + z * z * zz
+          + 2.0 * (x * y * xy + x * z * xz + y * z * yz))
+    return jnp.sqrt(jnp.maximum(s2, 1e-20))
+
+
+@pytree
+class SGGXPhase:
+    """SGGX microflake phase function (src/phase/sggx.cpp; Heitz et
+    al. 2015).  ``S`` holds [S_xx, S_yy, S_zz, S_xy, S_xz, S_yz] of
+    the symmetric positive-definite flake matrix.  Specular flakes:
+    eval == pdf == D_visible(w_h)/4 with w_h the half-vector of the
+    mirror reflection off a visible-NDF-sampled normal."""
+
+    S: jnp.ndarray  # (6,) microflake matrix parameters
+    id: str = static("sggx")
+
+    def _vals(self, wi):
+        return jnp.broadcast_to(self.S, wi.shape[:-1] + (6,))
+
+    def sample(self, wi_world, sample2, active):
+        wi = wi_world
+        s = self._vals(wi)
+        fs, ft, fn = Frame.from_normal(wi)
+        # S expressed in the wi-aligned frame (microflake.h sggx_sample)
+        Sm = _sggx_mat(s)
+        e = jnp.stack([fs, ft, fn], -2)                    # rows = s,t,n
+        s2 = jnp.einsum("...ab,...bc,...dc->...ad", e, Sm, e)
+        inv_sqrt_ii = 1.0 / jnp.sqrt(jnp.maximum(s2[..., 2, 2], 1e-20))
+        tmp = jnp.sqrt(jnp.maximum(
+            s2[..., 1, 1] * s2[..., 2, 2] - s2[..., 1, 2] ** 2, 1e-20))
+        det = jnp.abs(jnp.linalg.det(s2))
+        m_k = jnp.stack([jnp.sqrt(det) / tmp,
+                         jnp.zeros_like(tmp), jnp.zeros_like(tmp)], -1)
+        m_j = jnp.stack([
+            -inv_sqrt_ii * (s2[..., 0, 2] * s2[..., 1, 2]
+                            - s2[..., 0, 1] * s2[..., 2, 2]) / tmp,
+            inv_sqrt_ii * tmp, jnp.zeros_like(tmp)], -1)
+        m_i = inv_sqrt_ii[..., None] * jnp.stack(
+            [s2[..., 0, 2], s2[..., 1, 2], s2[..., 2, 2]], -1)
+        uvw = warp.square_to_cosine_hemisphere(sample2)
+        nl = (uvw[..., 0:1] * m_k + uvw[..., 1:2] * m_j
+              + uvw[..., 2:3] * m_i)
+        nl = normalize(nl)
+        n_world = Frame.to_world((fs, ft, fn), nl)
+        wo = normalize(2.0 * dot(wi, n_world)[..., None] * n_world - wi)
+        pdf = 0.25 * _sggx_ndf(n_world, s) / _sggx_sigma(wi, s)
+        return wo, pdf
+
+    def eval(self, wi_world, wo_world, active):
+        wi = wi_world
+        s = self._vals(wi)
+        wh = normalize(wi + wo_world)
+        return 0.25 * _sggx_ndf(wh, s) / _sggx_sigma(wi, s)
+
+    def pdf(self, wi_world, wo_world, active):
+        return self.eval(wi_world, wo_world, active)
+
+    def projected_area(self, wi_world):
+        return _sggx_sigma(wi_world, self._vals(wi_world))
+
+
 # ------------------------------------------------------------------ media
 
 @pytree

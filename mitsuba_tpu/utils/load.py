@@ -1052,6 +1052,12 @@ def _make_phase(d):
 
         return TabulatedPhase(
             values=jnp.asarray(d["values"], jnp.float32))
+    if t == "sggx":
+        from ..models.media import SGGXPhase
+
+        # specular microflakes (sggx.cpp default); S = the six
+        # [S_xx, S_yy, S_zz, S_xy, S_xz, S_yz] matrix entries
+        return SGGXPhase(S=jnp.asarray(d["S"], jnp.float32))
     raise ValueError(f"unsupported phase plugin {t!r}")
 
 
