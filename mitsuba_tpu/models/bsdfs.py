@@ -219,6 +219,10 @@ class DispersiveDielectric:
     flags = Flags.DeltaReflection | Flags.DeltaTransmission
 
     def _eta(self, si):
+        # hero-wavelength channel 0 drives the IOR — exact parity with
+        # the reference, which also reduces the wavelength vector to
+        # its first entry (dispersive_dielectric.cpp:418-420: "for
+        # dispersion calculations, we take just the first wavelength")
         if si.wavelengths.shape[-1] == 0:
             lam_um = jnp.full(si.t.shape, 0.5893)
         else:

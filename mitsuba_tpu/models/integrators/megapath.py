@@ -246,11 +246,21 @@ class MegakernelPathIntegrator:
             state = tuple(x[perm] for x in state)
             lane_c = lane_c[perm]
             idx = idx[perm]
-            state = megakernel_bounce_bvh(
-                acc.node_box, acc.node_meta, rows, light, lane_c, seed,
-                state, depth=depth, max_depth=self.max_depth,
-                rr_depth=self.rr_depth, n_nodes=acc.n_nodes,
-                n_lights=n_lights, btypes=btypes, interpret=interpret,
-                rpl=acc.rpl, batch=acc.batch, smooth=smooth)
+
+            def launch(args, depth=depth):
+                st, ln = args
+                return megakernel_bounce_bvh(
+                    acc.node_box, acc.node_meta, rows, light, ln, seed,
+                    st, depth=depth, max_depth=self.max_depth,
+                    rr_depth=self.rr_depth, n_nodes=acc.n_nodes,
+                    n_lights=n_lights, btypes=btypes,
+                    interpret=interpret, rpl=acc.rpl, batch=acc.batch,
+                    smooth=smooth)
+
+            # compaction, coarse level: once RR/escapes kill the whole
+            # wavefront, skip the remaining launches entirely
+            state = jax.lax.cond(
+                jnp.any(state[15] > 0.5), launch,
+                lambda args: args[0], (state, lane_c))
         L = jnp.stack([state[6], state[7], state[8]], axis=-1)
         return jnp.zeros((n, 3)).at[idx].set(L)

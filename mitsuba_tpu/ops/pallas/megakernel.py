@@ -1646,10 +1646,32 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
     from .traverse import traverse_any, traverse_closest
 
     def kernel(node_box_ref, node_meta_ref, light_ref, env_ref, tex_ref,
-               en_ref, rows_ref, lane_ref, seed_ref, *st_refs):
+               tflag_ref, en_ref, rows_ref, lane_ref, seed_ref,
+               *st_refs):
         in_refs = st_refs[:16]
         out_refs = st_refs[16:32]
         qbuf, sems = st_refs[32], st_refs[33]
+
+        # ---- path-state compaction (SURVEY §7): the caller sorts dead
+        # lanes to trailing tiles, so a tile whose activity flag is 0
+        # passes its state straight through and skips the whole BVH
+        # walk — the static-shape equivalent of wavefront compaction.
+        flag = tflag_ref[pl.program_id(0)]
+
+        @pl.when(flag == 0)
+        def _passthrough():
+            for r, v in zip(out_refs, in_refs):
+                r[:] = v[:]
+
+        @pl.when(flag > 0)
+        def _body():
+            _bounce_body(node_box_ref, node_meta_ref, light_ref,
+                         env_ref, tex_ref, en_ref, rows_ref, lane_ref,
+                         seed_ref, in_refs, out_refs, qbuf, sems)
+
+    def _bounce_body(node_box_ref, node_meta_ref, light_ref, env_ref,
+                     tex_ref, en_ref, rows_ref, lane_ref, seed_ref,
+                     in_refs, out_refs, qbuf, sems):
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
         shape = lane.shape
@@ -1784,6 +1806,10 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     kernel = _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes,
                                    n_lights, btypes, rpl, batch, smooth,
                                    env_pos)
+    # per-tile activity flags: with lanes sorted dead-last, trailing
+    # tiles go fully inactive and the kernel passes them through
+    tflags = (st_t[15].reshape(grid[0], -1).max(axis=-1)
+              > 0.5).astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1793,6 +1819,7 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # light
             pl.BlockSpec(memory_space=pltpu.SMEM),   # env meta
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tex arena
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile flags
             en_spec,                                  # env NEE slice
             pl.BlockSpec(memory_space=pl.ANY),       # leaf rows (HBM)
         ] + [ray_spec] * 18,
@@ -1804,7 +1831,7 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
             pltpu.SemaphoreType.DMA((QUEUE,)),
         ],
         interpret=interpret,
-    )(node_box, node_meta, light, env_meta, tex,
+    )(node_box, node_meta, light, env_meta, tex, tflags,
       en_t, rows, lane_t, seed_t, *st_t)
     flat = lambda x: x.reshape(n_pad)[:n]
     return tuple(flat(x) for x in out)
