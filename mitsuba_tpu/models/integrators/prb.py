@@ -49,6 +49,37 @@ from .common import (
 from .path import PathIntegrator
 
 
+def _nee_geometry_attached(si, ds):
+    """Attached NEE geometry for the adjoint re-evaluation.
+
+    The emitter POINT ds.p stays detached (it is the integration
+    variable), but in the area-measure view the direction, the 1/r^2
+    falloff and the emitter-side cosine are all functions of the
+    attached shading point si.p.  The reference's prb.py:153 attaches
+    only the direction rotation (``ds.d = replace_grad(ds.d,
+    normalize(ds.p - si.p))``) while leaving cos_l/r^2 inside the
+    detached pdf — we attach the full geometric ratio ``jac`` (primal
+    value exactly 1) so receiver-motion gradients are complete.
+    Infinite/environment samples keep jac = 1.
+
+    Returns (d_att, jac)."""
+    d_vec = ds.p - si.p
+    r2 = jnp.maximum(jnp.sum(d_vec ** 2, -1), 1e-20)
+    d_att = d_vec / jnp.sqrt(r2)[:, None]
+    finite = ds.dist < 1e7
+    has_n = jnp.sum(ds.n ** 2, -1) > 0.5
+    cos_att = jnp.where(has_n,
+                        jnp.abs(jnp.sum(d_att * ds.n, -1)), 1.0)
+    g_att = cos_att / r2
+    g_det = jax.lax.stop_gradient(g_att)
+    good = finite & (g_det > 1e-12)
+    jac = jnp.where(good,
+                    jnp.where(good, g_att, 1.0)
+                    / jnp.where(good, g_det, 1.0), 1.0)
+    d_use = jnp.where(finite[:, None], d_att, ds.d)
+    return d_use, jac
+
+
 def _float_partition(tree):
     """Split a pytree into (float leaves, rebuild fn, zero-cotangent fn)."""
     flat, treedef = jax.tree_util.tree_flatten(tree)
@@ -179,11 +210,12 @@ class PRBIntegrator:
                 Lr_dir = jnp.zeros_like(Le_t)
                 if nee_enabled:
                     em_val = sc.eval_emitter_direction(si, ds, ok)
-                    wo_l = si.to_local(ds.d)
+                    d_att, jac = _nee_geometry_attached(si, ds)
+                    wo_l = si.to_local(d_att)
                     bsdf_val_nee, _ = sc.bsdf_eval_pdf(si, wo_l, ok)
                     Lr_dir = (
                         beta
-                        * (mis_em * inv_ds_pdf)[:, None]
+                        * (mis_em * inv_ds_pdf * jac)[:, None]
                         * bsdf_val_nee
                         * em_val
                     )
@@ -319,9 +351,10 @@ class PRBIntegrator:
                 Lr_dir = jnp.zeros_like(Le_t)
                 if nee_enabled:
                     em_val = sc.eval_emitter_direction(si, ds, ok)
-                    wo_l = si.to_local(ds.d)
+                    d_att, jac = _nee_geometry_attached(si, ds)
+                    wo_l = si.to_local(d_att)
                     bsdf_val_nee, _ = sc.bsdf_eval_pdf(si, wo_l, ok)
-                    Lr_dir = (beta * (mis_em * inv_ds_pdf)[:, None]
+                    Lr_dir = (beta * (mis_em * inv_ds_pdf * jac)[:, None]
                               * bsdf_val_nee * em_val)
                 peeled = (s["L"] - jax.lax.stop_gradient(Le_t)
                           - jax.lax.stop_gradient(Lr_dir))

@@ -640,10 +640,18 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
             * G * dV * speed * inv_pdf * A_L * inv_oc / n_samples,
             0.0,
         )
-        coeff = coeff + coeff2
+        x2_det = si_2.p
+    else:
+        coeff2 = None
+        x2_det = None
 
     lidx_d = lidx
     idx_d = idx
+    # receiver triangle (for receiver-motion attachment); analytic
+    # receivers (prim_index >= len(faces)) keep the detached plane
+    prim_r = jnp.clip(si_r.prim_index, 0, faces.shape[0] - 1)
+    fr = faces[prim_r]
+    mesh_recv = si_r.prim_index < faces.shape[0]
 
     def S(fl):
         sc = rebuild(fl)
@@ -654,14 +662,53 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
         y_att = (v_att[lf_att[:, 0]] * (1.0 - b0 - b1)[:, None]
                  + v_att[lf_att[:, 1]] * b0[:, None]
                  + v_att[lf_att[:, 2]] * b1[:, None])
-        xb_att = to_receiver(xe_att, y_att)
+        # receiver motion: x_B lives on the receiver's (attached)
+        # plane, so its boundary velocity picks up the plane's own
+        # motion (reference projective.py attaches the full boundary
+        # path through every vertex).  Scale/orientation of the plane
+        # normal cancel in tau, so the raw cross product suffices.
+        r0 = v_att[fr[:, 0]]
+        nr_att = jnp.cross(v_att[fr[:, 1]] - r0, v_att[fr[:, 2]] - r0)
+        pr = jnp.where(mesh_recv[:, None], r0, p_recv)
+        nr = jnp.where(mesh_recv[:, None], nr_att, n_recv)
+        d_att = xe_att - y_att
+        dn = jnp.sum(d_att * nr, -1)
+        dn = jnp.where(jnp.abs(dn) > 1e-9, dn, 1e-9)
+        tau = jnp.sum((pr - y_att) * nr, -1) / dn
+        xb_att = y_att + tau[:, None] * d_att
         xb_att = jnp.nan_to_num(xb_att)
-        return jnp.sum(coeff * jnp.sum(m_hat * xb_att, -1))
+
+        # The m_hat projection measures IN-PLANE curve motion, but
+        # x_B's velocity can leave the theta_0 receiver plane (e.g.
+        # the receiver itself translating along its normal, or a
+        # light/blocker moving vertically).  What the previous path
+        # vertex actually sees is the boundary's apparent motion: the
+        # attached x_B re-projected onto the DETACHED receiver plane
+        # along the viewer ray (identity at theta_0, exact to first
+        # order).  Depth-1 samples are viewed from the camera, depth-2
+        # samples from x_2.
+        def view_on_plane(xb, viewer):
+            dv = xb - viewer
+            den = jnp.sum(dv * n_recv, -1)
+            den = jnp.where(jnp.abs(den) > 1e-9, den,
+                            jnp.where(den >= 0, 1e-9, -1e-9))
+            sview = jnp.sum((p_recv - viewer) * n_recv, -1) / den
+            return viewer + sview[:, None] * dv
+
+        xb1 = view_on_plane(xb_att, cam_p)
+        out = jnp.sum(coeff * jnp.sum(m_hat * xb1, -1))
+        if coeff2 is not None:
+            xb2 = view_on_plane(xb_att, x2_det)
+            out = out + jnp.sum(coeff2 * jnp.sum(m_hat * xb2, -1))
+        return out
 
     grads = jax.grad(S)(floats)
     if collect:
         pts = jnp.stack([u_e, t_e, u_lf], axis=-1)
-        return grads, pts, jnp.abs(coeff)
+        mass = jnp.abs(coeff)
+        if coeff2 is not None:
+            mass = mass + jnp.abs(coeff2)
+        return grads, pts, mass
     return grads, None, None
 
 # --------------------------------------------------------- integrators

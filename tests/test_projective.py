@@ -194,6 +194,69 @@ def test_shadow_boundary_gradient_matches_fd():
     assert abs(ad0) < 0.3 * abs(fd), (ad0, fd)
 
 
+def _recv_scene(fz=0.0):
+    """_shadow_scene with an OFF-CENTER blocker and a movable floor:
+    lifting the floor (receiver) sweeps the asymmetric shadow sideways,
+    so d(loss)/d(floor_z) under an x-ramp loss is dominated by the
+    receiver-motion boundary term."""
+    floor = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0, 0, fz]), tf.scale(2.0)), np.float32)),
+        bsdf_index=0, id="floor")
+    blocker = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0.06, 0.0, 1.0]), tf.scale(0.12)),
+        np.float32)), bsdf_index=0, id="blocker")
+    light = Mesh.make(*rectangle(np.asarray(
+        tf.compose(tf.translate([0, 0, 2.0]), tf.rotate([1, 0, 0], 180),
+                   tf.scale(0.1)), np.float32)),
+        bsdf_index=0, emitter_index=0, id="light")
+    em = AreaEmitter(radiance=ConstantTexture(jnp.full((3,), 120.0)))
+    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), 0.8)))
+    cam = PerspectiveCamera(
+        to_world=jnp.asarray(tf.look_at([0, 0, 0.5], [0, 0, 0],
+                                        [0, 1, 0])),
+        fov=50.0,
+        film=Film(width=32, height=32,
+                  rfilter=ReconstructionFilter.box()),
+    )
+    return make_scene([floor, blocker, light], [white], [em], cam,
+                      use_bvh=False)
+
+
+@pytest.mark.slow
+def test_receiver_motion_boundary_matches_fd():
+    """Receiver-motion term of the shadow-boundary integral: moving
+    the RECEIVER plane (all edge/light vertices fixed) must still
+    reproduce the finite-difference gradient — the boundary point
+    x_B is attached through the receiver plane, not just edge+light."""
+    spp = 32
+    seed = 0
+    W = _loss_weights()
+    scene = _recv_scene()
+    edges = build_silhouette_edges(scene)
+    integ = PathProjectiveIntegrator(max_depth=2, sppp=4096, n_sub=2)
+
+    def loss(s):
+        return jnp.sum(prb_projective_render(s, edges, integ, seed, spp)
+                       * W)
+
+    ads = []
+    for sd in (0, 1, 2):
+        integ_s = PathProjectiveIntegrator(max_depth=2, sppp=4096,
+                                           n_sub=2)
+        g = jax.grad(
+            lambda s: jnp.sum(
+                prb_projective_render(s, edges, integ_s, sd, spp) * W),
+            allow_int=True)(scene)
+        ads.append(float(jnp.sum(g.meshes[0].vertices[:, 2])))
+    ad = float(np.mean(ads))
+
+    h = 0.03
+    fd = (float(loss(_recv_scene(h))) - float(loss(_recv_scene(-h)))) \
+        / (2 * h)
+    assert np.isfinite(ad), ad
+    assert abs(ad - fd) < 0.35 * abs(fd) + 0.05, (ad, fd, ads)
+
+
 def test_octree_guiding_distribution():
     """OcSpaceDistr: normalized density, pdf/sample agreement, and
     adaptive concentration (guiding.py:141 OcSpaceDistr)."""
