@@ -30,6 +30,7 @@ from .models.integrators import (  # noqa: F401
     prb_render,
     render,
 )
+from .models.denoiser import denoise, denoise_render  # noqa: F401
 from .utils.load import load_dict  # noqa: F401
 from .utils.params import SceneParameters, traverse, update  # noqa: F401
 from .utils.scenes import cornell_box, cornell_box_dict  # noqa: F401

@@ -46,6 +46,27 @@ class AOVIntegrator:
                 out[name] = jnp.where(valid[:, None], si.p, 0.0)
             elif name == "uv":
                 out[name] = jnp.where(valid[:, None], si.uv, 0.0)
+            elif name == "emission":
+                # first-hit emitted radiance (denoisers filter only the
+                # scattered component and add this back unfiltered)
+                le, _ = scene.eval_emitter_hit(si, ray.o, valid)
+                out[name] = jnp.where(valid[:, None], le, 0.0)
+            elif name == "albedo":
+                # aov.cpp albedo: the BSDF's diffuse reflectance at the
+                # first hit (denoiser guide buffer)
+                bidx = scene.lane_bsdf_index(si)
+                alb = jnp.zeros(si.p.shape[:-1] + (3,))
+                for i, b in enumerate(scene.bsdfs):
+                    m = valid & (bidx == i)
+                    tex = (getattr(b, "reflectance", None)
+                           or getattr(b, "base_color", None)
+                           or getattr(b, "specular_reflectance", None))
+                    if tex is not None:
+                        v = tex.eval(si)
+                    else:
+                        v = jnp.full(alb.shape, 0.5)
+                    alb = jnp.where(m[:, None], v, alb)
+                out[name] = alb
             elif name == "prim_index":
                 out[name] = si.prim_index.astype(jnp.float32)[:, None]
             elif name == "shape_index":

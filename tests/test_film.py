@@ -93,3 +93,55 @@ def test_splat_grouped_matches_scatter():
                           rf, jnp.asarray(active))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_albedo_aov():
+    """albedo AOV (aov.cpp): first-hit diffuse reflectance."""
+    import numpy as np
+    from mitsuba_tpu.utils.load import load_dict
+    from mitsuba_tpu.utils.scenes import cornell_box_dict
+    from mitsuba_tpu.models.integrators.aov import (AOVIntegrator,
+                                                    render_aov)
+
+    sc = load_dict(cornell_box_dict(width=16, height=16, spp=8))
+    imgs = render_aov(sc, AOVIntegrator(aovs=("albedo",)), seed=0,
+                      spp=16)
+    a = np.asarray(imgs["albedo"])
+    assert a.shape == (16, 16, 3)
+    assert np.isfinite(a).all() and a.max() <= 1.0 + 1e-5
+    # cornell walls are colored: green/red channels must differ
+    # somewhere (left vs right wall pixels)
+    assert (a.std(axis=(0, 1)) > 0.01).any()
+
+
+def test_denoiser_reduces_noise_preserves_edges():
+    """À-trous guided denoiser (optixdenoiser.cpp TPU equivalent):
+    MSE to a high-spp target drops; guide buffers keep hard edges."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.utils.load import load_dict
+    from mitsuba_tpu.utils.scenes import cornell_box_dict
+    from mitsuba_tpu.models.integrators.common import render
+    from mitsuba_tpu.models.integrators.aov import (AOVIntegrator,
+                                                    render_aov)
+    from mitsuba_tpu.models.denoiser import denoise
+
+    from mitsuba_tpu.models.integrators.aov import render_moments
+
+    sc = load_dict(cornell_box_dict(width=32, height=32, spp=8))
+    spp = 4
+    mean, m2 = render_moments(sc, sc.integrator, seed=3, spp=spp)
+    var = jnp.maximum(m2 - mean * mean, 0.0) / (spp - 1)
+    noisy = np.asarray(mean)
+    clean = np.mean([np.asarray(render(sc, sc.integrator, seed=s,
+                                       spp=128)) for s in range(2)], 0)
+    aovs = render_aov(
+        sc, AOVIntegrator(aovs=("albedo", "sh_normals", "emission")),
+        seed=3, spp=64)
+    den = np.asarray(denoise(jnp.asarray(noisy), aovs["albedo"],
+                             aovs["sh_normals"], variance=var,
+                             emission=aovs["emission"]))
+    mse_noisy = float(((noisy - clean) ** 2).mean())
+    mse_den = float(((den - clean) ** 2).mean())
+    assert mse_den < 0.35 * mse_noisy, (mse_den, mse_noisy)
+    assert np.isfinite(den).all()
