@@ -170,17 +170,24 @@ class PRBVolPathIntegrator:
                     mis_hit[:, None] * le_hit + mis_env[:, None] * le_env)
                 Lr_dir = jnp.zeros_like(Le_t)
                 if nee_enabled:
+                    from .prb import _nee_geometry_attached
+
                     em_val = sc.eval_emitter_direction(si, ds, ok)
                     tr_a = med.transmittance(ds.dist, ok)
                     ph_val = ph.eval(-ray.d, ds.d, ok)
-                    wo_l = si.to_local(ds.d)
+                    # surface lanes: attached NEE geometry (direction,
+                    # 1/r^2, emitter cosine) w.r.t. the moving surface
+                    d_att, jac = _nee_geometry_attached(si, ds)
+                    jac = jnp.where(is_med, 1.0, jac)
+                    wo_l = si.to_local(d_att)
                     bsdf_val_nee, _ = sc.bsdf_eval_pdf(
                         si, wo_l, ok & on_surface)
                     f_val = jnp.where(
                         is_med[:, None],
                         jnp.broadcast_to(ph_val[:, None], bsdf_val_nee.shape),
                         bsdf_val_nee)
-                    Lr_dir = (beta_cur * (mis_em * inv_ds_pdf)[:, None]
+                    Lr_dir = (beta_cur
+                              * (mis_em * inv_ds_pdf * jac)[:, None]
                               * f_val * em_val * tr_a)
                 peeled = (s["L"] - jax.lax.stop_gradient(Le_t)
                           - jax.lax.stop_gradient(Lr_dir))
