@@ -60,6 +60,23 @@ def scene_configs():
                    "albedo": {"type": "rgb", "value": [0.8, 0.8, 0.8]},
                    "phase": {"type": "isotropic"}}
     cfgs["cornell_volpath"] = d
+
+    d = cornell_box_dict(width=32, height=32, spp=8)
+    d["integrator"] = {"type": "volpathmis", "max_depth": 5}
+    d["medium"] = {"type": "homogeneous",
+                   "sigma_t": {"type": "rgb", "value": [0.15, 0.9, 2.5]},
+                   "albedo": {"type": "rgb", "value": [0.8, 0.8, 0.8]},
+                   "phase": {"type": "isotropic"}}
+    cfgs["cornell_volpathmis"] = d
+
+    d = cornell_box_dict(width=32, height=32, spp=8)
+    d["integrator"] = {"type": "volpath", "max_depth": 5}
+    d["medium"] = {"type": "homogeneous",
+                   "sigma_t": {"type": "rgb", "value": [0.5, 0.5, 0.5]},
+                   "albedo": {"type": "rgb", "value": [0.8, 0.8, 0.8]},
+                   "phase": {"type": "sggx",
+                             "S": [0.04, 0.04, 1.0, 0.0, 0.0, 0.0]}}
+    cfgs["cornell_sggx"] = d
     return cfgs
 
 
@@ -69,7 +86,12 @@ def main(spp=1024):
 
     out_dir = os.path.join(os.path.dirname(__file__), "golden")
     os.makedirs(out_dir, exist_ok=True)
+    force = "--force" in sys.argv
     for name, d in scene_configs().items():
+        if not force and os.path.exists(
+                os.path.join(out_dir, name + ".npz")):
+            print(f"{name}: exists, skipping (--force to regenerate)")
+            continue
         scene = load_dict(d)
         mean, m2 = render_moments(scene, scene.integrator, seed=1234,
                                   spp=spp)
