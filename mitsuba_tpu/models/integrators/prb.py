@@ -125,12 +125,23 @@ class PRBIntegrator:
 
     # ------------------------------------------------------------ adjoint
 
-    def sample_backward(self, scene, ray, lane, seed, delta_L, L0, active):
+    def sample_backward(self, scene, ray, lane, seed, delta_L, L0, active,
+                        ray_fn=None):
         """Replay the walk of (seed, lane), propagating the image-space
         adjoint delta_L into gradients w.r.t. the scene's float leaves.
 
         Returns the list of float-leaf gradients (same order as
         _float_partition(scene)).  prb.py:105-250 Backward mode.
+
+        ``ray_fn(attached_scene) -> Ray`` regenerates the PRIMARY rays
+        from the attached scene (same RNG stream): sensor parameters
+        (pose, lens curvatures, dispersion) then flow through the
+        depth-0 interaction — the reference generates its sensor rays
+        under ``dr.resume_grad`` for the same reason (common.py:302).
+        Like the reference's PRB, this is the CONTINUOUS part only:
+        sensor motion that sweeps visibility edges across pixels
+        (e.g. camera translation in an edge-rich scene) additionally
+        needs boundary terms (prb_projective).
         """
         n = ray.o.shape[0]
         scene_det = jax.lax.stop_gradient(scene)
@@ -201,9 +212,16 @@ class PRBIntegrator:
             # ---------- attached re-evaluation + local gradient
             def contrib_fn(fl):
                 sc = rebuild(fl)
-                si = sc.compute_si(pi, ray)
+                if ray_fn is not None:
+                    ray_c = jax.lax.cond(
+                        depth == jnp.int32(0),
+                        lambda sc_: ray_fn(sc_),
+                        lambda sc_: ray, sc)
+                else:
+                    ray_c = ray
+                si = sc.compute_si(pi, ray_c)
                 le_hit, _ = sc.eval_emitter_hit(si, prev_p, act_hit)
-                le_env, _ = sc.eval_env(ray, prev_p, escaped)
+                le_env, _ = sc.eval_env(ray_c, prev_p, escaped)
                 Le_t = beta * (
                     mis_hit[:, None] * le_hit + mis_env[:, None] * le_env
                 )
@@ -476,11 +494,28 @@ def _prb_bwd(integrator, spp, spp_grad, res, grad_image):
     # replay 1: primal radiance along the adjoint walk (common.py:764)
     L0 = integrator.sample(scene_det, ray, lane, seed_u, active)
 
-    # replay 2: backward transport (common.py:777)
+    # replay 2: backward transport (common.py:777); primary rays are
+    # regenerated from the attached scene so sensor parameters (pose,
+    # lens geometry, dispersion) receive gradients (common.py:302)
+    def ray_fn(sc):
+        return sample_rays(sc, seed_u, spp_grad)[0]
+
     float_grads = integrator.sample_backward(
-        scene, ray, lane, seed_u, delta_L, L0, active
+        scene, ray, lane, seed_u, delta_L, L0, active, ray_fn=ray_fn
     )
-    _, _, cotangent = _float_partition(scene)
+
+    # sensor importance-weight term: d(splat(weight * L0)) / d(sensor)
+    floats, rebuild, cotangent = _float_partition(scene)
+
+    def sensor_term(fl):
+        sc = rebuild(fl)
+        _, weight_a, _, _ = sample_rays(sc, seed_u, spp_grad)
+        img = film.develop(film.put(
+            film_pos, weight_a * jax.lax.stop_gradient(L0), active))
+        return jnp.sum(grad_image * img)
+
+    g_w = jax.grad(sensor_term)(floats)
+    float_grads = [a + b for a, b in zip(float_grads, g_w)]
     seed_ct = np.zeros(jnp.shape(seed), jax.dtypes.float0)
     return (cotangent(float_grads), seed_ct)
 

@@ -324,3 +324,49 @@ def test_camera_dispersion_gradient_fd():
     fd = float((loss(eps) - loss(-eps)) / (2 * eps))
     assert np.isfinite(g)
     assert abs(g - fd) < 0.1 * max(abs(fd), 1e-6), (g, fd)
+
+
+def test_camera_dispersion_gradient_backward_prb():
+    """Sensor gradients through BACKWARD PRB: primary rays are
+    regenerated from the attached scene in the adjoint pass
+    (common.py:302 resume_grad around sample_ray_differential), so
+    d(render)/d(Cauchy B) matches finite differences."""
+    import jax
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.integrators import PRBIntegrator
+    from mitsuba_tpu.models.integrators.prb import prb_render
+
+    scene = _emitter_plane_scene(width=12, height=12, scale=2.0,
+                                 smooth=True)
+    cam0 = make_lens_camera(
+        "singlet",
+        film=Film(width=12, height=12,
+                  rfilter=ReconstructionFilter.box()),
+        to_world=jnp.asarray(tf.look_at([0, 0, 3.0], [0, 0, 0],
+                                        [0, 1, 0])),
+        focus_distance=3.0, spectral=True)
+    sc0 = scene.replace(sensor=cam0)
+    integ = PRBIntegrator(max_depth=2)
+
+    def with_db(sc, db):
+        ifaces = []
+        for it in sc.sensor.interfaces:
+            l_ = it.left.replace(
+                cauchy=it.left.cauchy + jnp.asarray([0.0, 1.0]) * db
+                * (it.left.cauchy[0] > 1.01))
+            r_ = it.right.replace(
+                cauchy=it.right.cauchy + jnp.asarray([0.0, 1.0]) * db
+                * (it.right.cauchy[0] > 1.01))
+            ifaces.append(it.replace(left=l_, right=r_))
+        return sc.replace(sensor=sc.sensor.replace(
+            interfaces=tuple(ifaces)))
+
+    def loss(db):
+        img = prb_render(with_db(sc0, db), integ, 0, 16, 16)
+        return jnp.mean(img * img)
+
+    g = float(jax.grad(loss)(jnp.float32(0.0)))
+    eps = 2e-4
+    fd = float((loss(eps) - loss(-eps)) / (2 * eps))
+    assert np.isfinite(g)
+    assert abs(g - fd) < 0.15 * max(abs(fd), 1e-6), (g, fd)
