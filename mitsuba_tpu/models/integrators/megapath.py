@@ -151,7 +151,8 @@ class MegakernelPathIntegrator:
                 max_depth=self.max_depth, rr_depth=self.rr_depth
             ).sample(scene, ray, lane, seed, active)
         from ...models.bsdfs import (RoughConductor, RoughDielectric,
-                                     SmoothConductor, SmoothDielectric)
+                                     RoughPlastic, SmoothConductor,
+                                     SmoothDielectric, SmoothPlastic)
 
         interpret = jax.default_backend() != "tpu"
         from ...models.textures import BitmapTexture
@@ -166,6 +167,10 @@ class MegakernelPathIntegrator:
                 codes.add(1)
             elif isinstance(b, SmoothDielectric):
                 codes.add(2)
+            elif isinstance(b, SmoothPlastic):
+                codes.add(6)
+            elif isinstance(b, RoughPlastic):
+                codes.add(7)
             elif isinstance(getattr(b, "reflectance", None),
                             BitmapTexture):
                 codes.add(5)

@@ -79,6 +79,8 @@ BSDF_DIELECTRIC = 2.0
 BSDF_ROUGH_CONDUCTOR = 3.0
 BSDF_ROUGH_DIELECTRIC = 4.0
 BSDF_TEX_DIFFUSE = 5.0
+BSDF_PLASTIC = 6.0
+BSDF_ROUGH_PLASTIC = 7.0
 # texture arena budget: channel-planar texel LUT in VMEM, fetched with
 # per-lane take_along_axis row sweeps (128 texels per row)
 MAX_TEX_FLOATS = 6144
@@ -143,9 +145,11 @@ def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
     from ...models.bsdfs import (
         RoughConductor,
         RoughDielectric,
+        RoughPlastic,
         SmoothConductor,
         SmoothDielectric,
         SmoothDiffuse,
+        SmoothPlastic,
     )
     from ...models.emitters import AreaEmitter
     from ...models.textures import ConstantTexture
@@ -220,6 +224,9 @@ def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
             if (b.specular_reflectance is not None
                     or b.specular_transmittance is not None):
                 return False
+        elif isinstance(b, (SmoothPlastic, RoughPlastic)):
+            if not isinstance(b.diffuse_reflectance, ConstantTexture):
+                return False
         else:
             return False
     for i, e in enumerate(scene.emitters):
@@ -274,7 +281,9 @@ def pack_scene(scene):
 
     # per-BSDF rows: [refl(3) | type(1) | params(6) | alpha(1)]
     from ...models.bsdfs import (RoughConductor, RoughDielectric,
-                                 SmoothConductor, SmoothDielectric)
+                                 RoughPlastic, SmoothConductor,
+                                 SmoothDielectric, SmoothPlastic,
+                                 _fdr_fit)
 
     from ...models.textures import BitmapTexture
 
@@ -298,6 +307,27 @@ def pack_scene(scene):
                 jnp.zeros(1),
             ]))
             tex_off += 3 * H * W
+        elif isinstance(b, SmoothPlastic):
+            rows.append(jnp.concatenate([
+                jnp.asarray(b.diffuse_reflectance.value,
+                            jnp.float32).reshape(3),
+                jnp.asarray([BSDF_PLASTIC]),
+                jnp.asarray(b.eta, jnp.float32).reshape(1),
+                _fdr_fit(jnp.asarray(b.eta, jnp.float32)).reshape(1),
+                jnp.asarray([1.0 if b.nonlinear else 0.0]),
+                jnp.zeros(3), jnp.zeros(1),
+            ]))
+        elif isinstance(b, RoughPlastic):
+            rows.append(jnp.concatenate([
+                jnp.asarray(b.diffuse_reflectance.value,
+                            jnp.float32).reshape(3),
+                jnp.asarray([BSDF_ROUGH_PLASTIC]),
+                jnp.asarray(b.eta, jnp.float32).reshape(1),
+                _fdr_fit(jnp.asarray(b.eta, jnp.float32)).reshape(1),
+                jnp.asarray([1.0 if b.nonlinear else 0.0]),
+                jnp.zeros(3),
+                jnp.asarray(b.alpha, jnp.float32).reshape(1),
+            ]))
         elif isinstance(b, RoughDielectric):
             rows.append(jnp.concatenate([
                 jnp.zeros(3), jnp.asarray([BSDF_ROUGH_DIELECTRIC]),
@@ -742,7 +772,9 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
     has_diel = 2 in btypes
     has_rcond = 3 in btypes
     has_rdiel = 4 in btypes
-    has_ggx = has_rcond or has_rdiel
+    has_pl = 6 in btypes
+    has_rpl = 7 in btypes
+    has_ggx = has_rcond or has_rdiel or has_rpl
     has_env = env_ctx is not None
     if has_env:
         em, en, env_tex_ref, n_env_rows, env_pos = env_ctx
@@ -835,10 +867,12 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         is_cond = (Btype >= 0.5) & (Btype < 1.5)
         is_diel = (Btype >= 1.5) & (Btype < 2.5)
         is_rcond = (Btype >= 2.5) & (Btype < 3.5)
-        is_rdiel = Btype >= 3.5
+        is_rdiel = (Btype >= 3.5) & (Btype < 4.5)
+        is_pl = (Btype >= 5.5) & (Btype < 6.5)
+        is_rpl = Btype >= 6.5
     else:
         is_diff = jnp.ones_like(act)
-        is_cond = is_diel = is_rcond = is_rdiel = \
+        is_cond = is_diel = is_rcond = is_rdiel = is_pl = is_rpl = \
             jnp.zeros_like(act)
 
     px = ox + dx * t
@@ -961,10 +995,16 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
     # wavefront path
     ok_nee = act_next & (pdf_eff > 0.0)
     if multi:
-        # diffuse/rough-conductor need the light on the front
-        # side; rough dielectric is two-sided (its eval handles
-        # the reflection/transmission configuration itself)
-        nee_lobe = is_diff | is_rcond if has_rcond else is_diff
+        # diffuse/rough-conductor/plastic need the light on the
+        # front side; rough dielectric is two-sided (its eval
+        # handles the reflection/transmission configuration itself)
+        nee_lobe = is_diff
+        if has_rcond:
+            nee_lobe = nee_lobe | is_rcond
+        if has_pl:
+            nee_lobe = nee_lobe | is_pl
+        if has_rpl:
+            nee_lobe = nee_lobe | is_rpl
         front_ok = nee_lobe & front & (cos_s > 0.0)
         if has_rdiel:
             ok_nee = ok_nee & (front_ok | is_rdiel)
@@ -1065,6 +1105,55 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
         f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
         ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
+    if has_pl or has_rpl:
+        # plastic.cpp / roughplastic.cpp eval+pdf: dielectric coat
+        # over diffuse with internal-scattering correction
+        eta_p = jnp.maximum(C0, 1.0 + 1e-4)
+        fdr_p = C1
+        F_ip, _, _, _ = _fr_diel(cos_wi, eta_p)
+        F_op, _, _, _ = _fr_diel(cos_s, eta_p)
+        inv_eta2 = 1.0 / (eta_p * eta_p)
+        fac_p = (INV_PI * jnp.maximum(cos_s, 0.0)
+                 * (1.0 - F_ip) * (1.0 - F_op) * inv_eta2)
+        nl = C2 > 0.5
+        den_pr = 1.0 - jnp.where(nl, Rr * fdr_p, fdr_p)
+        den_pg = 1.0 - jnp.where(nl, Rg * fdr_p, fdr_p)
+        den_pb = 1.0 - jnp.where(nl, Rb * fdr_p, fdr_p)
+        dif_pr = Rr / jnp.maximum(den_pr, 1e-6) * fac_p
+        dif_pg = Rg / jnp.maximum(den_pg, 1e-6) * fac_p
+        dif_pb = Rb / jnp.maximum(den_pb, 1e-6) * fac_p
+        cos_pdf_s = INV_PI * jnp.maximum(cos_s, 0.0)
+        if has_pl:
+            fr_nee = jnp.where(is_pl, dif_pr, fr_nee)
+            fg_nee = jnp.where(is_pl, dif_pg, fg_nee)
+            fb_nee = jnp.where(is_pl, dif_pb, fb_nee)
+            f_pdf = jnp.where(is_pl, cos_pdf_s * (1.0 - F_ip),
+                              f_pdf)
+        if has_rpl:
+            wox = sdx * sx + sdy * sy + sdz * sz
+            woy = sdx * tx + sdy * ty + sdz * tz
+            woz = cos_s
+            hpx, hpy, hpz = wix + wox, wiy + woy, wiz + woz
+            hn = jnp.sqrt(jnp.maximum(
+                hpx * hpx + hpy * hpy + hpz * hpz, 1e-20))
+            hpx, hpy, hpz = hpx / hn, hpy / hn, hpz / hn
+            cim_p = wix * hpx + wiy * hpy + wiz * hpz
+            F_mp, _, _, _ = _fr_diel(cim_p, eta_p)
+            d_p = _ggx_d(hpx, hpy, hpz, alpha)
+            g2_p = (_ggx_g1(wix, wiy, wiz, hpx, hpy, hpz, alpha)
+                    * _ggx_g1(wox, woy, woz, hpx, hpy, hpz, alpha))
+            spec_p = F_mp * d_p * g2_p / jnp.maximum(
+                4.0 * wiz, 1e-20)
+            jac_p = 1.0 / jnp.maximum(
+                4.0 * jnp.abs(wox * hpx + woy * hpy + woz * hpz),
+                1e-20)
+            pdf_rpl = (F_ip * _vndf_pdf(wix, wiy, wiz, hpx, hpy,
+                                        hpz, alpha) * jac_p
+                       + (1.0 - F_ip) * cos_pdf_s)
+            fr_nee = jnp.where(is_rpl, dif_pr + spec_p, fr_nee)
+            fg_nee = jnp.where(is_rpl, dif_pg + spec_p, fg_nee)
+            fb_nee = jnp.where(is_rpl, dif_pb + spec_p, fb_nee)
+            f_pdf = jnp.where(is_rpl, pdf_rpl, f_pdf)
     wnee = jnp.where(ok_nee, _mis(pdf_eff, f_pdf), 0.0)
     # the f/W terms carry inf/NaN on miss lanes (t = inf); the
     # where must wrap the product, not just the weight
@@ -1209,29 +1298,118 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
         eta_rd = jnp.ones_like(ox)
 
+    if has_pl or has_rpl:
+        # plastic.cpp / roughplastic.cpp sample: Fresnel lobe choice
+        # between the coat reflection and the diffuse base
+        eta_p2 = jnp.maximum(C0, 1.0 + 1e-4)
+        fdr_s = C1
+        nl_s = C2 > 0.5
+        F_is, _, _, _ = _fr_diel(cos_wi, eta_p2)
+        pick_sp = u_lobe < F_is
+        inv_eta2s = 1.0 / (eta_p2 * eta_p2)
+        den_sr = 1.0 - jnp.where(nl_s, Rr * fdr_s, fdr_s)
+        den_sg = 1.0 - jnp.where(nl_s, Rg * fdr_s, fdr_s)
+        den_sb = 1.0 - jnp.where(nl_s, Rb * fdr_s, fdr_s)
+    if has_pl:
+        # smooth coat: mirror direction (shading normal)
+        F_od, _, _, _ = _fr_diel(dzl, eta_p2)
+        wdf = inv_eta2s * (1.0 - F_od)
+        plx = jnp.where(pick_sp, dx + 2.0 * cos_wi * shx, ddx)
+        ply = jnp.where(pick_sp, dy + 2.0 * cos_wi * shy, ddy)
+        plz = jnp.where(pick_sp, dz + 2.0 * cos_wi * shz, ddz)
+        wPl_r = jnp.where(pick_sp, 1.0,
+                          Rr / jnp.maximum(den_sr, 1e-6) * wdf)
+        wPl_g = jnp.where(pick_sp, 1.0,
+                          Rg / jnp.maximum(den_sg, 1e-6) * wdf)
+        wPl_b = jnp.where(pick_sp, 1.0,
+                          Rb / jnp.maximum(den_sb, 1e-6) * wdf)
+        pdf_pl_f = jnp.where(pick_sp, F_is,
+                             pdf_diff * (1.0 - F_is))
+    else:
+        plx = ply = plz = pdf_pl_f = jnp.zeros_like(ox)
+        wPl_r = wPl_g = wPl_b = jnp.zeros_like(ox)
+    if not (has_pl or has_rpl):
+        pick_sp = jnp.zeros_like(act)
+    if has_rpl:
+        # GGX coat: VNDF reflect or cosine diffuse, then weight =
+        # full eval / mixture pdf (roughplastic.cpp sample)
+        mpx, mpy, mpz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
+                                     alpha)
+        cimp = wix * mpx + wiy * mpy + wiz * mpz
+        splx = 2.0 * cimp * mpx - wix
+        sply = 2.0 * cimp * mpy - wiy
+        splz = 2.0 * cimp * mpz - wiz
+        wolx = jnp.where(pick_sp, splx, dxl)
+        woly = jnp.where(pick_sp, sply, dyl)
+        wolz = jnp.where(pick_sp, splz, dzl)
+        # eval+pdf at the sampled direction
+        hqx, hqy, hqz = wix + wolx, wiy + woly, wiz + wolz
+        hqn = jnp.sqrt(jnp.maximum(
+            hqx * hqx + hqy * hqy + hqz * hqz, 1e-20))
+        hqx, hqy, hqz = hqx / hqn, hqy / hqn, hqz / hqn
+        cimq = wix * hqx + wiy * hqy + wiz * hqz
+        F_mq, _, _, _ = _fr_diel(cimq, eta_p2)
+        d_q = _ggx_d(hqx, hqy, hqz, alpha)
+        g2_q = (_ggx_g1(wix, wiy, wiz, hqx, hqy, hqz, alpha)
+                * _ggx_g1(wolx, woly, wolz, hqx, hqy, hqz, alpha))
+        spec_q = F_mq * d_q * g2_q / jnp.maximum(4.0 * wiz, 1e-20)
+        F_oq, _, _, _ = _fr_diel(wolz, eta_p2)
+        fac_q = (INV_PI * jnp.maximum(wolz, 0.0)
+                 * (1.0 - F_is) * (1.0 - F_oq) * inv_eta2s)
+        jac_q = 1.0 / jnp.maximum(
+            4.0 * jnp.abs(wolx * hqx + woly * hqy + wolz * hqz),
+            1e-20)
+        pdf_q = (F_is * _vndf_pdf(wix, wiy, wiz, hqx, hqy, hqz,
+                                  alpha) * jac_q
+                 + (1.0 - F_is) * INV_PI * jnp.maximum(wolz, 0.0))
+        ok_q = (wiz > 0.0) & (wolz > 0.0) & (pdf_q > 1e-20)
+        inv_pdf_q = jnp.where(ok_q, 1.0 / jnp.maximum(pdf_q, 1e-20),
+                              0.0)
+        wRp_r = (Rr / jnp.maximum(den_sr, 1e-6) * fac_q + spec_q) \
+            * inv_pdf_q
+        wRp_g = (Rg / jnp.maximum(den_sg, 1e-6) * fac_q + spec_q) \
+            * inv_pdf_q
+        wRp_b = (Rb / jnp.maximum(den_sb, 1e-6) * fac_q + spec_q) \
+            * inv_pdf_q
+        pdf_rpl_f = jnp.where(ok_q, pdf_q, 0.0)
+        rpx = sx * wolx + tx * woly + shx * wolz
+        rpy = sy * wolx + ty * woly + shy * wolz
+        rpz = sz * wolx + tz * woly + shz * wolz
+    else:
+        rpx = rpy = rpz = pdf_rpl_f = jnp.zeros_like(ox)
+        wRp_r = wRp_g = wRp_b = jnp.zeros_like(ox)
+
     # combine by surface type
     if multi:
         ndx = jnp.where(is_diff, ddx, jnp.where(
             is_cond, rx, jnp.where(is_diel, gdx, jnp.where(
-                is_rcond, rcx, tdx))))
+                is_rcond, rcx, jnp.where(is_rdiel, tdx, jnp.where(
+                    is_pl, plx, rpx))))))
         ndy = jnp.where(is_diff, ddy, jnp.where(
             is_cond, ry, jnp.where(is_diel, gdy, jnp.where(
-                is_rcond, rcy, tdy))))
+                is_rcond, rcy, jnp.where(is_rdiel, tdy, jnp.where(
+                    is_pl, ply, rpy))))))
         ndz = jnp.where(is_diff, ddz, jnp.where(
             is_cond, rz, jnp.where(is_diel, gdz, jnp.where(
-                is_rcond, rcz, tdz))))
+                is_rcond, rcz, jnp.where(is_rdiel, tdz, jnp.where(
+                    is_pl, plz, rpz))))))
         wR = jnp.where(is_diff, Rr, jnp.where(
             is_cond, Fc_r, jnp.where(is_diel, w_diel, jnp.where(
-                is_rcond, Frc_r, w_rd))))
+                is_rcond, Frc_r, jnp.where(is_rdiel, w_rd, jnp.where(
+                    is_pl, wPl_r, wRp_r))))))
         wG = jnp.where(is_diff, Rg, jnp.where(
             is_cond, Fc_g, jnp.where(is_diel, w_diel, jnp.where(
-                is_rcond, Frc_g, w_rd))))
+                is_rcond, Frc_g, jnp.where(is_rdiel, w_rd, jnp.where(
+                    is_pl, wPl_g, wRp_g))))))
         wB = jnp.where(is_diff, Rb, jnp.where(
             is_cond, Fc_b, jnp.where(is_diel, w_diel, jnp.where(
-                is_rcond, Frc_b, w_rd))))
+                is_rcond, Frc_b, jnp.where(is_rdiel, w_rd, jnp.where(
+                    is_pl, wPl_b, wRp_b))))))
         pdf_fwd = jnp.where(is_diff, pdf_diff, jnp.where(
             is_cond, 1.0, jnp.where(is_diel, pdf_diel, jnp.where(
-                is_rcond, pdf_rc, pdf_rd))))
+                is_rcond, pdf_rc, jnp.where(is_rdiel, pdf_rd,
+                                            jnp.where(is_pl, pdf_pl_f,
+                                                      pdf_rpl_f))))))
     else:
         ndx, ndy, ndz = ddx, ddy, ddz
         wR, wG, wB = Rr, Rg, Rb
@@ -1255,7 +1433,14 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
     dx, dy, dz = ndx, ndy, ndz
     prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
     if multi:
-        smooth_lobe = is_diff | is_rcond if has_rcond else is_diff
+        smooth_lobe = is_diff
+        if has_rcond:
+            smooth_lobe = smooth_lobe | is_rcond
+        if has_rpl:
+            smooth_lobe = smooth_lobe | is_rpl
+        if has_pl:
+            # plastic: delta only when the coat reflection was picked
+            smooth_lobe = smooth_lobe | (is_pl & ~pick_sp)
         prev_delta = jnp.where(act_next,
                                jnp.where(smooth_lobe, 0.0, 1.0),
                                prev_delta)

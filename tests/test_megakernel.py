@@ -63,8 +63,10 @@ def test_fallback_out_of_scope():
     from mitsuba_tpu.utils.scenes import cornell_box_dict
 
     dd = cornell_box_dict(width=16, height=16)
-    # swap one wall to plastic -> out of scope
-    dd["red-wall"]["bsdf"] = {"type": "plastic"}
+    # swap one wall to principled -> out of scope (plastic itself is
+    # in-kernel since round 2)
+    dd["red-wall"]["bsdf"] = {"type": "principled", "metallic": 0.4,
+                              "roughness": 0.3}
     sc = load_dict(dd)
     assert not megakernel_applicable(sc)
     img = render(sc, MegakernelPathIntegrator(max_depth=3), seed=0, spp=2)
@@ -244,6 +246,44 @@ def test_envmap_matches_wavefront(with_area, np_rng):
     img_ref = render(scene, PathIntegrator(max_depth=4), seed=0, spp=8)
     img_mk = render(scene, MegakernelPathIntegrator(max_depth=4),
                     seed=0, spp=8)
+    a, b = np.asarray(img_ref), np.asarray(img_mk)
+    rel = np.abs(a - b).mean() / a.mean()
+    assert np.isfinite(b).all()
+    assert rel < 2e-2, rel
+
+
+def test_plastic_matches_wavefront():
+    """Smooth + rough plastic in-kernel (plastic.cpp/roughplastic.cpp:
+    Fresnel lobe pick, internal-scattering diffuse correction, GGX
+    coat) vs the wavefront plugins — same sample stream."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.models.bsdfs import RoughPlastic, SmoothPlastic
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.textures import ConstantTexture
+
+    base = cornell_box(width=24, height=24)
+    bsdfs = list(base.bsdfs) + [
+        SmoothPlastic(
+            diffuse_reflectance=ConstantTexture(
+                jnp.asarray([0.6, 0.2, 0.3])),
+            eta=jnp.asarray(1.49), nonlinear=True),
+        RoughPlastic(
+            diffuse_reflectance=ConstantTexture(
+                jnp.asarray([0.2, 0.5, 0.7])),
+            eta=jnp.asarray(1.6), alpha=jnp.asarray(0.3)),
+    ]
+    meshes = list(base.meshes)
+    meshes[6] = meshes[6].replace(bsdf_index=3)   # small box -> plastic
+    meshes[7] = meshes[7].replace(bsdf_index=4)   # large box -> rough pl
+    scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor,
+                       use_bvh=False)
+    assert megakernel_applicable(scene)
+
+    img_ref = render(scene, PathIntegrator(max_depth=6, rr_depth=16),
+                     seed=0, spp=16)
+    img_mk = render(scene, MegakernelPathIntegrator(max_depth=6,
+                                                    rr_depth=16),
+                    seed=0, spp=16)
     a, b = np.asarray(img_ref), np.asarray(img_mk)
     rel = np.abs(a - b).mean() / a.mean()
     assert np.isfinite(b).all()

@@ -187,3 +187,45 @@ def test_sorted_per_bounce_matches_unsorted(big_scene):
     a, b = np.asarray(L_all), np.asarray(L_srt)
     close = np.isclose(a, b, rtol=1e-5, atol=1e-6).all(axis=-1)
     assert close.mean() > 0.999, close.mean()
+
+
+def test_bvh_megakernel_plastic_parity():
+    """Plastic lobes through the packet-BVH megakernel (>1024 faces):
+    pack_scene_bvh reuses pack_scene's btype/params columns."""
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.bsdfs import RoughPlastic, SmoothPlastic
+    from mitsuba_tpu.models.integrators import (
+        MegakernelPathIntegrator, PathIntegrator, sample_rays)
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.shapes import Mesh, sphere_mesh
+    from mitsuba_tpu.models.textures import ConstantTexture
+    from mitsuba_tpu.utils.scenes import cornell_box
+
+    base = cornell_box(width=16, height=16)
+    v, f, n, uv = sphere_mesh(
+        3, np.asarray(tf.compose(tf.translate([0.3, 0.2, 0.2]),
+                                 tf.scale(0.35))))
+    ball = Mesh.make(v, f, normals=n, uvs=uv, bsdf_index=3, id="ball")
+    bsdfs = list(base.bsdfs) + [
+        SmoothPlastic(diffuse_reflectance=ConstantTexture(
+            jnp.asarray([0.6, 0.2, 0.3])), eta=jnp.asarray(1.49)),
+        RoughPlastic(diffuse_reflectance=ConstantTexture(
+            jnp.asarray([0.2, 0.5, 0.7])), eta=jnp.asarray(1.6),
+            alpha=jnp.asarray(0.3)),
+    ]
+    meshes = list(base.meshes) + [ball]
+    meshes[7] = meshes[7].replace(bsdf_index=4)
+    scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor)
+    assert scene.packet_accel is not None
+
+    seed = jnp.uint32(5)
+    ray, weight, film_pos, lane = sample_rays(scene, seed, 2)
+    active = jnp.ones((ray.o.shape[0],), bool)
+    L_ref = PathIntegrator(max_depth=4, rr_depth=16).sample(
+        scene, ray, lane, seed, active)
+    L_mk = MegakernelPathIntegrator(max_depth=4, rr_depth=16).sample(
+        scene, ray, lane, seed, active)
+    a, b = np.asarray(L_ref), np.asarray(L_mk)
+    assert np.isfinite(b).all()
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.995, close.mean()
