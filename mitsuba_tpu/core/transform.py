@@ -118,3 +118,119 @@ def apply_normal(m, n):
     """Normals transform by the inverse transpose of the linear part."""
     inv = jnp.linalg.inv(m[:3, :3])
     return _linear3(inv.T, n)
+
+
+# ---------------------------------------------------------------------------
+# AnimatedTransform (transform.h AnimatedTransform: keyframed rigid
+# transforms, decomposed into translation / rotation quaternion / scale
+# and interpolated per-ray by time — lerp + slerp + lerp)
+# ---------------------------------------------------------------------------
+
+
+def _mat_to_quat(r):
+    """(3,3) rotation -> (4,) quaternion (w, x, y, z); branch-free
+    Shepperd variant adequate for proper rotations."""
+    m00, m01, m02 = r[0, 0], r[0, 1], r[0, 2]
+    m10, m11, m12 = r[1, 0], r[1, 1], r[1, 2]
+    m20, m21, m22 = r[2, 0], r[2, 1], r[2, 2]
+    tr = m00 + m11 + m22
+    # four candidate constructions; pick the numerically largest pivot
+    qw = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) / 2.0
+    qx = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0)) / 2.0
+    qy = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0)) / 2.0
+    qz = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0)) / 2.0
+    qx = jnp.copysign(qx, m21 - m12)
+    qy = jnp.copysign(qy, m02 - m20)
+    qz = jnp.copysign(qz, m10 - m01)
+    q = jnp.stack([qw, qx, qy, qz])
+    return q / jnp.maximum(jnp.sqrt(jnp.sum(q * q)), 1e-12)
+
+
+def _quat_to_mat(q):
+    """(..., 4) quaternion (w,x,y,z) -> (..., 3, 3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                    2 * (x * z + y * w)], -1)
+    r1 = jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                    2 * (y * z - x * w)], -1)
+    r2 = jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                    1 - 2 * (x * x + y * y)], -1)
+    return jnp.stack([r0, r1, r2], -2)
+
+
+def _slerp(q0, q1, u):
+    """Spherical lerp of (..., 4) quats by (...,) weights."""
+    d = jnp.sum(q0 * q1, -1)
+    q1 = jnp.where(d[..., None] < 0.0, -q1, q1)
+    d = jnp.abs(d)
+    # fall back to nlerp when nearly parallel
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    st = jnp.sin(theta)
+    near = st < 1e-4
+    w0 = jnp.where(near, 1.0 - u, jnp.sin((1.0 - u) * theta)
+                   / jnp.where(near, 1.0, st))
+    w1 = jnp.where(near, u, jnp.sin(u * theta)
+                   / jnp.where(near, 1.0, st))
+    q = w0[..., None] * q0 + w1[..., None] * q1
+    return q / jnp.maximum(
+        jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)), 1e-12)
+
+
+from .pytree import pytree as _pytree  # noqa: E402
+
+
+@_pytree
+class AnimatedTransform:
+    """Keyframed affine transform, per-ray time interpolation
+    (transform.h AnimatedTransform / Transform::interpolate)."""
+
+    times: jnp.ndarray    # (K,)
+    trans: jnp.ndarray    # (K, 3)
+    quats: jnp.ndarray    # (K, 4) sign-aligned
+    scales: jnp.ndarray   # (K, 3)
+
+    @staticmethod
+    def create(times, matrices):
+        """times: (K,), matrices: (K, 4, 4) (no shear)."""
+        import numpy as np
+
+        mats = np.asarray(matrices, np.float32)
+        K = mats.shape[0]
+        tr = mats[:, :3, 3]
+        sc = np.linalg.norm(mats[:, :3, :3], axis=1)  # column norms
+        quats = []
+        prev = None
+        for k in range(K):
+            r = mats[k, :3, :3] / np.maximum(sc[k][None, :], 1e-12)
+            q = np.asarray(_mat_to_quat(jnp.asarray(r)))
+            if prev is not None and float(np.dot(prev, q)) < 0.0:
+                q = -q
+            quats.append(q)
+            prev = q
+        return AnimatedTransform(
+            times=jnp.asarray(times, jnp.float32),
+            trans=jnp.asarray(tr),
+            quats=jnp.asarray(np.stack(quats)),
+            scales=jnp.asarray(sc))
+
+    def eval(self, time):
+        """(N,) times -> (N, 4, 4) interpolated matrices."""
+        K = self.times.shape[0]
+        i0 = jnp.clip(
+            jnp.searchsorted(self.times, time, side="right") - 1,
+            0, max(K - 2, 0))
+        i1 = jnp.minimum(i0 + 1, K - 1)
+        t0 = self.times[i0]
+        t1 = self.times[i1]
+        u = jnp.clip((time - t0) / jnp.maximum(t1 - t0, 1e-12),
+                     0.0, 1.0)
+        tr = (1.0 - u)[..., None] * self.trans[i0] \
+            + u[..., None] * self.trans[i1]
+        sc = (1.0 - u)[..., None] * self.scales[i0] \
+            + u[..., None] * self.scales[i1]
+        q = _slerp(self.quats[i0], self.quats[i1], u)
+        rot = _quat_to_mat(q) * sc[..., None, :]
+        m = jnp.concatenate([rot, tr[..., :, None]], axis=-1)
+        bottom = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]), m.shape[:-2] + (1, 4))
+        return jnp.concatenate([m, bottom], axis=-2)

@@ -24,6 +24,7 @@ from ...core.records import Ray
 DIM_POS = 0          # 2D film position jitter
 DIM_APERTURE = 1     # 2D aperture sample
 DIM_WAVELENGTH = 2   # 1D spectral sample
+DIM_TIME = 3         # 1D shutter-time sample (motion blur)
 DIM_BOUNCE_BASE = 8  # first per-bounce slot
 DIMS_PER_BOUNCE = 8
 # per-bounce slots:
@@ -91,7 +92,14 @@ def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
     spec = sampler_spec(scene)
     aperture = rng.sample_2d(seed, lane, jnp.int32(DIM_APERTURE), spec)
     wav = rng.sample_1d(seed, lane, jnp.int32(DIM_WAVELENGTH), spec)
-    time = jnp.zeros((n,))
+    # shutter-interval time sampling (integrator.cpp sample time;
+    # sensor.h shutter_open/shutter_open_time)
+    sh_t = float(getattr(sensor, "shutter_open_time", 0.0) or 0.0)
+    if sh_t > 0.0:
+        u_t = rng.sample_1d(seed, lane, jnp.int32(DIM_TIME), spec)
+        time = float(getattr(sensor, "shutter_open", 0.0)) + u_t * sh_t
+    else:
+        time = jnp.zeros((n,))
     if with_differentials:
         from ..sensors import sample_ray_differential
 

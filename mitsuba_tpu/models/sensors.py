@@ -79,6 +79,11 @@ class PerspectiveCamera:
     far_clip: float = static(1e4)
     sampler: object = static(None)
     spectral: bool = static(False)
+    # motion blur: keyframed pose + shutter interval (sensor.h
+    # shutter_open/shutter_open_time; transform.h AnimatedTransform)
+    animation: object = None       # core.transform.AnimatedTransform
+    shutter_open: float = static(0.0)
+    shutter_open_time: float = static(0.0)
     id: str = static("perspective")
 
     needs_aperture_sample = False
@@ -153,8 +158,13 @@ class PerspectiveCamera:
                    aperture_sample):
         """Returns (Ray, importance weight (N,3))."""
         d_cam = normalize(self._dir_camera(position_sample))
-        d = tf.apply_vector(self.to_world, d_cam)
-        o = jnp.broadcast_to(self.to_world[:3, 3], d.shape)
+        if self.animation is not None:
+            tw = self.animation.eval(time)          # (N, 4, 4)
+            d = jnp.einsum("nij,nj->ni", tw[:, :3, :3], d_cam)
+            o = tw[:, :3, 3]
+        else:
+            d = tf.apply_vector(self.to_world, d_cam)
+            o = jnp.broadcast_to(self.to_world[:3, 3], d.shape)
         # near/far clipping along the camera z axis (perspective.cpp:inv_z)
         inv_z = 1.0 / d_cam[..., 2]
         o = o + d * (self.near_clip * inv_z)[..., None]

@@ -600,8 +600,25 @@ def _make_sensor(d):
         far_clip=float(d.get("far_clip", 1e4)),
     )
     if t == "perspective":
+        anim = None
+        if "animation" in d:
+            from ..core.transform import AnimatedTransform
+
+            a = d["animation"]
+            anim = AnimatedTransform.create(
+                a["times"], [np.asarray(m, np.float32)
+                             for m in a["matrices"]])
+        sh_open = float(d.get("shutter_open", 0.0))
+        if "shutter_open_time" in d:
+            sh_time = float(d["shutter_open_time"])
+        elif "shutter_close" in d:
+            sh_time = float(d["shutter_close"]) - sh_open
+        else:
+            sh_time = 0.0
         return PerspectiveCamera(
-            spectral=bool(d.get("spectral", False)), **common)
+            spectral=bool(d.get("spectral", False)),
+            animation=anim, shutter_open=sh_open,
+            shutter_open_time=sh_time, **common)
     if t == "thinlens":
         return ThinLensCamera(
             aperture_radius=jnp.asarray(float(d.get("aperture_radius", 0.1))),
