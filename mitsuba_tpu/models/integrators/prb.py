@@ -287,7 +287,7 @@ class PRBIntegrator:
         return out["grads"]
 
     def sample_forward(self, scene, tangent_floats, ray, lane, seed, L0,
-                       active):
+                       active, ray_fn=None):
         """Forward-mode replay: propagate scene-parameter tangents to
         per-lane radiance tangents dL (N, 3).
 
@@ -361,9 +361,16 @@ class PRBIntegrator:
 
             def contrib_fn(fl):
                 sc = rebuild(fl)
-                si = sc.compute_si(pi, ray)
+                if ray_fn is not None:
+                    ray_c = jax.lax.cond(
+                        depth == jnp.int32(0),
+                        lambda sc_: ray_fn(sc_),
+                        lambda sc_: ray, sc)
+                else:
+                    ray_c = ray
+                si = sc.compute_si(pi, ray_c)
                 le_hit, _ = sc.eval_emitter_hit(si, prev_p, act_hit)
-                le_env, _ = sc.eval_env(ray, prev_p, escaped)
+                le_env, _ = sc.eval_env(ray_c, prev_p, escaped)
                 Le_t = beta * (mis_hit[:, None] * le_hit
                                + mis_env[:, None] * le_env)
                 Lr_dir = jnp.zeros_like(Le_t)
@@ -432,10 +439,20 @@ def prb_render_forward(scene, tangent_scene, integrator, seed=0,
 
     L0 = integrator.sample(scene_det, ray, lane, seed_u, active)
     floats_t, _, _ = _float_partition(tangent_scene)
+
+    def ray_fn(sc):
+        return sample_rays(sc, seed_u, spp)[0]
+
     dL = integrator.sample_forward(scene, floats_t, ray, lane, seed_u, L0,
-                                   active)
+                                   active, ray_fn=ray_fn)
+    # sensor importance-weight tangent (mirror of _prb_bwd sensor_term)
+    floats, rebuild, _ = _float_partition(scene)
+    _, dweight = jax.jvp(
+        lambda fl: sample_rays(rebuild(fl), seed_u, spp)[1],
+        (floats,), (floats_t,))
     img = film.develop(film.put(film_pos, L0 * weight, active))
-    dimg = film.develop(film.put(film_pos, dL * weight, active))
+    dimg = film.develop(film.put(
+        film_pos, dL * weight + L0 * dweight, active))
     return img, dimg
 
 
