@@ -70,7 +70,8 @@ class PRBVolPathIntegrator:
 
     # ------------------------------------------------------------ adjoint
 
-    def sample_backward(self, scene, ray, lane, seed, delta_L, L0, active):
+    def sample_backward(self, scene, ray, lane, seed, delta_L, L0, active,
+                        ray_fn=None):
         medium = scene.scene_medium
         assert isinstance(medium, HomogeneousMedium), \
             "prbvolpath gradient pass supports homogeneous media"
@@ -160,7 +161,16 @@ class PRBVolPathIntegrator:
                 sc = rebuild(fl)
                 med = sc.scene_medium
                 ph = med.phase
-                si = sc.compute_si(pi, ray)
+                # attached primary-ray regeneration (prb.py ray_fn):
+                # sensor parameters flow through the depth-0 hit
+                if ray_fn is not None:
+                    ray_c = jax.lax.cond(
+                        depth == jnp.int32(0),
+                        lambda sc_: ray_fn(sc_),
+                        lambda sc_: ray, sc)
+                else:
+                    ray_c = ray
+                si = sc.compute_si(pi, ray_c)
                 # attached medium weight at the detached event
                 w_med = med.interaction_weight(t_med, is_med, act)
                 beta_cur = beta * w_med
