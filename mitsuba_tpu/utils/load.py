@@ -678,8 +678,18 @@ def _make_sensor(d):
     raise ValueError(f"unsupported sensor plugin {t!r}")
 
 
+def _depth(d, default=6, key="max_depth"):
+    """integrator.h: max_depth == -1 means unlimited (RR-bounded);
+    XLA needs a static bound, so it maps to a deep cap."""
+    v = int(d.get(key, default))
+    return 64 if v < 0 else v
+
+
 def _make_integrator(d):
     t = d["type"]
+    if "max_depth" in d:
+        d = dict(d)
+        d["max_depth"] = _depth(d)
     if t == "path":
         return PathIntegrator(max_depth=int(d.get("max_depth", 6)),
                               rr_depth=int(d.get("rr_depth", 5)),

@@ -36,8 +36,13 @@ def _parse_value(text):
 def _sub_defaults(text, defaults):
     if text is None or "$" not in text:
         return text
-    for k, v in defaults.items():
-        text = text.replace(f"${k}", str(v))
+    # word-boundary substitution, longest names first: `$res` must not
+    # eat the prefix of `$resx` (xml.cpp upgrades named params whole)
+    import re
+
+    for k in sorted(defaults, key=len, reverse=True):
+        text = re.sub(rf"\${re.escape(k)}(?![A-Za-z0-9_])",
+                      str(defaults[k]), text)
     return text
 
 
@@ -228,7 +233,11 @@ def xml_to_dict(path_or_string, defaults=None):
 
 
 def load_file(path, defaults=None, **kw):
-    """mi.load_file analogue: XML -> Scene."""
+    """mi.load_file analogue: XML -> Scene.  Keyword arguments
+    override the scene's ``<default name="...">`` parameters
+    (xml.cpp parameter substitution: mi.load_file(path, spp=16))."""
     from .load import load_dict
 
-    return load_dict(xml_to_dict(path, defaults), **kw)
+    defaults = dict(defaults or {})
+    defaults.update({k: str(v) for k, v in kw.items()})
+    return load_dict(xml_to_dict(path, defaults))
