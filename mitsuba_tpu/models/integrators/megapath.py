@@ -157,23 +157,31 @@ class MegakernelPathIntegrator:
         interpret = jax.default_backend() != "tpu"
         from ...models.textures import BitmapTexture
 
+        from ...models.bsdfs import TwoSided
+
         codes = {0}
         for b in scene.bsdfs:
+            off = 0
+            if isinstance(b, TwoSided):
+                b = b.nested
+                off = 16
             if isinstance(b, RoughConductor):
-                codes.add(3)
+                codes.add(3 + off)
             elif isinstance(b, RoughDielectric):
                 codes.add(4)
             elif isinstance(b, SmoothConductor):
-                codes.add(1)
+                codes.add(1 + off)
             elif isinstance(b, SmoothDielectric):
                 codes.add(2)
             elif isinstance(b, SmoothPlastic):
-                codes.add(6)
+                codes.add(6 + off)
             elif isinstance(b, RoughPlastic):
-                codes.add(7)
+                codes.add(7 + off)
             elif isinstance(getattr(b, "reflectance", None),
                             BitmapTexture):
-                codes.add(5)
+                codes.add(5 + off)
+            elif off:
+                codes.add(16)     # twosided constant diffuse
         btypes = tuple(sorted(codes))
         if brute:
             tris, light, n_faces, n_lights, tex, env_meta = \

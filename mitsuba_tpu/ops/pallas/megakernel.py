@@ -198,8 +198,16 @@ def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
         return False
     from ...models.textures import BitmapTexture
 
+    from ...models.bsdfs import TwoSided
+
     tex_total = 0
     for b in scene.bsdfs:
+        if isinstance(b, TwoSided):
+            # twosided over a dielectric is disallowed (as in the
+            # reference); the inner lobe must itself be supported
+            b = b.nested
+            if isinstance(b, (SmoothDielectric, RoughDielectric)):
+                return False
         if isinstance(b, SmoothDiffuse):
             if isinstance(b.reflectance, BitmapTexture):
                 d = b.reflectance.data
@@ -287,10 +295,16 @@ def pack_scene(scene):
 
     from ...models.textures import BitmapTexture
 
+    from ...models.bsdfs import TwoSided
+
     rows = []
     tex_planes = []
     tex_off = 0
     for b in scene.bsdfs:
+        ts_off = 0.0
+        if isinstance(b, TwoSided):
+            b = b.nested
+            ts_off = 16.0   # twosided.cpp wrapper: +16 on the type code
         if (hasattr(b, "reflectance")
                 and isinstance(getattr(b, "reflectance", None),
                                BitmapTexture)):
@@ -357,6 +371,8 @@ def pack_scene(scene):
                 jnp.asarray(b.reflectance.value, jnp.float32).reshape(3),
                 jnp.asarray([BSDF_DIFFUSE]), jnp.zeros(7),
             ]))
+        if ts_off:
+            rows[-1] = rows[-1].at[3].add(ts_off)
     bsdf_tab = jnp.stack(rows)                    # (n_bsdf, 11)
     per_face = bsdf_tab[jnp.asarray(bsdf_idx)]    # (F, 11)
     refl = per_face[:, 0:3]
@@ -768,12 +784,16 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
     (o(3), d(3), L(3), B(3), eta_acc, prev_pdf, prev_delta(f32), act).
     """
     multi = tuple(btypes) != (0,)
-    has_cond = 1 in btypes
-    has_diel = 2 in btypes
-    has_rcond = 3 in btypes
-    has_rdiel = 4 in btypes
-    has_pl = 6 in btypes
-    has_rpl = 7 in btypes
+    # twosided wrapper = +16 on the inner type (twosided.cpp frame
+    # flip); the static lobe flags look at the inner codes
+    has_ts = any(b >= 16 for b in btypes)
+    inner = {b % 16 for b in btypes}
+    has_cond = 1 in inner
+    has_diel = 2 in inner
+    has_rcond = 3 in inner
+    has_rdiel = 4 in inner
+    has_pl = 6 in inner
+    has_rpl = 7 in inner
     has_ggx = has_rcond or has_rdiel or has_rpl
     has_env = env_ctx is not None
     if has_env:
@@ -862,6 +882,9 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
     Er = IsL * lc(0, 14)
     Eg = IsL * lc(0, 15)
     Eb = IsL * lc(0, 16)
+    if has_ts:
+        ts_flag = Btype >= 15.5
+        Btype = Btype - jnp.where(ts_flag, 16.0, 0.0)
     if multi:
         is_diff = Btype < 0.5
         is_cond = (Btype >= 0.5) & (Btype < 1.5)
@@ -882,6 +905,16 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
     # dielectrics are two-sided (glass interiors)
     cos_wi = -(dx * shx + dy * shy + dz * shz)    # shading
     cos_geo = -(dx * ngx + dy * ngy + dz * ngz)   # geometric
+    cos_wi_sgn = cos_wi          # signed: the mirror/refract formulas
+    if has_ts:
+        # twosided.cpp: back hits evaluate the nested BSDF in the
+        # z-flipped local frame.  Mirroring the wavefront adapter
+        # exactly (flip wi.z, flip the sampled wo.z back) keeps the
+        # sample stream bit-identical.
+        flip = ts_flag & (cos_wi < 0.0)
+        cos_wi = jnp.where(flip, -cos_wi, cos_wi)
+    else:
+        flip = jnp.zeros_like(act)
     front = cos_wi > 0.0
 
     # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
@@ -989,6 +1022,8 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         Wg_nee = Leg * inv_pa
         Wb_nee = Leb * inv_pa
     cos_s = sdx * shx + sdy * shy + sdz * shz
+    if has_ts:
+        cos_s = jnp.where(flip, -cos_s, cos_s)   # flipped-frame wo.z
     # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
     # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
     # drawn regardless so the dimension layout matches the
@@ -1166,19 +1201,23 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         u_lobe = _rng1(seed_x, lane, dbase + SLOT_BSDF_LOBE)
     ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
 
-    # diffuse: cosine hemisphere (SmoothDiffuse.sample)
+    # diffuse: cosine hemisphere (SmoothDiffuse.sample); twosided
+    # back hits emit into the flipped hemisphere (wo.z sign flip)
     dxl, dyl = _concentric_disk(ub1, ub2)
     dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
-    ddx = sx * dxl + tx * dyl + shx * dzl
-    ddy = sy * dxl + ty * dyl + shy * dzl
-    ddz = sz * dxl + tz * dyl + shz * dzl
+    dzl_w = jnp.where(flip, -dzl, dzl) if has_ts else dzl
+    ddx = sx * dxl + tx * dyl + shx * dzl_w
+    ddy = sy * dxl + ty * dyl + shy * dzl_w
+    ddz = sz * dxl + tz * dyl + shz * dzl_w
     pdf_diff = INV_PI * dzl
 
     if multi:
         # mirror direction (conductor + dielectric-reflect)
-        rx = dx + 2.0 * cos_wi * shx
-        ry = dy + 2.0 * cos_wi * shy
-        rz = dz + 2.0 * cos_wi * shz
+        # signed cosine: the plane reflection (and the twosided
+        # wrapper's back-face mirror) both reduce to this world form
+        rx = dx + 2.0 * cos_wi_sgn * shx
+        ry = dy + 2.0 * cos_wi_sgn * shy
+        rz = dz + 2.0 * cos_wi_sgn * shz
 
         # conductor Fresnel per channel (core/fresnel.py)
         Fc_r = _fr_cond(cos_wi, C0, C3)
@@ -1238,10 +1277,11 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         Frc_b = _fr_cond(cim, C2, C5) * wgt_g
         ok_rc = (wiz > 0.0) & (rlz > 0.0)
         pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
-        # local -> world
-        rcx = sx * rlx + tx * rly + shx * rlz
-        rcy = sy * rlx + ty * rly + shy * rlz
-        rcz = sz * rlx + tz * rly + shz * rlz
+        # local -> world (z flipped back on twosided back hits)
+        rlz_w = jnp.where(flip, -rlz, rlz) if has_ts else rlz
+        rcx = sx * rlx + tx * rly + shx * rlz_w
+        rcy = sy * rlx + ty * rly + shy * rlz_w
+        rcz = sz * rlx + tz * rly + shz * rlz_w
     else:
         rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
             jnp.zeros_like(ox)
@@ -1314,9 +1354,9 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         # smooth coat: mirror direction (shading normal)
         F_od, _, _, _ = _fr_diel(dzl, eta_p2)
         wdf = inv_eta2s * (1.0 - F_od)
-        plx = jnp.where(pick_sp, dx + 2.0 * cos_wi * shx, ddx)
-        ply = jnp.where(pick_sp, dy + 2.0 * cos_wi * shy, ddy)
-        plz = jnp.where(pick_sp, dz + 2.0 * cos_wi * shz, ddz)
+        plx = jnp.where(pick_sp, dx + 2.0 * cos_wi_sgn * shx, ddx)
+        ply = jnp.where(pick_sp, dy + 2.0 * cos_wi_sgn * shy, ddy)
+        plz = jnp.where(pick_sp, dz + 2.0 * cos_wi_sgn * shz, ddz)
         wPl_r = jnp.where(pick_sp, 1.0,
                           Rr / jnp.maximum(den_sr, 1e-6) * wdf)
         wPl_g = jnp.where(pick_sp, 1.0,
@@ -1372,9 +1412,10 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         wRp_b = (Rb / jnp.maximum(den_sb, 1e-6) * fac_q + spec_q) \
             * inv_pdf_q
         pdf_rpl_f = jnp.where(ok_q, pdf_q, 0.0)
-        rpx = sx * wolx + tx * woly + shx * wolz
-        rpy = sy * wolx + ty * woly + shy * wolz
-        rpz = sz * wolx + tz * woly + shz * wolz
+        wolz_w = jnp.where(flip, -wolz, wolz) if has_ts else wolz
+        rpx = sx * wolx + tx * woly + shx * wolz_w
+        rpy = sy * wolx + ty * woly + shy * wolz_w
+        rpz = sz * wolx + tz * woly + shz * wolz_w
     else:
         rpx = rpy = rpz = pdf_rpl_f = jnp.zeros_like(ox)
         wRp_r = wRp_g = wRp_b = jnp.zeros_like(ox)
@@ -1509,13 +1550,18 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
             if has_tex:
                 uvx = U0x * b0 + U1x * ub + U2x * vb
                 uvy = U0y * b0 + U1y * ub + U2y * vb
-                is_texd = Btype >= 4.5
+                # textured diffuse bands: 5 (one-sided) and 21
+                # (twosided) collapse to 0 / 16 after the fetch
+                is_texd = ((Btype >= 4.5) & (Btype < 5.5)) \
+                    | ((Btype >= 20.5) & (Btype < 21.5))
                 tr, tg, tb = _tex_eval(tex_ref, n_tex_rows,
                                        C0, C1, C2, C3, C4, uvx, uvy)
                 Rr = jnp.where(is_texd, tr, Rr)
                 Rg = jnp.where(is_texd, tg, Rg)
                 Rb = jnp.where(is_texd, tb, Rb)
-                Btype = jnp.where(is_texd, 0.0, Btype)
+                Btype = jnp.where(is_texd,
+                                  jnp.where(Btype >= 15.5, 16.0, 0.0),
+                                  Btype)
             if smooth:
                 # interpolated shading normal (compute_si mirror;
                 # flat faces store ng at all three slots)
