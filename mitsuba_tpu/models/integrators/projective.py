@@ -211,7 +211,9 @@ def primary_boundary_grads(scene, edges: EdgeTable, integrator, grad_image,
         )
         return idx, t, m_hat, coeff
 
-    if guiding == "grid":
+    if guiding != "uniform":
+        # grid warm-up is the primary-term guide for every non-uniform
+        # mode (octree/projective specialize only the indirect term)
         warm = GridDistr.create(lengths)
         idx_w, _, _, coeff_w = one_pass(warm, 1)
         warm = warm.update(idx_w, jnp.abs(coeff_w))
@@ -404,13 +406,36 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
     the curve — the in-plane normal orientation cancels as in the
     primary case.  Receiver motion is a further term (future work).
     """
-    if guiding == "octree":
+    if guiding in ("octree", "projective"):
         from .guiding import OcSpaceDistr
 
         n_w = n_warmup or max(n_samples // 4, 512)
+        seed_points = None
+        if guiding == "projective":
+            # seed the warm-up AT projected silhouettes instead of
+            # uniformly over the cube (ProjectiveDetail projxpath
+            # modes): light-side paths are walked onto the silhouette
+            # edges they graze (projection.py mesh_walk)
+            from .projection import (build_face_adjacency,
+                                     project_seed_points)
+
+            adj = build_face_adjacency(scene, edges)
+            pts_p, ok = project_seed_points(
+                scene, edges, adj, seed ^ 0x11A2B3, n_w)
+            # invalid seeds fall back to a uniform cube point so the
+            # warm-up keeps full support
+            lane_w = jnp.arange(n_w, dtype=jnp.int32)
+            sw = jnp.uint32(seed) ^ jnp.uint32(0x77AB12)
+            u_fallback = jnp.stack([
+                rng.sample_1d(sw, lane_w, jnp.int32(DIM_B_EDGE)),
+                rng.sample_1d(sw, lane_w, jnp.int32(DIM_B_T)),
+                rng.sample_1d(sw, lane_w, jnp.int32(DIM_B_SUB)),
+            ], axis=-1)
+            seed_points = jnp.where(ok[:, None], pts_p, u_fallback)
         _, pts, mass = _indirect_pass(
             scene, edges, grad_image, seed ^ 0x5EED0C7, n_w, eps_frac,
-            oc=None, collect=True, indirect_depth=indirect_depth)
+            oc=None, collect=True, indirect_depth=indirect_depth,
+            points=seed_points)
         oc = OcSpaceDistr.create_from_samples(pts, mass)
         g, _, _ = _indirect_pass(scene, edges, grad_image, seed,
                                  n_samples, eps_frac, oc=oc,
@@ -423,9 +448,11 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
 
 def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
                    n_samples, eps_frac, oc=None, collect=False,
-                   indirect_depth=1):
+                   indirect_depth=1, points=None):
     """One boundary-sampling pass; ``oc`` importance-samples the
-    (u_edge, t, u_light) cube.  Returns (grads, points, |mass|)."""
+    (u_edge, t, u_light) cube; ``points`` (N, 3) evaluates the
+    integrand at explicit cube points instead (projection-seeded
+    warm-up).  Returns (grads, points, |mass|)."""
     scene_det = jax.lax.stop_gradient(scene)
     floats, rebuild, _ = _float_partition(scene)
     ctx_det = scene_det.trace_ctx()
@@ -462,7 +489,10 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
     # ---- detached sampling: light point y + edge point x_e ----
     u_lf = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB))
     u_ly = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 1))
-    if oc is not None:
+    if points is not None:
+        u_lf = points[:, 2]
+        inv_oc = jnp.ones((n_samples,))
+    elif oc is not None:
         u_sel = rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB + 3))
         u3 = jnp.stack([
             rng.sample_1d(seed_b, lane, jnp.int32(DIM_B_SUB + 4)),
@@ -484,7 +514,10 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
     n_y = n_y / jnp.sqrt(jnp.maximum(
         jnp.sum(n_y ** 2, -1, keepdims=True), 1e-20))
 
-    if oc is not None:
+    if points is not None:
+        u_e = points[:, 0]
+        t_e = points[:, 1]
+    elif oc is not None:
         u_e = q[:, 0]
         t_e = q[:, 1]
     else:
@@ -845,7 +878,8 @@ def _ppr_bwd(integrator, spp, res, grad_image):
             ind = indirect_boundary_grads(
                 scene, edges, grad_image, seed_u,
                 n_samples=integrator.sppi,
-                guiding=("octree" if integrator.guiding == "octree"
+                guiding=(integrator.guiding
+                         if integrator.guiding in ("octree", "projective")
                          else "uniform"),
                 indirect_depth=integrator.indirect_depth)
             total = [a + b for a, b in zip(total, ind)]
