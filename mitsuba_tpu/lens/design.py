@@ -57,11 +57,31 @@ class FieldSource:
         self.radiance = radiance
         self.camera_pos = None
 
-    def central_ray(self):
+    def central_ray(self, n_probe: int = 9):
+        """Chief ray plus a small probe bundle (lateral offsets of
+        ~1e-3 radius around the axis).  The exact chief ray can pass
+        through the shared central VERTEX of the tessellated surface
+        fans, where a non-watertight Moller-Trumbore test may miss every
+        triangle (the reference relies on Embree's watertight traversal
+        here); the off-axis probes are immune, and the film position is
+        averaged over whichever lanes transmit."""
         d = self.target - self.origin
         d = d / np.linalg.norm(d)
-        return Ray.make(jnp.asarray(self.origin[None]),
-                        jnp.asarray(d[None]))
+        # orthonormal lateral frame
+        up = np.array([0.0, 1.0, 0.0], np.float32)
+        t1 = np.cross(d, up)
+        t1 /= max(np.linalg.norm(t1), 1e-12)
+        t2 = np.cross(d, t1)
+        ang = np.linspace(0.0, 2 * np.pi, n_probe - 1, endpoint=False)
+        eps = 1e-3 * self.radius
+        offs = np.concatenate(
+            [np.zeros((1, 3), np.float32),
+             (eps * (np.cos(ang)[:, None] * t1[None]
+                     + np.sin(ang)[:, None] * t2[None])).astype(np.float32)])
+        o = self.origin[None] + offs
+        dirs = self.target[None] - o
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        return Ray.make(jnp.asarray(o), jnp.asarray(dirs))
 
     def source_mesh_emitter(self, emitter_index):
         """Disk + directionalarea emitter aimed at ``target``
@@ -83,10 +103,11 @@ class FieldSource:
         """Position the spot camera using the central geometric ray
         (design_problem.py:192-247 get_sensor_dict)."""
         _, _, valid, film_p = geo_tracer(self.central_ray())
-        if not bool(valid[0]):
+        valid = np.asarray(valid)
+        if not valid.any():
             raise AssertionError(
                 f"source {self.name}: central ray was not transmitted")
-        film_p = np.asarray(film_p[0])
+        film_p = np.asarray(film_p)[valid].mean(axis=0)
         near_clip = min(0.005, float(lens_system.rear_z) * 0.1)
         z_cam = max(self.init_camera_z * float(lens_system.rear_z),
                     1.1 * near_clip)
@@ -144,27 +165,36 @@ class DesignProblem:
         return Mesh.make(*rectangle(m), bsdf_index=1, id="film_plane")
 
     def _sources(self):
-        """Evenly spaced field angles aiming at the front vertex
-        (FieldSource.createSourceArray)."""
+        """Evenly spaced field angles aiming at the ENTRANCE PUPIL
+        (FieldSource.createSourceArray, design_problem.py:143-182): the
+        central ray of every source is the chief ray through the
+        aperture-stop center, so it is transmitted even for wide-angle
+        prescriptions; the source distance keeps adjacent source disks
+        from overlapping (1.1 r / tan(dtheta/2))."""
         ls = self.lens_system
         front_z = float(ls.front_z)
-        dist = 2.0 * front_z
-        srcs = []
+        radius = float(ls.front_radial_extent)
+        _, z_entrance, _, _ = ls.compute_pupils()
+        pupil = np.array([0.0, 0.0, float(z_entrance)], np.float32)
         angles = (
             [0.0] if self.num_sources == 1
             else list(np.linspace(0.0, self.max_field_angle,
                                   self.num_sources))
         )
+        if self.num_sources > 1:
+            dtheta = np.deg2rad(self.max_field_angle) / \
+                (self.num_sources - 1)
+            dist = 1.1 * radius / np.tan(0.5 * dtheta)
+        else:
+            dist = max(10.0, 1.1 * front_z)
+        srcs = []
         for k, ang in enumerate(angles):
             th = np.deg2rad(ang)
-            origin = np.array(
-                [-dist * np.sin(th), 0.0, front_z + dist * np.cos(th)],
-                np.float32,
-            )
-            target = np.array([0.0, 0.0, front_z], np.float32)
+            origin = pupil + dist * np.array(
+                [np.sin(th), 0.0, np.cos(th)], np.float32)
             srcs.append(FieldSource(
-                name=str(k), origin=origin, target=target,
-                radius=0.5 * ls.front_radial_extent,
+                name=str(k), origin=origin, target=pupil,
+                radius=radius,
                 resolution=self.resolution,
                 fov=self.sensor_fov,
                 init_camera_z=self.init_camera_z,
@@ -270,19 +300,32 @@ class DesignProblem:
         return total / len(self.sensors)
 
     def optimize(self, fixed_efl=None, verbose=False, lr_overrides=None,
-                 callback=None):
+                 callback=None, train_keys=None):
         """Adam loop (design_problem.py:495-586).  ``fixed_efl``: hold the
         effective focal length by solving the rear surface per step
         (ConstrainedEFLProblem, :656).  ``lr_overrides``: per-parameter
         learning rates (Optimizer.set_learning_rate).  ``callback``:
         called as callback(iter, params, loss) after each step (the
-        reference's save_var_history, :495)."""
+        reference's save_var_history, :495).  ``train_keys``: restrict
+        the optimizer to this parameter subset; everything else is a
+        frozen constant — the reference's disable_all_materials /
+        disable_surface_vars freezing (report_nikon_exp.ipynb cell 14)
+        without paying gradients for the frozen leaves."""
         p = self.params()
         if fixed_efl is not None:
             p.pop("lens0_c", None)
             p.pop("lens0_z0", None)
+        frozen = {}
+        if train_keys is not None:
+            missing = set(train_keys) - set(p)
+            if missing:
+                raise KeyError(f"unknown train_keys: {sorted(missing)}")
+            frozen = {k: jax.lax.stop_gradient(v) for k, v in p.items()
+                      if k not in train_keys}
+            p = {k: p[k] for k in train_keys}
 
         def loss_fn(p, seed):
+            p = {**frozen, **p}
             if fixed_efl is not None:
                 ls = self.apply_params(p)
                 rear = ls.rear_surface_params_for_EFL(fixed_efl)
