@@ -263,16 +263,20 @@ def pack_scene(scene):
     is static metadata, so the light-face set and all indices are
     host-side numpy; only coordinates/colors are traced.
     """
-    v, f, n_all, uv_all, _fs, fsmooth = scene.geometry()
+    v, f, n_all, uv_all, _fs, _fsmooth = scene.geometry()
     v = jax.lax.stop_gradient(v)
     n_all = jax.lax.stop_gradient(n_all)
-    fsm = np.asarray(jax.lax.stop_gradient(fsmooth))
     F = int(f.shape[0])
     F_pad = -(-F // SUB) * SUB
 
     from ...models.emitters import AreaEmitter
 
     counts = [int(m.faces.shape[0]) for m in scene.meshes]
+    # per-face smooth flag from static mesh metadata (host-side: the
+    # traced fsmooth from geometry() would not survive np.asarray under jit)
+    fsm = np.repeat(
+        np.asarray([m.normals is not None for m in scene.meshes], bool),
+        counts) if counts else np.zeros((0,), bool)
     fshape = np.repeat(np.arange(len(counts), dtype=np.int32), counts)
     bsdf_idx = np.asarray(scene.shape_bsdf, np.int32)[fshape]
     area_idx = next((i for i, e in enumerate(scene.emitters)
