@@ -139,7 +139,9 @@ class MegakernelPathIntegrator:
     # depth with rays regrouped by (octant, position cell) in between —
     # keeps every packet's traversal coherent at the cost of an argsort
     # + gather per bounce.  Bit-identical images (lanes ride the sort).
-    sort_bounces: bool = static(False)
+    # Default on: measured 1.7x over the single-launch walk on an 82k-tri
+    # scene (PERF.md round-2 table).
+    sort_bounces: bool = static(True)
     id: str = static("megapath")
 
     def sample(self, scene, ray, lane, seed, active):

@@ -133,6 +133,7 @@ def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
     meta = np.zeros((M, 4), np.int32)
     perm = []
     n_leaves = 0
+    ctr = (lo + hi) * 0.5
     for i in range(M):
         if count[i] > 0:
             meta[i, 0] = n_leaves * rpl
@@ -143,6 +144,17 @@ def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
             n_leaves += 1
         else:
             meta[i, 0] = -1
+            # ordered-traversal decode: in DFS layout the left child is
+            # i+1 and its miss link is the right sibling; the near/far
+            # order along the split axis is a sign compare of the child
+            # box centers (kdtree.h traversal order; Embree's
+            # front-to-back DFS).  slot 3 = right<<3 | flip<<2 | axis.
+            left = i + 1
+            right = int(miss[left])
+            d = ctr[right] - ctr[left]
+            axis = int(np.argmax(np.abs(d)))
+            flip = int(d[axis] < 0.0)
+            meta[i, 3] = (right << 3) | (flip << 2) | axis
         meta[i, 2] = miss[i]
     perm = (np.concatenate(perm) if perm
             else np.full((tb,), -1, np.int32))
@@ -216,7 +228,7 @@ def _slab(lo, hi, ox, oy, oz, ix, iy, iz, t_hi):
     tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                  jnp.maximum(ty0, ty1)),
                      jnp.minimum(jnp.maximum(tz0, tz1), t_hi))
-    return (tn <= tf).astype(jnp.float32)
+    return (tn <= tf).astype(jnp.float32), tn
 
 
 def _leaf_tri_test(c, ox, oy, oz, dx, dy, dz, maxt):
@@ -258,6 +270,14 @@ def _node_meta(node_meta, nid):
     r = nid // 32
     b = (nid % 32) * 4
     return node_meta[r, b], node_meta[r, b + 1], node_meta[r, b + 2]
+
+
+def _node_meta4(node_meta, nid):
+    """Like _node_meta plus the packed ordered-decode word (slot 3)."""
+    r = nid // 32
+    b = (nid % 32) * 4
+    return (node_meta[r, b], node_meta[r, b + 1], node_meta[r, b + 2],
+            node_meta[r, b + 3])
 
 
 QUEUE = 4      # leaf DMA queue depth (ring)
@@ -330,7 +350,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         lt, lj, _, _ = jax.lax.fori_loop(
             0, cnt, tri_body,
             (best_t, jnp.full(shape, -1.0), jnp.int32(0), jnp.int32(0)))
-        improved = lj >= 0.0
+        improved = (lj >= 0.0) & act
         rsf = row_start.astype(jnp.float32)
         best_row = jnp.where(improved, rsf, best_row)
         best_j = jnp.where(improved, lj, best_j)
@@ -340,93 +360,173 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
 
     NQ = 2 * QUEUE   # rows + cnts ring scalars
 
-    def cond(s):
-        cursor, head, tail = s[0], s[1], s[2]
-        return (cursor >= 0) | (tail > head)
+    # Ordered (front-to-back) traversal with a scalar SMEM stack — the
+    # DFS miss-link walk visited subtrees in static layout order, so for
+    # rays pointing against a split axis the FAR subtree ran first and
+    # best_t stayed large through most of the walk.  Here each interior
+    # visit slab-tests both children (per-lane best_t culling), descends
+    # the near one by the packet's direction sign, and pushes the far one
+    # with its packet-min entry t; a popped entry is discarded when no
+    # active lane's best_t can still improve on it (Embree's ordered DFS,
+    # kdtree.h near/far traversal).
+    STACK = 96   # >= max SAH tree depth at the MAX_NODES cap
 
-    def body(s):
-        cursor, head, tail = s[0], s[1], s[2]
-        ring = s[3:3 + NQ]
-        rows_ring, cnts_ring = ring[:QUEUE], ring[QUEUE:]
-        found, best_t = s[3 + NQ], s[4 + NQ]
-        best_row, best_j = s[5 + NQ], s[6 + NQ]
+    # per-packet near-child signs (one vector reduce per axis, once per
+    # traversal).  Upstream sorts bounce packets by direction octant, so
+    # the majority sign is exact for coherent packets and a heuristic
+    # (never a correctness issue) for mixed ones.
+    sg = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
+    neg_inf = jnp.float32(-jnp.inf)
 
-        nid0 = jnp.maximum(cursor, 0)
-        is_node = cursor >= 0
-        hits, rows_b, cnts_b, miss_b = [], [], [], []
-        for k in range(batch):
-            nid = nid0 if k == 0 else jnp.minimum(nid0 + k, n_nodes - 1)
-            lo, hi = _node_box(node_box, nid)
-            hm = _slab(lo, hi, ox, oy, oz, ix, iy, iz, best_t) * actf
-            hits.append(jnp.max(hm) > 0.0)
-            rs, ct, ms = _node_meta(node_meta, nid)
-            rows_b.append(rs)
-            cnts_b.append(ct)
-            miss_b.append(ms)
+    def walk(stack, tstack):
+        def cond(s):
+            cursor, head, tail = s[0], s[1], s[2]
+            return (cursor >= 0) | (tail > head)
 
-        # scalar decode: follow the consecutive-hit interior run; stop
-        # at the first miss (jump to its miss link) or first hit leaf
-        # (enqueue it, then continue from its miss link)
-        run = is_node
-        nxt = cursor
-        enqueue = is_node & (nid0 < 0)          # traced False
-        row_start = jnp.int32(0)
-        cnt = jnp.int32(0)
-        for k in range(batch):
-            leaf_k = rows_b[k] >= 0
-            stop = run & (~hits[k] | leaf_k)
-            enq_k = run & hits[k] & leaf_k
-            enqueue = enqueue | enq_k
-            row_start = jnp.where(enq_k, rows_b[k], row_start)
-            cnt = jnp.where(enq_k, cnts_b[k], cnt)
-            nxt = jnp.where(stop, miss_b[k], nxt)
-            run = run & hits[k] & ~leaf_k
-        # whole batch was hit interior nodes: resume after it (the last
-        # DFS node is always a leaf, so a live run never runs off the
-        # clamped end of the table)
-        nxt = jnp.where(run, nid0 + batch, nxt)
+        def body(s):
+            cursor, head, tail, sp = s[0], s[1], s[2], s[3]
+            ring = s[4:4 + NQ]
+            rows_ring, cnts_ring = ring[:QUEUE], ring[QUEUE:]
+            found, best_t = s[4 + NQ], s[5 + NQ]
+            best_row, best_j = s[6 + NQ], s[7 + NQ]
+            max_best = s[8 + NQ]
 
-        # pop the oldest leaf when the ring is full (its DMA has had
-        # QUEUE-1 enqueues worth of latency cover) or when draining
-        full = (tail - head) >= QUEUE
-        do_process = (enqueue & full) | (~is_node & (tail > head))
-        p_row = _ring_get(rows_ring, head)
-        p_cnt = _ring_get(cnts_ring, head)
-        p_slot = head & (QUEUE - 1)
-        found, best_t, best_row, best_j = jax.lax.cond(
-            do_process,
-            lambda fd, bt, br, bj: process(
-                p_row, p_cnt, p_slot, fd, bt, br, bj),
-            lambda fd, bt, br, bj: (fd, bt, br, bj),
-            found, best_t, best_row, best_j)
-        head = head + do_process.astype(jnp.int32)
+            nid = jnp.maximum(cursor, 0)
+            is_node = cursor >= 0
+            rs, ct, _, r3 = _node_meta4(node_meta, nid)
+            is_leaf = rs >= 0
 
-        new_slot = tail & (QUEUE - 1)
+            left = jnp.minimum(nid + 1, n_nodes - 1)
+            right = jnp.minimum(r3 >> 3, n_nodes - 1)
+            axis = r3 & 3
+            flip = (r3 >> 2) & 1
+            # child leaf metadata (scalar SMEM reads, cheap)
+            rsL, ctL, _, _ = _node_meta4(node_meta, left)
+            rsR, ctR, _, _ = _node_meta4(node_meta, right)
+            loL, hiL = _node_box(node_box, left)
+            loR, hiR = _node_box(node_box, right)
+            hmL, tnL = _slab(loL, hiL, ox, oy, oz, ix, iy, iz, best_t)
+            hmL = hmL * actf
+            hmR, tnR = _slab(loR, hiR, ox, oy, oz, ix, iy, iz, best_t)
+            hmR = hmR * actf
 
-        @pl.when(enqueue)
-        def _():
-            pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(row_start, rpl)],
-                qbuf.at[new_slot], sems.at[new_slot],
-            ).start()
+            sga = jnp.where(axis == 0, sg[0],
+                            jnp.where(axis == 1, sg[1], sg[2]))
+            near_is_left = jnp.logical_xor(sga, flip == 1)
+            # ONE vector->scalar reduction decodes both child hits: lane
+            # sums stay < 1024 so s = nL + 4096*nR splits exactly in f32
+            s = jnp.sum(hmL + 4096.0 * hmR)
+            hitR = s >= 4096.0
+            hitL = (s - jnp.floor(s * (1.0 / 4096.0)) * 4096.0) > 0.0
+            hn = jnp.where(near_is_left, hitL, hitR)
+            hf = jnp.where(near_is_left, hitR, hitL)
+            near = jnp.where(near_is_left, left, right)
+            far = jnp.where(near_is_left, right, left)
+            rs_n = jnp.where(near_is_left, rsL, rsR)
+            ct_n = jnp.where(near_is_left, ctL, ctR)
+            rs_f = jnp.where(near_is_left, rsR, rsL)
+            ct_f = jnp.where(near_is_left, ctR, ctL)
+            nearleaf = rs_n >= 0
+            farleaf = rs_f >= 0
 
-        rows_ring = tuple(
-            jnp.where(enqueue & (new_slot == k), row_start, v)
-            for k, v in enumerate(rows_ring))
-        cnts_ring = tuple(
-            jnp.where(enqueue & (new_slot == k), cnt, v)
-            for k, v in enumerate(cnts_ring))
-        tail = tail + enqueue.astype(jnp.int32)
-        return (nxt, head, tail) + rows_ring + cnts_ring + (
-            found, best_t, best_row, best_j)
+            interior = is_node & ~is_leaf
+            # near-leaf fast path: enqueue it this iteration and descend
+            # the far child directly when it is a hit interior — a leaf
+            # visit costs no extra traversal iteration
+            desc_near = interior & hn & ~nearleaf
+            desc_far = interior & hf & ~farleaf & ~desc_near
+            # far goes on the stack only when the near side is consumed
+            # this iteration (descend or enqueue) and far isn't descended
+            push = interior & hf & hn & ~desc_far
 
-    z = jnp.int32(0)
-    init = (z, z, z) + (z,) * NQ + (
-        jnp.zeros(shape), maxt, jnp.full(shape, -1.0),
-        jnp.full(shape, -1.0))
-    out = jax.lax.while_loop(cond, body, init)
-    found, best_t = out[3 + NQ], out[4 + NQ]
-    best_row, best_j = out[5 + NQ], out[6 + NQ]
+            @pl.when(push)
+            def _():
+                # packet-min entry t of the far child (prune key); the
+                # reduce only runs on actual pushes
+                hm_far = jnp.where(near_is_left, hmR, hmL)
+                tn_far = jnp.min(jnp.where(
+                    hm_far > 0.0, jnp.where(near_is_left, tnR, tnL),
+                    jnp.inf))
+                stack[sp] = far
+                tstack[sp] = tn_far
+
+            sp = sp + push.astype(jnp.int32)
+            nxt = jnp.where(desc_near, near,
+                            jnp.where(desc_far, far, jnp.int32(-1)))
+
+            # one leaf DMA per iteration: a hit near-leaf, else a hit
+            # far-leaf not pushed (its sibling missed or was a leaf too
+            # -- in the both-leaves case far rides the stack)
+            enq_near = interior & hn & nearleaf
+            enq_far = (interior & hf & farleaf & ~enq_near
+                       & ~(hn & nearleaf))
+            enqueue = enq_near | enq_far | (is_node & is_leaf)
+            rs = jnp.where(enq_near, rs_n, jnp.where(enq_far, rs_f, rs))
+            ct = jnp.where(enq_near, ct_n, jnp.where(enq_far, ct_f, ct))
+
+            # pop the oldest leaf when the ring is full (its DMA has had
+            # QUEUE-1 enqueues worth of latency cover) or when draining
+            full = (tail - head) >= QUEUE
+            do_process = (enqueue & full) | (~is_node & (tail > head))
+            p_row = _ring_get(rows_ring, head)
+            p_cnt = _ring_get(cnts_ring, head)
+            p_slot = head & (QUEUE - 1)
+
+            def do_p(fd, bt, br, bj, mb):
+                fd, bt, br, bj = process(p_row, p_cnt, p_slot, fd, bt, br,
+                                         bj)
+                return fd, bt, br, bj, jnp.max(
+                    jnp.where(act, bt, neg_inf))
+
+            found, best_t, best_row, best_j, max_best = jax.lax.cond(
+                do_process, do_p,
+                lambda fd, bt, br, bj, mb: (fd, bt, br, bj, mb),
+                found, best_t, best_row, best_j, max_best)
+            head = head + do_process.astype(jnp.int32)
+
+            new_slot = tail & (QUEUE - 1)
+
+            @pl.when(enqueue)
+            def _():
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(rs, rpl)],
+                    qbuf.at[new_slot], sems.at[new_slot],
+                ).start()
+
+            rows_ring = tuple(
+                jnp.where(enqueue & (new_slot == k), rs, v)
+                for k, v in enumerate(rows_ring))
+            cnts_ring = tuple(
+                jnp.where(enqueue & (new_slot == k), ct, v)
+                for k, v in enumerate(cnts_ring))
+            tail = tail + enqueue.astype(jnp.int32)
+
+            # out of nodes: pop stack entries, discarding any whose
+            # packet-min entry t can no longer beat any lane's best_t
+            def pcond(c):
+                return (c[0] < 0) & (c[1] > 0)
+
+            def pbody(c):
+                _, spc = c
+                spc = spc - 1
+                keep = tstack[spc] < max_best
+                return jnp.where(keep, stack[spc], jnp.int32(-1)), spc
+
+            nxt, sp = jax.lax.while_loop(pcond, pbody, (nxt, sp))
+            return (nxt, head, tail, sp) + rows_ring + cnts_ring + (
+                found, best_t, best_row, best_j, max_best)
+
+        z = jnp.int32(0)
+        init = (z, z, z, z) + (z,) * NQ + (
+            jnp.zeros(shape), maxt, jnp.full(shape, -1.0),
+            jnp.full(shape, -1.0), jnp.max(jnp.where(act, maxt, neg_inf)))
+        out = jax.lax.while_loop(cond, body, init)
+        return out[4 + NQ], out[5 + NQ], out[6 + NQ], out[7 + NQ]
+
+    found, best_t, best_row, best_j = pl.run_scoped(
+        walk,
+        pltpu.SMEM((STACK,), jnp.int32),
+        pltpu.SMEM((STACK,), jnp.float32))
 
     # ---- deferred attribute resolve over DISTINCT winning leaves ----
     # The walk above carries only the winner's identity (row_start, j);
@@ -534,7 +634,7 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         for k in range(batch):
             nid = nid0 if k == 0 else jnp.minimum(nid0 + k, n_nodes - 1)
             lo, hi = _node_box(node_box, nid)
-            hm = _slab(lo, hi, ox, oy, oz, ix, iy, iz, maxt) * live
+            hm = _slab(lo, hi, ox, oy, oz, ix, iy, iz, maxt)[0] * live
             hits.append(jnp.max(hm) > 0.0)
             rs, ct, ms = _node_meta(node_meta, nid)
             rows_b.append(rs)

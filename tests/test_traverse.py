@@ -180,7 +180,8 @@ def test_sorted_per_bounce_matches_unsorted(big_scene):
     ray, weight, film_pos, lane = sample_rays(big_scene, seed, 2)
     active = jnp.ones((ray.o.shape[0],), bool)
 
-    L_all = MegakernelPathIntegrator(max_depth=3).sample(
+    L_all = MegakernelPathIntegrator(
+        max_depth=3, sort_bounces=False).sample(
         big_scene, ray, lane, seed, active)
     L_srt = MegakernelPathIntegrator(max_depth=3, sort_bounces=True).sample(
         big_scene, ray, lane, seed, active)
