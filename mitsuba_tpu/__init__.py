@@ -31,6 +31,8 @@ from .models.integrators import (  # noqa: F401
     render,
 )
 from .models.denoiser import denoise, denoise_render  # noqa: F401
+from .utils.config import set_variant, variant, variants  # noqa: F401
+from .utils.interrupt import cancel, clear_cancel  # noqa: F401
 from .utils.load import load_dict  # noqa: F401
 from .utils.params import SceneParameters, traverse, update  # noqa: F401
 from .utils.scenes import cornell_box, cornell_box_dict  # noqa: F401

@@ -111,13 +111,19 @@ def sample_rays(scene, seed, spp: int, spp_pass: int | None = None,
 
 
 def render(scene, integrator=None, seed: int = 0, spp: int | None = None,
-           spp_per_pass: int | None = None):
+           spp_per_pass: int | None = None, timeout: float | None = None):
     """Full primal render: wavefront -> integrator.sample -> splat -> develop.
 
     ``integrator``/``spp`` default to the scene's own integrator and the
     sensor sampler's sample_count (mi.render() semantics, util.py:410).
     Multi-pass over spp (integrator.cpp:249-265 wavefront splitting) with
     image-space accumulation before the develop division.
+
+    ``timeout`` (seconds; default the integrator's own ``timeout``
+    property, 0 = unlimited) and utils.interrupt.cancel() stop the render
+    cooperatively between spp passes (integrator.h:290 cancel/timeout;
+    integrator.cpp:219 should_stop) — the partial image is developed
+    normally and stays unbiased (weight-normalized).
     """
     if integrator is None:
         integrator = scene.integrator
@@ -138,8 +144,15 @@ def render(scene, integrator=None, seed: int = 0, spp: int | None = None,
         assert spp % spp_per_pass == 0
         passes = [(p, spp_per_pass) for p in range(spp // spp_per_pass)]
 
+    from ...utils.interrupt import RenderWatchdog
+
+    if timeout is None:
+        timeout = float(getattr(integrator, "timeout", 0.0) or 0.0)
+    watchdog = RenderWatchdog(timeout)
     image = None
     for pass_index, spp_pass in passes:
+        if image is not None and watchdog.should_stop():
+            break
         img = _render_pass(scene, integrator, jnp.uint32(seed), spp,
                            spp_pass, pass_index)
         image = img if image is None else image + img

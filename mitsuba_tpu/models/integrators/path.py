@@ -39,6 +39,10 @@ class PathIntegrator:
     # attach primary-hit ray differentials (sensor.h:62): textures with
     # mip pyramids then use footprint-aware lookups
     ray_diffs: bool = static(False)
+    # render wall-clock budget in seconds, 0 = unlimited (the reference's
+    # integrator ``timeout`` property, integrator.cpp:23-24,90-92);
+    # enforced between spp passes by integrators.common.render
+    timeout: float = static(0.0)
     id: str = static("path")
 
     def sample(self, scene, ray: Ray, lane, seed, active, rd=None):

@@ -615,8 +615,10 @@ def _make_sensor(d):
             sh_time = float(d["shutter_close"]) - sh_open
         else:
             sh_time = 0.0
+        from .config import is_spectral
+
         return PerspectiveCamera(
-            spectral=bool(d.get("spectral", False)),
+            spectral=bool(d.get("spectral", is_spectral())),
             animation=anim, shutter_open=sh_open,
             shutter_open_time=sh_time, **common)
     if t == "thinlens":
@@ -695,7 +697,8 @@ def _make_integrator(d):
                               rr_depth=int(d.get("rr_depth", 5)),
                               hide_emitters=bool(d.get("hide_emitters",
                                                        False)),
-                              ray_diffs=bool(d.get("ray_diffs", False)))
+                              ray_diffs=bool(d.get("ray_diffs", False)),
+                              timeout=float(d.get("timeout", 0.0)))
     if t == "direct":
         return DirectIntegrator(
             emitter_samples=int(d.get("emitter_samples",
@@ -718,11 +721,13 @@ def _make_integrator(d):
     if t == "ptracer":
         from ..models.integrators import ParticleTracerIntegrator
 
+        from .config import is_spectral
+
         return ParticleTracerIntegrator(
             max_depth=int(d.get("max_depth", 8)),
             rr_depth=int(d.get("rr_depth", 5)),
             hide_emitters=bool(d.get("hide_emitters", False)),
-            spectral=bool(d.get("spectral", False)),
+            spectral=bool(d.get("spectral", is_spectral())),
         )
     if t == "stokes":
         from ..models.integrators.stokes import StokesIntegrator
