@@ -36,7 +36,7 @@ def main():
     from mitsuba_tpu.ops.pallas.megakernel import (megakernel_bounce_bvh,
                                                    pack_scene_bvh)
 
-    rows, light, n_lights = pack_scene_bvh(scene, acc)
+    rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
     seed = jnp.uint32(3)
     ray, _, _, lane = sample_rays(scene, seed, spp)
     active = jnp.ones((n,), bool)

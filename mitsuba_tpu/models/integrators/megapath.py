@@ -200,12 +200,12 @@ class MegakernelPathIntegrator:
                 env_nee=env_nee, env_pos=env_pos, smooth=smooth,
             )
         acc = scene.packet_accel
-        rows, light, n_lights = pack_scene_bvh(scene, acc)
+        rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
         smooth = any(m.normals is not None for m in scene.meshes)
         if self.sort_bounces:
-            return self._sorted_bvh(scene, acc, rows, light, n_lights,
-                                    btypes, smooth, lane, ray, active,
-                                    seed, interpret)
+            return self._sorted_bvh(scene, acc, rows, mxu_rows, light,
+                                    n_lights, btypes, smooth, lane, ray,
+                                    active, seed, interpret)
         # Feed the kernel Morton-tiled packets: lanes arrive pixel-major
         # (16 consecutive pixels per 1024-ray packet = a thin strip); a
         # static Morton shuffle of the *order* turns each packet into a
@@ -227,7 +227,7 @@ class MegakernelPathIntegrator:
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
                 interpret=interpret, rpl=acc.rpl, batch=acc.batch,
-                smooth=smooth,
+                smooth=smooth, mxu_rows=mxu_rows,
             )
             return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
@@ -236,11 +236,11 @@ class MegakernelPathIntegrator:
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
             interpret=interpret, rpl=acc.rpl, batch=acc.batch,
-            smooth=smooth,
+            smooth=smooth, mxu_rows=mxu_rows,
         )
 
-    def _sorted_bvh(self, scene, acc, rows, light, n_lights, btypes,
-                    smooth, lane, ray, active, seed, interpret):
+    def _sorted_bvh(self, scene, acc, rows, mxu_rows, light, n_lights,
+                    btypes, smooth, lane, ray, active, seed, interpret):
         """Per-bounce pipeline: sort -> one-bounce kernel, repeated."""
         from ...ops.pallas.megakernel import megakernel_bounce_bvh
 
@@ -280,7 +280,7 @@ class MegakernelPathIntegrator:
                     rr_depth=self.rr_depth, n_nodes=acc.n_nodes,
                     n_lights=n_lights, btypes=btypes,
                     interpret=interpret, rpl=acc.rpl, batch=acc.batch,
-                    smooth=smooth)
+                    smooth=smooth, mxu_rows=mxu_rows)
 
             # compaction, coarse level: once RR/escapes kill the whole
             # wavefront, skip the remaining launches entirely

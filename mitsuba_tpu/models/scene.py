@@ -137,10 +137,14 @@ class Scene:
             if self.packet_accel is not None:
                 # packet-BVH traversal path (ops/pallas/traverse.py)
                 from ..ops.pallas.traverse import (
-                    pack_leaf_rows, tri_columns)
+                    pack_leaf_rows, pack_mxu_rows, tri_columns)
 
-                ctx["packet_rows"] = pack_leaf_rows(
-                    tri_columns(vd, f), self.packet_accel)
+                cols = tri_columns(vd, f)
+                ctx["packet_rows"] = pack_leaf_rows(cols,
+                                                    self.packet_accel)
+                if self.packet_accel.mxu:
+                    ctx["mxu_rows"] = pack_mxu_rows(cols,
+                                                    self.packet_accel)
             elif not self.use_bvh:
                 from ..ops.pallas.intersect_pallas import pack_triangles
 
@@ -167,6 +171,7 @@ class Scene:
                 ctx["packet_rows"],
                 ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
                 rpl=acc.rpl, batch=acc.batch,
+                mxu_rows=ctx.get("mxu_rows"),
             )
             pi = PreliminaryIntersection(
                 t=t,
@@ -423,6 +428,7 @@ class Scene:
                 ctx["packet_rows"],
                 ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
                 rpl=acc.rpl, batch=acc.batch,
+                mxu_rows=ctx.get("mxu_rows"),
             )
         elif "tris_packed" in ctx:
             from ..ops.pallas.intersect_pallas import intersect_packed
@@ -853,13 +859,16 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
             from ..ops.pallas.traverse import (MAX_NODES, PACK,
                                                build_packet_bvh)
 
-            # smallest leaf whose node table fits SMEM: fewer
-            # union-wasted triangle tests per packet (round-2 sweep:
-            # rpl=4 beat rpl=8 by 39% on an 82k-tri scene)
-            for rpl in (4, 8, 16):
+            # MXU leaf stage (round 3): one dot_general tests a whole
+            # 64-triangle leaf per sublane group, so large leaves are
+            # cheap and the serial node walk shrinks; rpl=16 is the
+            # measured sweet spot (PERF.md round-3).  Larger rpl only
+            # when the node table would overflow SMEM.
+            for rpl in (16, 32, 64):
                 if 2.2 * len(faces_np) / (PACK * rpl) > MAX_NODES:
                     continue   # predicted overflow: skip the build
-                pa = build_packet_bvh(verts_np, faces_np, rpl=rpl)
+                pa = build_packet_bvh(verts_np, faces_np, rpl=rpl,
+                                      mxu=True)
                 if pa.n_nodes <= MAX_NODES:
                     packet_accel = pa
                     break

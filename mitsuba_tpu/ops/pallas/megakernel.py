@@ -1605,16 +1605,20 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
 
 
 def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
-                   rpl, batch, smooth=False):
+                   rpl, batch, smooth=False, mxu=False):
     """BVH-packet megakernel: same fused path loop, but ray queries run
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
-    lifts the MAX_FACES cap to the SMEM node budget (~300k triangles)."""
+    lifts the MAX_FACES cap to the SMEM node budget (~300k triangles).
+    ``mxu`` switches leaf intersection to the dot_general stage."""
     from .traverse import traverse_any, traverse_closest
 
-    def kernel(node_box_ref, node_meta_ref, light_ref,
-               rows_ref, lane_ref, seed_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
-               lr_ref, lg_ref, lb_ref, qbuf, sems):
+    def kernel(node_box_ref, node_meta_ref, light_ref, rows_ref, *rest):
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        (lane_ref, seed_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+         lr_ref, lg_ref, lb_ref, qbuf, sems) = rest[:14]
+        mctx = (mxu_ref, rest[14], rest[15]) if mxu else None
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
         act0 = act_ref[:] > 0.5
@@ -1638,7 +1642,8 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz,
                 jnp.full(shape, jnp.inf), act_b,
-                resolve_cols=res_cols, rpl=rpl, batch=batch)
+                resolve_cols=res_cols, rpl=rpl, batch=batch,
+                mxu_ctx=mctx)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -1682,7 +1687,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz, maxt, act_b,
-                rpl=rpl, batch=batch) > 0.5
+                rpl=rpl, batch=batch, mxu_ctx=mctx) > 0.5
 
         lc = lambda j, k: light_ref[j, k]
         Lr, Lg, Lb = _trace_loop(
@@ -1789,8 +1794,10 @@ def pack_scene_bvh(scene, layout):
 
     Reuses pack_scene's face shading assembly, re-laid out into the
     25-column traverse.py slot format (refl | ng | is_light | pdf_area |
-    btype | bparams | face_id) and permuted into HBM leaf rows."""
-    from .traverse import pack_leaf_rows
+    btype | bparams | face_id) and permuted into HBM leaf rows.  When
+    the layout has the MXU leaf stage, also returns the Baldwin-Weber
+    coefficient table (else None)."""
+    from .traverse import pack_leaf_rows, pack_mxu_rows
 
     tris, light, F, L, _tex, _env = pack_scene(scene)
     t = tris[:F]
@@ -1804,7 +1811,8 @@ def pack_scene_bvh(scene, layout):
         jnp.zeros((F, 1)),
     ], axis=1)
     rows = pack_leaf_rows(cols, layout)
-    return rows, light, L
+    mxu_rows = pack_mxu_rows(cols, layout) if layout.mxu else None
+    return rows, mxu_rows, light, L
 
 
 @partial(jax.jit,
@@ -1817,13 +1825,14 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          n_lights: int, btypes: tuple = (0,),
                          interpret: bool = False,
                          rpl: int = None, batch: int = None,
-                         smooth: bool = False):
+                         smooth: bool = False, mxu_rows=None):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
-    from .traverse import BATCH, QUEUE, RPL
+    from .traverse import BATCH, PACK, QUEUE, RPL, mxu_width
 
     rpl = RPL if rpl is None else rpl
     batch = BATCH if batch is None else batch
+    mxu = mxu_rows is not None
 
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -1846,7 +1855,18 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
-                            btypes, rpl, batch, smooth)
+                            btypes, rpl, batch, smooth, mxu=mxu)
+    scratch = [
+        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((QUEUE,)),
+    ]
+    extra_in = []
+    extra_args = []
+    if mxu:
+        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
+                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args = [mxu_rows]
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1854,16 +1874,13 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node_box (packed)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # node_meta (packed)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # light
-            pl.BlockSpec(memory_space=pltpu.ANY),    # leaf rows (HBM)
-        ] + [ray_spec] * 9,
+            pl.BlockSpec(memory_space=pl.ANY),       # leaf rows (HBM)
+        ] + extra_in + [ray_spec] * 9,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((rows_t, LANES), jnp.float32)] * 3,
-        scratch_shapes=[
-            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((QUEUE,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(node_box, node_meta, light, rows, *args)
+    )(node_box, node_meta, light, rows, *extra_args, *args)
 
     flat = lambda x: x.reshape(n_pad)[:n]
     return jnp.stack([flat(lr), flat(lg), flat(lb)], axis=-1)
@@ -1872,7 +1889,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
 # ------------------------------------------- sorted per-bounce pipeline
 
 def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
-                          btypes, rpl, batch, smooth, env_pos):
+                          btypes, rpl, batch, smooth, env_pos,
+                          mxu=False):
     """ONE bounce of the BVH megakernel with full state I/O — the
     building block of the sorted per-bounce pipeline: between launches
     the caller re-sorts rays by (direction octant, position cell) so
@@ -1881,11 +1899,15 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
     from .traverse import traverse_any, traverse_closest
 
     def kernel(node_box_ref, node_meta_ref, light_ref, env_ref, tex_ref,
-               tflag_ref, en_ref, rows_ref, lane_ref, seed_ref,
-               *st_refs):
+               tflag_ref, en_ref, rows_ref, *rest):
+        if mxu:
+            mxu_ref, rest = rest[0], rest[1:]
+        lane_ref, seed_ref = rest[0], rest[1]
+        st_refs = rest[2:]
         in_refs = st_refs[:16]
         out_refs = st_refs[16:32]
         qbuf, sems = st_refs[32], st_refs[33]
+        mctx = (mxu_ref, st_refs[34], st_refs[35]) if mxu else None
 
         # ---- path-state compaction (SURVEY §7): the caller sorts dead
         # lanes to trailing tiles, so a tile whose activity flag is 0
@@ -1902,11 +1924,11 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
         def _body():
             _bounce_body(node_box_ref, node_meta_ref, light_ref,
                          env_ref, tex_ref, en_ref, rows_ref, lane_ref,
-                         seed_ref, in_refs, out_refs, qbuf, sems)
+                         seed_ref, in_refs, out_refs, qbuf, sems, mctx)
 
     def _bounce_body(node_box_ref, node_meta_ref, light_ref, env_ref,
                      tex_ref, en_ref, rows_ref, lane_ref, seed_ref,
-                     in_refs, out_refs, qbuf, sems):
+                     in_refs, out_refs, qbuf, sems, mctx):
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
         shape = lane.shape
@@ -1925,7 +1947,8 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz,
                 jnp.full(shape, jnp.inf), act_b,
-                resolve_cols=res_cols, rpl=rpl, batch=batch)
+                resolve_cols=res_cols, rpl=rpl, batch=batch,
+                mxu_ctx=mctx)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -1967,7 +1990,7 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz, maxt, act_b,
-                rpl=rpl, batch=batch) > 0.5
+                rpl=rpl, batch=batch, mxu_ctx=mctx) > 0.5
 
         lc = lambda j, k: light_ref[j, k]
         env_ctx = None
@@ -1999,14 +2022,16 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
                           btypes: tuple = (0,), interpret: bool = False,
                           rpl: int = None, batch: int = None,
                           smooth: bool = False, env_meta=None,
-                          env_nee_d=None, env_pos: int = -1, tex=None):
+                          env_nee_d=None, env_pos: int = -1, tex=None,
+                          mxu_rows=None):
     """One sorted-pipeline bounce over flat (N,) state arrays.  ``state``
     is the 16-tuple of (N,) float arrays matching _bounce_step (act as
     f32 0/1); ``env_nee_d`` is this depth's (N, 8) envmap NEE slice."""
-    from .traverse import BATCH, QUEUE, RPL
+    from .traverse import BATCH, PACK, QUEUE, RPL, mxu_width
 
     rpl = RPL if rpl is None else rpl
     batch = BATCH if batch is None else batch
+    mxu = mxu_rows is not None
     n = lane.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
     pad = n_pad - n
@@ -2040,11 +2065,22 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
         tex = jnp.zeros((1, LANES))
     kernel = _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes,
                                    n_lights, btypes, rpl, batch, smooth,
-                                   env_pos)
+                                   env_pos, mxu=mxu)
     # per-tile activity flags: with lanes sorted dead-last, trailing
     # tiles go fully inactive and the kernel passes them through
     tflags = (st_t[15].reshape(grid[0], -1).max(axis=-1)
               > 0.5).astype(jnp.int32)
+    scratch = [
+        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((QUEUE,)),
+    ]
+    extra_in = []
+    extra_args = []
+    if mxu:
+        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
+                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args = [mxu_rows]
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -2057,16 +2093,13 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tile flags
             en_spec,                                  # env NEE slice
             pl.BlockSpec(memory_space=pl.ANY),       # leaf rows (HBM)
-        ] + [ray_spec] * 18,
+        ] + extra_in + [ray_spec] * 18,
         out_specs=[ray_spec] * 16,
         out_shape=[jax.ShapeDtypeStruct((rows_t, LANES),
                                         jnp.float32)] * 16,
-        scratch_shapes=[
-            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((QUEUE,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(node_box, node_meta, light, env_meta, tex, tflags,
-      en_t, rows, lane_t, seed_t, *st_t)
+      en_t, rows, *extra_args, lane_t, seed_t, *st_t)
     flat = lambda x: x.reshape(n_pad)[:n]
     return tuple(flat(x) for x in out)

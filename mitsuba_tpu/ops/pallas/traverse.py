@@ -52,6 +52,13 @@ RPL = 8           # default rows per leaf block (8-row aligned DMA slices)
 TB = PACK * RPL   # default triangles per leaf/cluster (32)
 BATCH = 4         # speculative nodes tested per traversal iteration
 
+# MXU leaf-stage arithmetic: a single bf16 pass (~8 mantissa bits)
+# visibly punches holes at triangle edges (round-3 hardware A/B: image
+# mean 8.09 vs 8.89 on the 82k-tri interior), and Precision.HIGHEST's
+# 6-pass f32 emulation erases the MXU win.  The kernels therefore use a
+# manual bf16x3 split product (mm3: hi*hi + hi*lo + lo*hi, f32
+# accumulation) — ~2^-16 relative error, 3 single-pass matmul calls.
+
 # triangle row columns (within a 32-float slot); the geometric normal
 # is recomputed in-kernel from e1 x e2 so the slot can carry per-vertex
 # shading normals instead:
@@ -105,10 +112,14 @@ class PacketAccel:
     n_leaves: int = static(0)
     rpl: int = static(RPL)
     batch: int = static(BATCH)
+    # MXU leaf stage (round 3): leaf triangles are additionally packed as
+    # Baldwin-Weber plane coefficients so one dot_general tests a whole
+    # leaf against a 128-ray sublane group (see pack_mxu_rows)
+    mxu: bool = static(False)
 
 
 def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
-                     batch: int = BATCH) -> PacketAccel:
+                     batch: int = BATCH, mxu: bool = False) -> PacketAccel:
     """Host SAH build + cluster layout (reference accel build,
     scene_embree.inl:113; runs at make_scene time like scene.cpp:70).
     Stays in numpy end to end — no device round-trips.  ``rpl`` (rows
@@ -171,7 +182,8 @@ def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
     return PacketAccel(
         node_box=jnp.asarray(box), node_meta=jnp.asarray(meta),
         perm=_StaticPerm(perm),
-        n_nodes=M, n_leaves=max(n_leaves, 1), rpl=rpl, batch=batch)
+        n_nodes=M, n_leaves=max(n_leaves, 1), rpl=rpl, batch=batch,
+        mxu=mxu)
 
 
 def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
@@ -188,6 +200,66 @@ def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
     slots = safe[idx]                                   # (n_leaves*tb, 25)
     rows = slots.reshape(layout.n_leaves * layout.rpl, PACK * N_COLS)
     return jnp.pad(rows, ((0, 0), (0, 128 - PACK * N_COLS)))
+
+
+def pack_mxu_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
+    """Baldwin-Weber plane-coefficient leaf table for the MXU leaf stage
+    (round 3; Baldwin & Weber, JCGT 2016 — precomputed affine functionals
+    replace Moller-Trumbore so intersection becomes ONE dot_general).
+
+    Per triangle, six 4-vectors applied to the homogeneous ray
+    [o, 1, d, 0] (8 features):
+
+      num = n.o - n.p0          den = n.d        (t = -num / den)
+      u0  = s1.o - s1.p0        ud  = s1.d       (u = u0 + t*ud)
+      v0  = s2.o - s2.p0        vd  = s2.d       (v = v0 + t*vd)
+
+    with n = e1 x e2, s1 = (e2 x n)/|n|^2, s2 = (n x e1)/|n|^2, so (u, v)
+    are exact barycentrics along (e1, e2).
+
+    The six functionals split into an origin half (num/u0/v0, applied
+    to [o, 1]) and a direction half (den/ud/vd, applied to [d, 0]), so
+    the leaf block is (8, 3*TL): rows 0:4 = origin coeffs
+    [vec, -vec.p0], rows 4:8 = direction coeffs [vec, 0]; columns
+    grouped [num&den | u0&ud | v0&vd] x TL.  The kernel runs two K=4
+    matmul stacks per group — vs one K=8 with structural zeros this
+    halves both MAC work and DMA bytes (hardware A/B round 3: 0.541 vs
+    0.527 Mray/s full-path).  Output: (n_leaves * 8, 3*TL).  Padding
+    slots are all-zero -> den = 0 -> never hit.  Traceable like
+    pack_leaf_rows; traversal runs on detached geometry either way.
+    """
+    F = tri_cols.shape[0]
+    TL = PACK * layout.rpl
+    perm = layout.perm.a
+    idx = np.where(perm < 0, F, perm)
+    safe = jnp.concatenate(
+        [tri_cols[:, 0:9], jnp.zeros((1, 9), tri_cols.dtype)], axis=0)
+    g = safe[idx]                               # (n_leaves*TL, 9)
+    p0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    nrm = jnp.cross(e1, e2)
+    nn = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
+    inv = jnp.where(nn > 0.0, 1.0 / jnp.maximum(nn, 1e-30), 0.0)
+    s1 = jnp.cross(e2, nrm) * inv
+    s2 = jnp.cross(nrm, e1) * inv
+
+    def feat(vec):     # 8 rows: [vec, -vec.p0] origin | [vec, 0] dir
+        off = -jnp.sum(vec * p0, axis=-1, keepdims=True)
+        zo = jnp.zeros_like(off)
+        return jnp.concatenate([vec, off, vec, zo], axis=-1)
+
+    blocks = jnp.stack([feat(nrm), feat(s1), feat(s2)],
+                       axis=1)                  # (nl*TL, 3, 8)
+    nl = layout.n_leaves
+    blocks = blocks.reshape(nl, TL, 3, 8)
+    blocks = jnp.transpose(blocks, (0, 3, 2, 1))  # (nl, 8, 3, TL)
+    out = blocks.reshape(nl * 8, 3 * TL)
+    # DMA slices must be lane-tile (128) aligned in dim 1
+    return jnp.pad(out, ((0, 0), (0, mxu_width(layout.rpl) - 3 * TL)))
+
+
+def mxu_width(rpl: int) -> int:
+    """Lane-padded column count of the pack_mxu_rows table."""
+    return -(-3 * PACK * rpl // 128) * 128
 
 
 def tri_columns(v, f, extra=None, normals=None):
@@ -294,7 +366,8 @@ def _ring_get(vals, idx):
 
 def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                      n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
-                     resolve_cols=(COL_FACE_ID,), rpl=RPL, batch=BATCH):
+                     resolve_cols=(COL_FACE_ID,), rpl=RPL, batch=BATCH,
+                     mxu_ctx=None):
     """Packet closest-hit traversal subroutine (kernel-internal).
 
     node_box/node_meta are packed SMEM refs (see PacketAccel); rows_hbm
@@ -314,6 +387,16 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     leaf.  The per-node vector->scalar sync (the ~100 ns serial floor of
     the walk, PERF.md) is paid once per batch — the ``batch``
     reductions are independent and pipeline.
+
+    ``mxu_ctx`` = (mxu_hbm, mxu_qbuf, mxu_sems) enables the round-3 MXU
+    leaf stage: leaf triangles arrive as Baldwin-Weber plane
+    coefficients (pack_mxu_rows) and each leaf visit is ONE dot_general
+    per 128-ray sublane group — (8, 6*TL) x (8, 128) -> (6*TL, 128) —
+    instead of a per-triangle scalar-splat loop.  The enqueue-time slab
+    mask doubles as a GROUP mask, so groups whose rays all miss the
+    leaf's bbox skip their matmul entirely (hardware: ~2.4x leaf-stage
+    win before masking, examples/ubench_mxu_leaf3.py).  ``rows_hbm``
+    (attr slots) is then only used by the deferred attribute resolve.
     """
     shape = ox.shape
     eps = jnp.float32(1e-30)
@@ -326,6 +409,50 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     actf = act.astype(jnp.float32)
 
     n_res = len(resolve_cols)
+    mxu = mxu_ctx is not None
+    if mxu:
+        mxu_hbm, mqbuf, msems = mxu_ctx
+        TL = PACK * rpl
+        rpl_sh = int(np.log2(rpl))      # rpl is a power of two by layout
+        JM = TL - 1                     # tri index bits inside the t key
+        BIGKEY = jnp.int32(0x7F000000)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TL, LANES), 0)
+        subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        # homogeneous ray features over ALL 1024 rays (loop-invariant):
+        # rows [ox oy oz 1 dx dy dz 0] match the pack_mxu_rows feature
+        # order.  Split once into a bf16 hi/lo pair: the leaf matmuls
+        # run bf16x3 (hi*hi + hi*lo + lo*hi with f32 accumulation,
+        # ~2^-16 relative error — the MXU multiplies bf16 mantissas
+        # exactly), i.e. 3 single-pass calls per group instead of
+        # Precision.HIGHEST's 6 emulation passes per call.
+        row_all = lambda x: x.reshape(1, R_TILE)
+        rays8 = jnp.concatenate(
+            [row_all(ox), row_all(oy), row_all(oz),
+             jnp.ones((1, R_TILE), jnp.float32),
+             row_all(dx), row_all(dy), row_all(dz),
+             jnp.zeros((1, R_TILE), jnp.float32)], axis=0)
+
+        def bsplit(x):
+            h = x.astype(jnp.bfloat16)
+            return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        r8_h, r8_l = bsplit(rays8)
+        w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+
+        def mm3(ah, al, rh, rl):
+            dn = (((0,), (0,)), ((), ()))
+            kw = dict(dimension_numbers=dn,
+                      preferred_element_type=jnp.float32)
+            return (jax.lax.dot_general(ah, rh, **kw)
+                    + jax.lax.dot_general(ah, rl, **kw)
+                    + jax.lax.dot_general(al, rh, **kw))
+
+        def mxu_dma(row_start, slot):
+            mrow = pl.multiple_of((row_start >> rpl_sh) * 8, 8)
+            return pltpu.make_async_copy(
+                mxu_hbm.at[pl.ds(mrow, 8)],
+                mqbuf.at[pl.ds(slot * 8, 8)], msems.at[slot])
 
     def process(row_start, cnt, slot, found, best_t, best_row, best_j):
         pltpu.make_async_copy(
@@ -358,7 +485,68 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         found = jnp.maximum(found, improved.astype(jnp.float32))
         return found, best_t, best_row, best_j
 
-    NQ = 2 * QUEUE   # rows + cnts ring scalars
+    def process_mxu(row_start, gmask, slot,
+                    found, best_t, best_row, best_j):
+        """MXU leaf visit: per sublane group (128 rays), the whole leaf
+        is tested with two bf16x3 K=4 matmul stacks (origin/direction
+        functional halves) — 6 single-pass MXU calls per ACTIVE group.
+        Groups whose rays all missed the leaf's bbox at enqueue time
+        skip entirely (gmask).  Hardware A/B (round 3): group masking +
+        single-pass calls beat both per-group Precision.HIGHEST (6
+        passes each) and unmasked all-group batching."""
+        mxu_dma(row_start, slot).wait()
+        block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
+        bh = block.astype(jnp.bfloat16)
+        bl = (block - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rsf = row_start.astype(jnp.float32)
+
+        def group(s, carry):
+            def run(c):
+                f, bt, br, bj = c
+                lo_, hi_ = s * LANES, (s + 1) * LANES
+                out_o = mm3(bh[0:4], bl[0:4],
+                            r8_h[0:4, lo_:hi_], r8_l[0:4, lo_:hi_])
+                out_d = mm3(bh[4:8], bl[4:8],
+                            r8_h[4:8, lo_:hi_], r8_l[4:8, lo_:hi_])
+                num = out_o[0 * TL:1 * TL]              # (TL, 128)
+                den = out_d[0 * TL:1 * TL]
+                okd = jnp.abs(den) > 1e-12
+                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
+                                         approx=False)
+                u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
+                v = out_o[2 * TL:3 * TL] + t * out_d[2 * TL:3 * TL]
+                bt_s = bt[s:s + 1, :]                   # (1, 128)
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t < bt_s))
+                # packed winner key: positive-f32 bit order == float
+                # order, low bits carry the triangle slot (t loses
+                # log2(TL) low mantissa bits; SI is re-derived from the
+                # prim id downstream, scene.py compute_si)
+                key = jnp.where(
+                    hit,
+                    (pltpu.bitcast(t, jnp.int32) & jnp.int32(~JM))
+                    | sub_iota,
+                    BIGKEY)
+                kmin = jnp.min(key, axis=0, keepdims=True)  # (1, 128)
+                t_leaf = pltpu.bitcast(kmin & jnp.int32(~JM), jnp.float32)
+                j_leaf = (kmin & JM).astype(jnp.float32)
+                imp = (subsel == s) & (kmin < BIGKEY) & act
+                bt = jnp.where(imp, jnp.broadcast_to(t_leaf, shape), bt)
+                bj = jnp.where(imp, jnp.broadcast_to(j_leaf, shape), bj)
+                br = jnp.where(imp, rsf, br)
+                f = jnp.maximum(f, imp.astype(jnp.float32))
+                return f, bt, br, bj
+
+            return jax.lax.cond(((gmask >> s) & 1) != 0, run,
+                                lambda c: c, carry)
+
+        carry = (found, best_t, best_row, best_j)
+        for s in range(SUB):
+            carry = group(s, carry)
+        return carry
+
+    # ring scalars: rows + cnts (+ per-leaf group masks in MXU mode)
+    NQ = (3 if mxu else 2) * QUEUE
 
     # Ordered (front-to-back) traversal with a scalar SMEM stack — the
     # DFS miss-link walk visited subtrees in static layout order, so for
@@ -378,18 +566,19 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     sg = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
     neg_inf = jnp.float32(-jnp.inf)
 
-    def walk(stack, tstack):
+    def walk(stack, tstack, mstack):
         def cond(s):
             cursor, head, tail = s[0], s[1], s[2]
             return (cursor >= 0) | (tail > head)
 
         def body(s):
-            cursor, head, tail, sp = s[0], s[1], s[2], s[3]
-            ring = s[4:4 + NQ]
-            rows_ring, cnts_ring = ring[:QUEUE], ring[QUEUE:]
-            found, best_t = s[4 + NQ], s[5 + NQ]
-            best_row, best_j = s[6 + NQ], s[7 + NQ]
-            max_best = s[8 + NQ]
+            cursor, head, tail, sp, pmask = (s[0], s[1], s[2], s[3], s[4])
+            ring = s[5:5 + NQ]
+            rows_ring, cnts_ring = ring[:QUEUE], ring[QUEUE:2 * QUEUE]
+            masks_ring = ring[2 * QUEUE:]
+            found, best_t = s[5 + NQ], s[6 + NQ]
+            best_row, best_j = s[7 + NQ], s[8 + NQ]
+            max_best = s[9 + NQ]
 
             nid = jnp.maximum(cursor, 0)
             is_node = cursor >= 0
@@ -413,11 +602,29 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             sga = jnp.where(axis == 0, sg[0],
                             jnp.where(axis == 1, sg[1], sg[2]))
             near_is_left = jnp.logical_xor(sga, flip == 1)
-            # ONE vector->scalar reduction decodes both child hits: lane
-            # sums stay < 1024 so s = nL + 4096*nR splits exactly in f32
-            s = jnp.sum(hmL + 4096.0 * hmR)
-            hitR = s >= 4096.0
-            hitL = (s - jnp.floor(s * (1.0 / 4096.0)) * 4096.0) > 0.0
+            if mxu:
+                # ONE reduction decodes both children AND yields the
+                # per-sublane-group masks the MXU leaf stage skips by:
+                # anyL/anyR are 0/1 per group, so the base-2 weighted sum
+                # (groups 0..7 for L, scaled 256 for R) stays < 2^16 —
+                # exact in f32
+                anyL = jnp.max(hmL, axis=1, keepdims=True)
+                anyR = jnp.max(hmR, axis=1, keepdims=True)
+                bits = jnp.sum((anyL + 256.0 * anyR) * w2).astype(
+                    jnp.int32)
+                gmL = bits & 255
+                gmR = (bits >> 8) & 255
+                hitL = gmL > 0
+                hitR = gmR > 0
+                gm_n = jnp.where(near_is_left, gmL, gmR)
+                gm_f = jnp.where(near_is_left, gmR, gmL)
+            else:
+                # ONE vector->scalar reduction decodes both child hits:
+                # lane sums stay < 1024 so s = nL + 4096*nR splits
+                # exactly in f32
+                s = jnp.sum(hmL + 4096.0 * hmR)
+                hitR = s >= 4096.0
+                hitL = (s - jnp.floor(s * (1.0 / 4096.0)) * 4096.0) > 0.0
             hn = jnp.where(near_is_left, hitL, hitR)
             hf = jnp.where(near_is_left, hitR, hitL)
             near = jnp.where(near_is_left, left, right)
@@ -449,6 +656,9 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                     jnp.inf))
                 stack[sp] = far
                 tstack[sp] = tn_far
+                if mxu:
+                    # far may be a leaf: its group mask rides the stack
+                    mstack[sp] = gm_f
 
             sp = sp + push.astype(jnp.int32)
             nxt = jnp.where(desc_near, near,
@@ -463,6 +673,11 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             enqueue = enq_near | enq_far | (is_node & is_leaf)
             rs = jnp.where(enq_near, rs_n, jnp.where(enq_far, rs_f, rs))
             ct = jnp.where(enq_near, ct_n, jnp.where(enq_far, ct_f, ct))
+            if mxu:
+                # popped leaves (is_node & is_leaf) carry pmask from the
+                # stack; direct near/far enqueues use this visit's masks
+                gm = jnp.where(enq_near, gm_n,
+                               jnp.where(enq_far, gm_f, pmask))
 
             # pop the oldest leaf when the ring is full (its DMA has had
             # QUEUE-1 enqueues worth of latency cover) or when draining
@@ -470,11 +685,14 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             do_process = (enqueue & full) | (~is_node & (tail > head))
             p_row = _ring_get(rows_ring, head)
             p_cnt = _ring_get(cnts_ring, head)
+            if mxu:
+                p_cnt = _ring_get(masks_ring, head)
             p_slot = head & (QUEUE - 1)
 
             def do_p(fd, bt, br, bj, mb):
-                fd, bt, br, bj = process(p_row, p_cnt, p_slot, fd, bt, br,
-                                         bj)
+                proc = process_mxu if mxu else process
+                fd, bt, br, bj = proc(p_row, p_cnt, p_slot, fd, bt, br,
+                                      bj)
                 return fd, bt, br, bj, jnp.max(
                     jnp.where(act, bt, neg_inf))
 
@@ -488,10 +706,13 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
 
             @pl.when(enqueue)
             def _():
-                pltpu.make_async_copy(
-                    rows_hbm.at[pl.ds(rs, rpl)],
-                    qbuf.at[new_slot], sems.at[new_slot],
-                ).start()
+                if mxu:
+                    mxu_dma(rs, new_slot).start()
+                else:
+                    pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(rs, rpl)],
+                        qbuf.at[new_slot], sems.at[new_slot],
+                    ).start()
 
             rows_ring = tuple(
                 jnp.where(enqueue & (new_slot == k), rs, v)
@@ -499,6 +720,10 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             cnts_ring = tuple(
                 jnp.where(enqueue & (new_slot == k), ct, v)
                 for k, v in enumerate(cnts_ring))
+            if mxu:
+                masks_ring = tuple(
+                    jnp.where(enqueue & (new_slot == k), gm, v)
+                    for k, v in enumerate(masks_ring))
             tail = tail + enqueue.astype(jnp.int32)
 
             # out of nodes: pop stack entries, discarding any whose
@@ -507,26 +732,32 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                 return (c[0] < 0) & (c[1] > 0)
 
             def pbody(c):
-                _, spc = c
+                _, spc, pm = c
                 spc = spc - 1
                 keep = tstack[spc] < max_best
-                return jnp.where(keep, stack[spc], jnp.int32(-1)), spc
+                if mxu:
+                    pm = jnp.where(keep, mstack[spc], pm)
+                return (jnp.where(keep, stack[spc], jnp.int32(-1)), spc,
+                        pm)
 
-            nxt, sp = jax.lax.while_loop(pcond, pbody, (nxt, sp))
-            return (nxt, head, tail, sp) + rows_ring + cnts_ring + (
+            nxt, sp, pmask = jax.lax.while_loop(
+                pcond, pbody, (nxt, sp, pmask))
+            return (nxt, head, tail, sp, pmask) + rows_ring + cnts_ring \
+                + (masks_ring if mxu else ()) + (
                 found, best_t, best_row, best_j, max_best)
 
         z = jnp.int32(0)
-        init = (z, z, z, z) + (z,) * NQ + (
+        init = (z, z, z, z, jnp.int32(255)) + (z,) * NQ + (
             jnp.zeros(shape), maxt, jnp.full(shape, -1.0),
             jnp.full(shape, -1.0), jnp.max(jnp.where(act, maxt, neg_inf)))
         out = jax.lax.while_loop(cond, body, init)
-        return out[4 + NQ], out[5 + NQ], out[6 + NQ], out[7 + NQ]
+        return out[5 + NQ], out[6 + NQ], out[7 + NQ], out[8 + NQ]
 
     found, best_t, best_row, best_j = pl.run_scoped(
         walk,
         pltpu.SMEM((STACK,), jnp.int32),
-        pltpu.SMEM((STACK,), jnp.float32))
+        pltpu.SMEM((STACK,), jnp.float32),
+        pltpu.SMEM((STACK,), jnp.int32))
 
     # ---- deferred attribute resolve over DISTINCT winning leaves ----
     # The walk above carries only the winner's identity (row_start, j);
@@ -581,11 +812,12 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
 
 def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
                  n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
-                 rpl=RPL, batch=BATCH):
+                 rpl=RPL, batch=BATCH, mxu_ctx=None):
     """Packet any-hit (shadow) traversal.  Returns f32 0/1 occluded tile.
     Occluded lanes drop out of the live mask, shrinking later node visits
     (scene.cpp:203 ray_test).  Node visits are batched like
-    traverse_closest."""
+    traverse_closest.  ``mxu_ctx`` switches the leaf stage to the
+    group-masked dot_general form (see traverse_closest)."""
     shape = ox.shape
     eps = jnp.float32(1e-30)
     ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
@@ -595,6 +827,41 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
     iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz,
                          jnp.where(dz >= 0, eps, -eps))
     actf = act.astype(jnp.float32)
+
+    mxu = mxu_ctx is not None
+    if mxu:
+        mxu_hbm, mqbuf, msems = mxu_ctx
+        TL = PACK * rpl
+        rpl_sh = int(np.log2(rpl))
+        subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+        row_all = lambda x: x.reshape(1, R_TILE)
+        rays8 = jnp.concatenate(
+            [row_all(ox), row_all(oy), row_all(oz),
+             jnp.ones((1, R_TILE), jnp.float32),
+             row_all(dx), row_all(dy), row_all(dz),
+             jnp.zeros((1, R_TILE), jnp.float32)], axis=0)
+
+        def bsplit(x):
+            h = x.astype(jnp.bfloat16)
+            return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        r8_h, r8_l = bsplit(rays8)
+        w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+
+        def mm3(ah, al, rh, rl):
+            dn = (((0,), (0,)), ((), ()))
+            kw = dict(dimension_numbers=dn,
+                      preferred_element_type=jnp.float32)
+            return (jax.lax.dot_general(ah, rh, **kw)
+                    + jax.lax.dot_general(ah, rl, **kw)
+                    + jax.lax.dot_general(al, rh, **kw))
+
+        def mxu_dma(row_start, slot):
+            mrow = pl.multiple_of((row_start >> rpl_sh) * 8, 8)
+            return pltpu.make_async_copy(
+                mxu_hbm.at[pl.ds(mrow, 8)],
+                mqbuf.at[pl.ds(slot * 8, 8)], msems.at[slot])
 
     def process(row_start, cnt, slot, occ):
         pltpu.make_async_copy(
@@ -615,7 +882,45 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         return jax.lax.fori_loop(
             0, cnt, tri_body, (occ, jnp.int32(0), jnp.int32(0)))[0]
 
-    NQ = 2 * QUEUE
+    def process_mxu(row_start, gmask, slot, occ):
+        """Per-group masked bf16x3 leaf test for shadow rays (see
+        traverse_closest.process_mxu)."""
+        mxu_dma(row_start, slot).wait()
+        block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
+        bh = block.astype(jnp.bfloat16)
+        bl = (block - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def group(s, occ):
+            def run(occ):
+                lo_, hi_ = s * LANES, (s + 1) * LANES
+                out_o = mm3(bh[0:4], bl[0:4],
+                            r8_h[0:4, lo_:hi_], r8_l[0:4, lo_:hi_])
+                out_d = mm3(bh[4:8], bl[4:8],
+                            r8_h[4:8, lo_:hi_], r8_l[4:8, lo_:hi_])
+                num = out_o[0 * TL:1 * TL]
+                den = out_d[0 * TL:1 * TL]
+                okd = jnp.abs(den) > 1e-12
+                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
+                                         approx=False)
+                u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
+                v = out_o[2 * TL:3 * TL] + t * out_d[2 * TL:3 * TL]
+                mt_s = maxt[s:s + 1, :]
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t <= mt_s))
+                anyh = jnp.max(hit.astype(jnp.float32), axis=0,
+                               keepdims=True)           # (1, 128)
+                return jnp.where(subsel == s,
+                                 jnp.maximum(occ, jnp.broadcast_to(
+                                     anyh, shape)), occ)
+
+            return jax.lax.cond(((gmask >> s) & 1) != 0, run,
+                                lambda o: o, occ)
+
+        for s in range(SUB):
+            occ = group(s, occ)
+        return occ
+
+    NQ = (3 if mxu else 2) * QUEUE
 
     def cond(s):
         cursor, head, tail = s[0], s[1], s[2]
@@ -624,18 +929,26 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
     def body(s):
         cursor, head, tail = s[0], s[1], s[2]
         rows_ring = s[3:3 + QUEUE]
-        cnts_ring = s[3 + QUEUE:3 + NQ]
+        cnts_ring = s[3 + QUEUE:3 + 2 * QUEUE]
+        masks_ring = s[3 + 2 * QUEUE:3 + NQ]
         occ = s[3 + NQ]
 
         nid0 = jnp.maximum(cursor, 0)
         is_node = cursor >= 0
         live = actf * (1.0 - occ)
-        hits, rows_b, cnts_b, miss_b = [], [], [], []
+        hits, rows_b, cnts_b, miss_b, gm_b = [], [], [], [], []
         for k in range(batch):
             nid = nid0 if k == 0 else jnp.minimum(nid0 + k, n_nodes - 1)
             lo, hi = _node_box(node_box, nid)
             hm = _slab(lo, hi, ox, oy, oz, ix, iy, iz, maxt)[0] * live
-            hits.append(jnp.max(hm) > 0.0)
+            if mxu:
+                bits = jnp.sum(
+                    jnp.max(hm, axis=1, keepdims=True) * w2).astype(
+                    jnp.int32)
+                hits.append(bits > 0)
+                gm_b.append(bits)
+            else:
+                hits.append(jnp.max(hm) > 0.0)
             rs, ct, ms = _node_meta(node_meta, nid)
             rows_b.append(rs)
             cnts_b.append(ct)
@@ -646,6 +959,7 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         enqueue = is_node & (nid0 < 0)          # traced False
         row_start = jnp.int32(0)
         cnt = jnp.int32(0)
+        gm = jnp.int32(0)
         for k in range(batch):
             leaf_k = rows_b[k] >= 0
             stop = run & (~hits[k] | leaf_k)
@@ -653,6 +967,8 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
             enqueue = enqueue | enq_k
             row_start = jnp.where(enq_k, rows_b[k], row_start)
             cnt = jnp.where(enq_k, cnts_b[k], cnt)
+            if mxu:
+                gm = jnp.where(enq_k, gm_b[k], gm)
             nxt = jnp.where(stop, miss_b[k], nxt)
             run = run & hits[k] & ~leaf_k
         nxt = jnp.where(run, nid0 + batch, nxt)
@@ -660,11 +976,13 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         full = (tail - head) >= QUEUE
         do_process = (enqueue & full) | (~is_node & (tail > head))
         p_row = _ring_get(rows_ring, head)
-        p_cnt = _ring_get(cnts_ring, head)
+        p_cnt = (_ring_get(masks_ring, head) if mxu
+                 else _ring_get(cnts_ring, head))
         p_slot = head & (QUEUE - 1)
+        proc = process_mxu if mxu else process
         occ = jax.lax.cond(
             do_process,
-            lambda o: process(p_row, p_cnt, p_slot, o),
+            lambda o: proc(p_row, p_cnt, p_slot, o),
             lambda o: o, occ)
         head = head + do_process.astype(jnp.int32)
 
@@ -672,10 +990,13 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
 
         @pl.when(enqueue)
         def _():
-            pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(row_start, rpl)],
-                qbuf.at[new_slot], sems.at[new_slot],
-            ).start()
+            if mxu:
+                mxu_dma(row_start, new_slot).start()
+            else:
+                pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(row_start, rpl)],
+                    qbuf.at[new_slot], sems.at[new_slot],
+                ).start()
 
         rows_ring = tuple(
             jnp.where(enqueue & (new_slot == k), row_start, v)
@@ -683,8 +1004,13 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         cnts_ring = tuple(
             jnp.where(enqueue & (new_slot == k), cnt, v)
             for k, v in enumerate(cnts_ring))
+        if mxu:
+            masks_ring = tuple(
+                jnp.where(enqueue & (new_slot == k), gm, v)
+                for k, v in enumerate(masks_ring))
         tail = tail + enqueue.astype(jnp.int32)
-        return (nxt, head, tail) + rows_ring + cnts_ring + (occ,)
+        return (nxt, head, tail) + rows_ring + cnts_ring \
+            + (masks_ring if mxu else ()) + (occ,)
 
     z = jnp.int32(0)
     occ = jax.lax.while_loop(
@@ -704,9 +1030,12 @@ def _tile(x, n_pad, rows, fill=0.0):
 def packet_closest_hit(node_box, node_meta, rows_hbm,
                        o, d, maxt, active, n_nodes: int,
                        interpret: bool = False,
-                       rpl: int = RPL, batch: int = BATCH):
+                       rpl: int = RPL, batch: int = BATCH,
+                       mxu_rows=None):
     """Standalone closest-hit wavefront query: (N,3) rays -> (t (N,),
-    prim (N,) i32).  Misses return t = inf (scene.cpp:181)."""
+    prim (N,) i32).  Misses return t = inf (scene.cpp:181).
+    ``mxu_rows`` (pack_mxu_rows output) switches the leaf stage to the
+    MXU dot_general form."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
     rows = n_pad // LANES
@@ -714,33 +1043,48 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
+    mxu = mxu_rows is not None
 
-    def kernel(box_ref, meta_ref, rows_ref,
-               ox, oy, oz, dx, dy, dz, mt, act,
-               t_ref, fid_ref, qbuf, sems):
+    def kernel(box_ref, meta_ref, rows_ref, *args):
+        if mxu:
+            mxu_ref = args[0]
+            args = args[1:]
+        (ox, oy, oz, dx, dy, dz, mt, act, t_ref, fid_ref,
+         qbuf, sems) = args[:12]
+        mctx = None
+        if mxu:
+            mqbuf, msems = args[12], args[13]
+            mctx = (mxu_ref, mqbuf, msems)
         found, best_t, (fid,) = traverse_closest(
             box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5, rpl=rpl, batch=batch)
+            act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx)
         t_ref[:] = jnp.where(found > 0.0, best_t, jnp.inf)
         fid_ref[:] = fid
 
+    scratch = [
+        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((QUEUE,)),
+    ]
+    extra_in = []
+    if mxu:
+        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
+                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
     t, fid = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ] + [ray_spec] * 8,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + extra_in + [ray_spec] * 8,
         out_specs=[ray_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * 2,
-        scratch_shapes=[
-            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((QUEUE,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(node_box, node_meta, rows_hbm,
+      *([mxu_rows] if mxu else []),
       _tile(o[:, 0], n_pad, rows), _tile(o[:, 1], n_pad, rows),
       _tile(o[:, 2], n_pad, rows),
       _tile(d[:, 0], n_pad, rows), _tile(d[:, 1], n_pad, rows),
@@ -756,7 +1100,8 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
 def packet_any_hit(node_box, node_meta, rows_hbm,
                    o, d, maxt, active, n_nodes: int,
                    interpret: bool = False,
-                   rpl: int = RPL, batch: int = BATCH):
+                   rpl: int = RPL, batch: int = BATCH,
+                   mxu_rows=None):
     """Standalone any-hit query -> occluded (N,) bool (scene.cpp:203)."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -765,30 +1110,45 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
+    mxu = mxu_rows is not None
 
-    def kernel(box_ref, meta_ref, rows_ref,
-               ox, oy, oz, dx, dy, dz, mt, act, occ_ref, qbuf, sems):
+    def kernel(box_ref, meta_ref, rows_ref, *args):
+        if mxu:
+            mxu_ref = args[0]
+            args = args[1:]
+        (ox, oy, oz, dx, dy, dz, mt, act, occ_ref,
+         qbuf, sems) = args[:11]
+        mctx = None
+        if mxu:
+            mctx = (mxu_ref, args[11], args[12])
         occ_ref[:] = traverse_any(
             box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5, rpl=rpl, batch=batch)
+            act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx)
 
+    scratch = [
+        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((QUEUE,)),
+    ]
+    extra_in = []
+    if mxu:
+        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
+                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
     occ = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ] + [ray_spec] * 8,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ] + extra_in + [ray_spec] * 8,
         out_specs=ray_spec,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((QUEUE,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(node_box, node_meta, rows_hbm,
+      *([mxu_rows] if mxu else []),
       _tile(o[:, 0], n_pad, rows), _tile(o[:, 1], n_pad, rows),
       _tile(o[:, 2], n_pad, rows),
       _tile(d[:, 0], n_pad, rows), _tile(d[:, 1], n_pad, rows),

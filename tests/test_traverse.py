@@ -84,6 +84,47 @@ def test_packet_closest_matches_brute(F):
     assert (occ == np.isfinite(tr)).all()
 
 
+@pytest.mark.parametrize("F", [37, 2000])
+def test_packet_mxu_matches_brute(F):
+    """Round-3 MXU leaf stage (Baldwin-Weber dot_general, traverse.py
+    pack_mxu_rows/process_mxu) agrees with brute force; t carries the
+    documented log2(TL)-low-bit quantization from the packed winner key."""
+    from mitsuba_tpu.ops.pallas.traverse import pack_mxu_rows
+
+    verts, faces = _random_soup(F, seed=F)
+    acc = build_packet_bvh(verts, faces, rpl=16, mxu=True)
+    cols = tri_columns(jnp.asarray(verts), jnp.asarray(faces))
+    rows = pack_leaf_rows(cols, acc)
+    mxu_rows = pack_mxu_rows(cols, acc)
+
+    rng = np.random.default_rng(1)
+    N = 1500
+    o = (rng.random((N, 3), np.float32) * 4 - 2)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    act = jnp.ones((N,), bool)
+
+    t, fid = packet_closest_hit(
+        acc.node_box, acc.node_meta, rows,
+        jnp.asarray(o), jnp.asarray(d), jnp.inf, act,
+        n_nodes=acc.n_nodes, interpret=True, rpl=acc.rpl,
+        mxu_rows=mxu_rows)
+    t, fid = np.asarray(t), np.asarray(fid)
+    tr, fr = _brute(verts, faces, o, d)
+
+    assert (np.isfinite(t) == np.isfinite(tr)).all()
+    m = np.isfinite(tr)
+    assert np.allclose(t[m], tr[m], rtol=1e-3, atol=1e-4)
+    assert (fid[m] == fr[m]).all()
+
+    occ = np.asarray(packet_any_hit(
+        acc.node_box, acc.node_meta, rows,
+        jnp.asarray(o), jnp.asarray(d), 1e9, act,
+        n_nodes=acc.n_nodes, interpret=True, rpl=acc.rpl,
+        mxu_rows=mxu_rows))
+    assert (occ == np.isfinite(tr)).all()
+
+
 def test_packet_respects_maxt_and_active():
     verts, faces = _random_soup(300, seed=9)
     acc = build_packet_bvh(verts, faces)
@@ -229,4 +270,9 @@ def test_bvh_megakernel_plastic_parity():
     a, b = np.asarray(L_ref), np.asarray(L_mk)
     assert np.isfinite(b).all()
     close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
-    assert close.mean() > 0.995, close.mean()
+    # the MXU leaf stage's bf16x3 arithmetic carries ~2^-16 relative
+    # error on t/u/v; lanes whose RNG-driven lobe decisions sit at a
+    # Fresnel boundary flip and diverge completely — unbiased, so the
+    # mean check below still binds tightly
+    assert close.mean() > 0.98, close.mean()
+    assert np.abs(b.mean() - a.mean()) / a.mean() < 5e-3
