@@ -1,0 +1,179 @@
+"""Nikon wide-angle asphere recovery (reference report_nikon_exp.ipynb,
+"exp2": the fork's hardest lens-design experiment).
+
+A 22-surface Nikon prescription (normalized units, EFL 1.57, FOV 64.9
+deg) has two even-asphere surfaces (tables 17/18).  The experiment
+zeroes their polynomial coefficients ("sphere-only" start — RMS spot
+blows up ~10-40x, notebook cell 31) and recovers them by optimizing the
+differentiable light-traced RMS spot across 6 field angles, with every
+other surface/glass parameter frozen (the notebook's
+disable_all_materials + disable_surface_vars("c"/"K"/"z0") becomes
+train_keys=[lens{i}_ai]).
+
+Outputs examples/out/nikon_recovery.json: loss trajectory + per-field
+RMS spot for {true-asphere, sphere-only, recovered} like the
+notebook's cell-31 comparison plot.
+
+Run: python examples/nikon_asph_recovery.py [--iters N] [--spp N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+from mitsuba_tpu.lens import (
+    ConicSurface,
+    DesignProblem,
+    EvenAsphericSurface,
+    LensMaterial,
+    LensSystem,
+)
+from mitsuba_tpu.lens.losses import rms_loss
+from mitsuba_tpu.models.integrators import render
+
+INF = float("inf")
+
+# report_nikon_exp.ipynb cell 12 (film-last table order; normalized mm)
+CURV_RADII = [5.2674, 0.9607, 1.442, 10.2799, 1.2154, -1.0987, 2.9183,
+              -1.6693, 1.6429, -1.4116, -2.5725, INF, -0.973, -24.0801,
+              2.3756, -1.3055, -7.3169, -2.2, -1.5449, -7.2572, INF, INF]
+THICK = [0.102, 0.309, 0.246, 0.083, 0.411, 0.088, 0.258, 0.009, 0.379,
+         0.069, 0.118, 0.604, 0.051, 0.009, 0.282, 0.239, 0.122, 0.154,
+         0.083, 0.75, 0.074, 0.0425]
+ELEM_R = [0.847, 0.696, 0.661, 0.625, 0.546, 0.524, 0.586, 0.601, 0.624,
+          0.613, 0.607, 0.555, 0.476, 0.49, 0.543, 0.569, 0.604, 0.627,
+          0.662, 0.712, 1.2, 1.2]
+MATS = [("glass_A", 1.5168, 64.12), None, ("glass_B", 1.9027, 35.72),
+        ("glass_C", 1.5955, 39.21), None, ("glass_D", 1.699, 30.05),
+        ("glass_E", 1.9108, 35.25), None, ("glass_F", 1.5928, 68.62),
+        ("glass_G", 1.7205, 34.7), None, None,
+        ("glass_H", 1.5927, 35.31), None, ("glass_F2", 1.5928, 68.62),
+        None, ("glass_I", 1.6935, 53.2), None,
+        ("glass_J", 1.4875, 70.44), None, ("glass_A2", 1.5168, 64.12),
+        None]
+APERTURE_TBL = 12
+# true asphere coefficients [K, a4..a16] (notebook "init" block)
+ASPH_TRUE = {
+    17: [0.0, -0.24, -0.4268, 0.0, 0.0, 0.0, 0.0, 0.0],
+    18: [0.0, -0.05053, -0.3491, 0.1459, 0.07718, 0.0, 0.0, 0.0],
+}
+FOV = 64.9
+NUM_SOURCES = 6
+
+
+def build_nikon(sphere_only: bool, n_rings=8, n_sectors=16):
+    """Mirror of notebook cell 14: rear-first surface list."""
+    n = len(ELEM_R)
+    surfaces = []
+    z0 = 0.0
+    for i in reversed(range(n)):
+        tbl = i + 1
+        c = 0.0 if CURV_RADII[i] == INF else 1.0 / CURV_RADII[i]
+        z0 += THICK[i]
+        if tbl in ASPH_TRUE:
+            K, *ai = ([0.0] * 8 if sphere_only else ASPH_TRUE[tbl])
+            surfaces.append(EvenAsphericSurface.create(
+                ELEM_R[i], c, K, z0, *ai))
+        elif tbl == APERTURE_TBL:
+            surfaces.append(ConicSurface.create(ELEM_R[i], 0.0, 0.0, z0))
+        else:
+            surfaces.append(ConicSurface.create(ELEM_R[i], c, 0.0, z0))
+    materials = [
+        LensMaterial.create(*m) if m is not None else LensMaterial.create()
+        for m in MATS[:-1][::-1]
+    ]
+    aperture_index = n - APERTURE_TBL
+    return LensSystem.create(surfaces, materials,
+                             aperture_index=aperture_index,
+                             n_rings=n_rings, n_sectors=n_sectors)
+
+
+def per_field_rms(problem, p, spp, seed=123):
+    """Per-sensor RMS spot (the notebook's cell-31 per-theta numbers;
+    dimensionless — relative comparison only)."""
+    out = []
+    for si in range(len(problem.sensors)):
+        scene, _ = problem.scene_for(p, si)
+        img = render(scene, seed=seed, spp=spp)
+        out.append(float(rms_loss(img)))
+    return out
+
+
+def run(iters=30, spp=512, resolution=48, lr=2e-3, verbose=True):
+    # ground truth: the real asphere design
+    ls_true = build_nikon(sphere_only=False)
+    dp_true = DesignProblem(
+        ls_true, resolution=(resolution, resolution), spp=spp,
+        num_sources=NUM_SOURCES, max_field_angle=0.5 * FOV,
+        film_diagonal=3.0, init_camera_z=0.99, iters=iters,
+        learning_rate=lr).build()
+    p_true = dp_true.params()
+    rms_true = per_field_rms(dp_true, p_true, spp)
+
+    # sphere-only start
+    ls0 = build_nikon(sphere_only=True)
+    dp = DesignProblem(
+        ls0, resolution=(resolution, resolution), spp=spp,
+        num_sources=NUM_SOURCES, max_field_angle=0.5 * FOV,
+        film_diagonal=3.0, init_camera_z=0.99, iters=iters,
+        learning_rate=lr).build()
+    p0 = dp.params()
+    rms_sphere = per_field_rms(dp, p0, spp)
+
+    # indices of the two asphere surfaces in the rear-first list
+    asph_idx = [len(ELEM_R) - t for t in sorted(ASPH_TRUE)]
+    train_keys = [f"lens{i}_ai" for i in asph_idx]
+    if verbose:
+        print(f"EFL true={float(ls_true.compute_EFL()):.4f} "
+              f"sphere-only={float(ls0.compute_EFL()):.4f}")
+        print("train:", train_keys)
+        print("RMS true-asphere :", [f"{r:.5f}" for r in rms_true])
+        print("RMS sphere-only  :", [f"{r:.5f}" for r in rms_sphere])
+
+    p_fit = dp.optimize(train_keys=train_keys, verbose=verbose)
+    rms_fit = per_field_rms(dp, {**p0, **p_fit}, spp)
+    if verbose:
+        print("RMS recovered    :", [f"{r:.5f}" for r in rms_fit])
+
+    os.makedirs(os.path.join(os.path.dirname(__file__), "out"),
+                exist_ok=True)
+    out_path = os.path.join(os.path.dirname(__file__), "out",
+                            "nikon_recovery.json")
+    with open(out_path, "w") as f:
+        json.dump({
+            "loss_history": dp.loss_history,
+            "rms_true": rms_true,
+            "rms_sphere_only": rms_sphere,
+            "rms_recovered": rms_fit,
+            "train_keys": train_keys,
+            "ai_recovered": {k: np.asarray(v).tolist()
+                             for k, v in p_fit.items()
+                             if k in train_keys},
+            "config": {"iters": iters, "spp": spp,
+                       "resolution": resolution, "lr": lr},
+        }, f, indent=1)
+    print("saved:", out_path)
+    return rms_true, rms_sphere, rms_fit, dp.loss_history
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--spp", type=int, default=512)
+    ap.add_argument("--res", type=int, default=48)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    args = ap.parse_args()
+    rms_t, rms_s, rms_f, hist = run(args.iters, args.spp, args.res,
+                                    args.lr)
+    mt, ms, mf = (float(np.mean(r)) for r in (rms_t, rms_s, rms_f))
+    print(f"mean RMS: true={mt:.5f} sphere-only={ms:.5f} "
+          f"recovered={mf:.5f}")
+    print(f"recovered/sphere-only = {mf / ms:.3f} "
+          f"(loss {hist[0]:.4f} -> {hist[-1]:.4f})")

@@ -57,7 +57,8 @@ BSDF_TYPES = {"diffuse", "conductor", "roughconductor", "dielectric",
               "principledthin", "pplastic", "hair", "measured",
               "measured_polarized", "polarizer", "retarder", "circular"}
 SHAPE_TYPES = {"rectangle", "cube", "sphere", "disk", "cylinder", "obj",
-               "ply", "mesh", "linearcurve", "bsplinecurve", "serialized"}
+               "ply", "mesh", "linearcurve", "bsplinecurve", "serialized",
+               "blender"}
 EMITTER_TYPES = {"area", "point", "constant", "directional", "envmap", "spot",
                  "directionalarea", "projector"}
 SENSOR_TYPES = {"perspective", "thinlens", "orthographic", "radiancemeter",
@@ -526,6 +527,17 @@ def _make_shape_mesh(d, bsdf_index, emitter_index):
         geo = (np.asarray(d["vertices"], np.float32),
                np.asarray(d["faces"], np.int32),
                d.get("normals"), d.get("uvs"))
+    elif t == "blender":
+        # in-memory Blender mesh buffers from the exporter add-on
+        # (src/shapes/blender.cpp:60; the to_world transform is applied
+        # inside the decoder like the reference's m_to_world)
+        from .blender_mesh import load_blender_mesh
+
+        bd = dict(d)
+        if w is not None:
+            bd["to_world"] = w
+        v, f, n, uv, _cols = load_blender_mesh(bd)
+        geo = (v, f, n, uv)
     else:
         raise ValueError(f"unsupported shape plugin {t!r}")
     v, f, n, uv = geo
