@@ -201,11 +201,17 @@ class MegakernelPathIntegrator:
             )
         acc = scene.packet_accel
         rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
+        # refit node boxes from current (possibly traced) vertices so
+        # in-jit geometry deformation keeps the accel conservative
+        from ...ops.pallas.traverse import refit_packet_bvh
+
+        node_box = refit_packet_bvh(
+            acc, jax.lax.stop_gradient(scene.geometry()[0]))
         smooth = any(m.normals is not None for m in scene.meshes)
         if self.sort_bounces:
-            return self._sorted_bvh(scene, acc, rows, mxu_rows, light,
-                                    n_lights, btypes, smooth, lane, ray,
-                                    active, seed, interpret)
+            return self._sorted_bvh(scene, acc, node_box, rows, mxu_rows,
+                                    light, n_lights, btypes, smooth,
+                                    lane, ray, active, seed, interpret)
         # Feed the kernel Morton-tiled packets: lanes arrive pixel-major
         # (16 consecutive pixels per 1024-ray packet = a thin strip); a
         # static Morton shuffle of the *order* turns each packet into a
@@ -222,7 +228,7 @@ class MegakernelPathIntegrator:
             permj = jnp.asarray(perm)
             take = lambda x: jnp.take(x, permj, axis=0)
             L = megakernel_trace_bvh(
-                acc.node_box, acc.node_meta, rows, light,
+                node_box, acc.node_meta, rows, light,
                 take(lane), take(ray.o), take(ray.d), take(active), seed,
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
@@ -231,7 +237,7 @@ class MegakernelPathIntegrator:
             )
             return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
-            acc.node_box, acc.node_meta, rows, light,
+            node_box, acc.node_meta, rows, light,
             lane, ray.o, ray.d, active, seed,
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
@@ -239,8 +245,9 @@ class MegakernelPathIntegrator:
             smooth=smooth, mxu_rows=mxu_rows,
         )
 
-    def _sorted_bvh(self, scene, acc, rows, mxu_rows, light, n_lights,
-                    btypes, smooth, lane, ray, active, seed, interpret):
+    def _sorted_bvh(self, scene, acc, node_box, rows, mxu_rows, light,
+                    n_lights, btypes, smooth, lane, ray, active, seed,
+                    interpret):
         """Per-bounce pipeline: sort -> one-bounce kernel, repeated."""
         from ...ops.pallas.megakernel import megakernel_bounce_bvh
 
@@ -275,7 +282,7 @@ class MegakernelPathIntegrator:
             def launch(args, depth=depth):
                 st, ln = args
                 return megakernel_bounce_bvh(
-                    acc.node_box, acc.node_meta, rows, light, ln, seed,
+                    node_box, acc.node_meta, rows, light, ln, seed,
                     st, depth=depth, max_depth=self.max_depth,
                     rr_depth=self.rr_depth, n_nodes=acc.n_nodes,
                     n_lights=n_lights, btypes=btypes,

@@ -137,7 +137,8 @@ class Scene:
             if self.packet_accel is not None:
                 # packet-BVH traversal path (ops/pallas/traverse.py)
                 from ..ops.pallas.traverse import (
-                    pack_leaf_rows, pack_mxu_rows, tri_columns)
+                    pack_leaf_rows, pack_mxu_rows, refit_packet_bvh,
+                    tri_columns)
 
                 cols = tri_columns(vd, f)
                 ctx["packet_rows"] = pack_leaf_rows(cols,
@@ -145,10 +146,22 @@ class Scene:
                 if self.packet_accel.mxu:
                     ctx["mxu_rows"] = pack_mxu_rows(cols,
                                                     self.packet_accel)
+                # refit node boxes from the CURRENT (possibly traced)
+                # vertices: geometry may deform inside jit (lens
+                # design remesh, largesteps steps) while the accel
+                # topology stays fixed — the reference rebuilds its
+                # BVH in parameters_changed (scene.cpp:481) instead
+                ctx["node_box"] = refit_packet_bvh(self.packet_accel,
+                                                   vd)
             elif not self.use_bvh:
                 from ..ops.pallas.intersect_pallas import pack_triangles
 
                 ctx["tris_packed"] = pack_triangles(vd, f)
+        if self.use_bvh and self.accel is not None and "packet_rows" \
+                not in ctx:
+            # jit-compatible box refresh for deforming geometry
+            # (scene.cpp:481 parameters_changed analogue)
+            ctx["accel"] = bvh_mod.refit_bvh(self.accel, vd)
         return ctx
 
     # -------------------------------------------------------- ray queries
@@ -167,7 +180,7 @@ class Scene:
             n = ray_d.o.shape[0]
             act = active if active is not None else jnp.ones((n,), bool)
             t, fid = packet_closest_hit(
-                acc.node_box, acc.node_meta,
+                ctx.get("node_box", acc.node_box), acc.node_meta,
                 ctx["packet_rows"],
                 ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
                 rpl=acc.rpl, batch=acc.batch,
@@ -194,7 +207,8 @@ class Scene:
                 shape_index=jnp.where(jnp.isfinite(t), 0, -1),
             )
         elif self.use_bvh and self.accel is not None:
-            pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray_d, active)
+            pi = bvh_mod.intersect_bvh(
+                ctx.get("accel", self.accel), vd, f, ray_d, active)
         else:
             pi = intersect_brute(vd, f, ray_d, active)
         pi = pi.replace(shape_index=jnp.where(
@@ -424,7 +438,7 @@ class Scene:
             n = ray_d.o.shape[0]
             act = active if active is not None else jnp.ones((n,), bool)
             hit = packet_any_hit(
-                acc.node_box, acc.node_meta,
+                ctx.get("node_box", acc.node_box), acc.node_meta,
                 ctx["packet_rows"],
                 ray_d.o, ray_d.d, ray_d.maxt, act, n_nodes=acc.n_nodes,
                 rpl=acc.rpl, batch=acc.batch,
@@ -439,8 +453,9 @@ class Scene:
             )
             hit = jnp.isfinite(t)
         elif self.use_bvh and self.accel is not None:
-            pi = bvh_mod.intersect_bvh(self.accel, vd, f, ray, active,
-                                       any_hit=True)
+            pi = bvh_mod.intersect_bvh(
+                ctx.get("accel", self.accel), vd, f, ray, active,
+                any_hit=True)
             hit = jnp.isfinite(pi.t)
         else:
             hit = ray_test_brute(vd, f, ray, active)

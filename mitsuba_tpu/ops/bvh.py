@@ -43,6 +43,58 @@ class BVH:
     count: jnp.ndarray     # (M,) prim count (0 = inner node)
     miss: jnp.ndarray      # (M,) miss link (-1 = exit)
     prims: jnp.ndarray     # (P + LEAF_SIZE,) permuted face ids, padded
+    # static refit metadata (refit_bvh; None on legacy instances)
+    refit: object = static(None)
+
+
+def _with_refit_meta(lo, hi, first, count, miss, prims, faces) -> BVH:
+    """Assemble a BVH pytree + the static metadata refit_bvh needs."""
+    from .pallas.traverse import _StaticObj, _refit_levels
+
+    leaf_nodes, levels = _refit_levels(np.asarray(count),
+                                       np.asarray(miss))
+    first_np = np.asarray(first)[leaf_nodes]
+    count_np = np.asarray(count)[leaf_nodes]
+    mc = int(count_np.max()) if len(count_np) else 1
+    slots = first_np[:, None] + np.arange(mc)[None, :]   # (nl, mc)
+    valid = np.arange(mc)[None, :] < count_np[:, None]
+    slots = np.where(valid, slots, 0)
+    tri = np.asarray(prims)[slots]                       # (nl, mc)
+    tri = np.where(valid, tri, 0)
+    vids = np.asarray(faces, np.int64)[tri]              # (nl, mc, 3)
+    meta = _StaticObj((leaf_nodes, levels,
+                       vids.astype(np.int32), valid))
+    return BVH(
+        bbox_lo=jnp.asarray(lo), bbox_hi=jnp.asarray(hi),
+        first=jnp.asarray(first), count=jnp.asarray(count),
+        miss=jnp.asarray(miss), prims=jnp.asarray(prims),
+        refit=meta,
+    )
+
+
+def refit_bvh(bvh: BVH, verts) -> BVH:
+    """Recompute node boxes from (possibly traced) vertex positions with
+    fixed topology — jit-compatible accel refresh for deforming
+    geometry (the reference rebuilds in parameters_changed,
+    scene.cpp:481; see also traverse.refit_packet_bvh)."""
+    if bvh.refit is None:
+        return bvh
+    leaf_nodes, levels, vids, valid = bvh.refit.v
+    nl, mc, _ = vids.shape
+    v = verts[vids.reshape(-1)].reshape(nl, mc * 3, 3)
+    m = jnp.asarray(np.repeat(valid, 3, axis=1))[..., None]
+    big = jnp.float32(3e37)
+    leaf_lo = jnp.min(jnp.where(m, v, big), axis=1)
+    leaf_hi = jnp.max(jnp.where(m, v, -big), axis=1)
+    M = bvh.bbox_lo.shape[0]
+    box_lo = jnp.full((M, 3), big).at[leaf_nodes].set(leaf_lo)
+    box_hi = jnp.full((M, 3), -big).at[leaf_nodes].set(leaf_hi)
+    for nodes, lefts, rights in levels:
+        box_lo = box_lo.at[nodes].set(
+            jnp.minimum(box_lo[lefts], box_lo[rights]))
+        box_hi = box_hi.at[nodes].set(
+            jnp.maximum(box_hi[lefts], box_hi[rights]))
+    return bvh.replace(bbox_lo=box_lo, bbox_hi=box_hi)
 
 
 def build_bvh(vertices: np.ndarray, faces: np.ndarray,
@@ -60,11 +112,8 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray,
         out = build_bvh_native(vertices, faces, leaf_size)
         if out is not None:
             lo, hi, first, count, miss, prims = out
-            return BVH(
-                bbox_lo=jnp.asarray(lo), bbox_hi=jnp.asarray(hi),
-                first=jnp.asarray(first), count=jnp.asarray(count),
-                miss=jnp.asarray(miss), prims=jnp.asarray(prims),
-            )
+            return _with_refit_meta(lo, hi, first, count, miss, prims,
+                                    faces)
         if method == "sah":
             raise RuntimeError("native SAH builder unavailable")
     return _build_bvh_median(vertices, faces, leaf_size)
@@ -128,14 +177,11 @@ def _build_bvh_median(vertices: np.ndarray, faces: np.ndarray,
         sys.setrecursionlimit(old_limit)
 
     prims = np.asarray(prim_order + [-1] * leaf_size, np.int32)
-    return BVH(
-        bbox_lo=jnp.asarray(np.stack(nodes_lo)),
-        bbox_hi=jnp.asarray(np.stack(nodes_hi)),
-        first=jnp.asarray(np.asarray(nodes_first, np.int32)),
-        count=jnp.asarray(np.asarray(nodes_count, np.int32)),
-        miss=jnp.asarray(np.asarray(nodes_miss, np.int32)),
-        prims=jnp.asarray(prims),
-    )
+    return _with_refit_meta(
+        np.stack(nodes_lo), np.stack(nodes_hi),
+        np.asarray(nodes_first, np.int32),
+        np.asarray(nodes_count, np.int32),
+        np.asarray(nodes_miss, np.int32), prims, faces)
 
 
 def _slab_test(o, inv_d, lo, hi, tmax):

@@ -94,6 +94,46 @@ class _StaticPerm:
         return id(self.a)
 
 
+class _StaticObj:
+    """Identity-hashed holder for arbitrary static build metadata."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __eq__(self, other):
+        return self is other or (isinstance(other, _StaticObj)
+                                 and self.v is other.v)
+
+    def __hash__(self):
+        return id(self.v)
+
+
+def _refit_levels(count, miss):
+    """Host-side refit metadata from a DFS-ordered miss-link tree:
+    (leaf_node_ids, levels) where levels is deepest-first
+    [(nodes, lefts, rights), ...] for the bottom-up box sweep."""
+    M = len(count)
+    depth = np.zeros(M, np.int32)
+    inner = []
+    for i in range(M):
+        if count[i] == 0:
+            left = i + 1
+            right = int(miss[left]) if left < M else i
+            depth[left] = depth[right] = depth[i] + 1
+            inner.append((i, left, right))
+    by_depth = {}
+    for i, l, r in inner:
+        by_depth.setdefault(int(depth[i]), []).append((i, l, r))
+    levels = []
+    for d in sorted(by_depth, reverse=True):
+        arr = np.asarray(by_depth[d], np.int32)
+        levels.append((arr[:, 0], arr[:, 1], arr[:, 2]))
+    leaf_nodes = np.nonzero(count > 0)[0].astype(np.int32)
+    return leaf_nodes, levels
+
+
 @pytree
 class PacketAccel:
     """Packet-traversal acceleration structure (detached; the traced leaf
@@ -116,6 +156,10 @@ class PacketAccel:
     # Baldwin-Weber plane coefficients so one dot_general tests a whole
     # leaf against a 128-ray sublane group (see pack_mxu_rows)
     mxu: bool = static(False)
+    # static refit metadata (leaf slot vertex ids + bottom-up levels)
+    # for refit_packet_bvh — the jit-compatible analogue of the
+    # reference's parameters_changed accel rebuild (scene.cpp:481)
+    refit: object = static(None)
 
 
 def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
@@ -170,6 +214,15 @@ def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
     perm = (np.concatenate(perm) if perm
             else np.full((tb,), -1, np.int32))
 
+    # refit metadata: per-slot vertex ids (padding -> vertex 0, masked)
+    # + the bottom-up level sweep (refit_packet_bvh)
+    leaf_nodes, levels = _refit_levels(count, miss)
+    slot_tri = np.where(perm < 0, 0, perm)
+    vids = np.asarray(faces_np, np.int64)[slot_tri]      # (nl*tb, 3)
+    valid = (perm >= 0)
+    refit_meta = _StaticObj((leaf_nodes, levels,
+                             vids.astype(np.int32), valid))
+
     # SMEM-friendly packing (512 B rows): 16 nodes per f32 box row,
     # 32 nodes per i32 meta row
     box = np.zeros((M, 8), np.float32)
@@ -183,7 +236,42 @@ def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
         node_box=jnp.asarray(box), node_meta=jnp.asarray(meta),
         perm=_StaticPerm(perm),
         n_nodes=M, n_leaves=max(n_leaves, 1), rpl=rpl, batch=batch,
-        mxu=mxu)
+        mxu=mxu, refit=refit_meta)
+
+
+def refit_packet_bvh(layout: PacketAccel, verts) -> jnp.ndarray:
+    """Recompute the packed SMEM node-box table from (possibly traced)
+    vertex positions, topology fixed — the jit-compatible equivalent of
+    the reference's parameters_changed accel rebuild (scene.cpp:481-509):
+    leaf boxes from the static slot->vertex map, then a bottom-up
+    level sweep of box unions.  Refit boxes are conservative by
+    construction, so traversal results are exact for ANY deformation
+    (the walk only uses boxes for culling); integrators call this once
+    per trace so differentiable-geometry optimization (lens design,
+    largesteps) stays correct on >1024-triangle scenes."""
+    leaf_nodes, levels, vids, valid = layout.refit.v
+    nl = layout.n_leaves
+    tb = PACK * layout.rpl
+    v = verts[vids.reshape(-1)].reshape(nl, tb * 3, 3)
+    m = jnp.asarray(np.repeat(valid.reshape(nl, tb), 3, axis=1))[..., None]
+    big = jnp.float32(3e37)
+    leaf_lo = jnp.min(jnp.where(m, v, big), axis=1)
+    leaf_hi = jnp.max(jnp.where(m, v, -big), axis=1)
+
+    M = layout.n_nodes
+    box_lo = jnp.full((M, 3), big).at[leaf_nodes].set(leaf_lo)
+    box_hi = jnp.full((M, 3), -big).at[leaf_nodes].set(leaf_hi)
+    for nodes, lefts, rights in levels:
+        box_lo = box_lo.at[nodes].set(
+            jnp.minimum(box_lo[lefts], box_lo[rights]))
+        box_hi = box_hi.at[nodes].set(
+            jnp.maximum(box_hi[lefts], box_hi[rights]))
+
+    box = jnp.concatenate(
+        [box_lo, box_hi, jnp.zeros((M, 2), jnp.float32)], axis=1)
+    rows16 = -(-M // 16)
+    box = jnp.pad(box, ((0, rows16 * 16 - M), (0, 0)))
+    return box.reshape(rows16, 128)
 
 
 def pack_leaf_rows(tri_cols: jnp.ndarray, layout: PacketAccel) -> jnp.ndarray:
