@@ -73,7 +73,20 @@ class AnalyticShapes:
     cy_axis: jnp.ndarray      # (C, 3) unit
     cy_len: jnp.ndarray       # (C,)
     cy_radius: jnp.ndarray    # (C,)
-    # static per-prim metadata, in global prim order (length S+D+C)
+    # curve segments: swept spheres (rounded cones) from (pa, ra) to
+    # (pb, rb) — the exact tube cross-section of linearcurve.cpp /
+    # bsplinecurve.cpp; cubic splines are flattened to polyline
+    # CENTERLINES at load (cross-section and normals stay exact, only
+    # the centerline is piecewise-linear — the TPU-shaped trade
+    # replacing the reference's per-ray Newton solve on the cubic,
+    # bsplinecurve.cpp:1310)
+    cv_pa: jnp.ndarray        # (K, 3)
+    cv_pb: jnp.ndarray        # (K, 3)
+    cv_ra: jnp.ndarray        # (K,)
+    cv_rb: jnp.ndarray        # (K,)
+    cv_u0: jnp.ndarray        # (K,) global curve parameter at pa
+    cv_u1: jnp.ndarray        # (K,) at pb
+    # static per-prim metadata, in global prim order (length S+D+C+K)
     bsdf_index: tuple = static(())
     emitter_index: tuple = static(())
     flip_normals: tuple = static(())
@@ -94,8 +107,13 @@ class AnalyticShapes:
         return int(self.cy_p0.shape[0])
 
     @property
+    def n_curves(self):
+        return int(self.cv_pa.shape[0])
+
+    @property
     def n_prims(self):
-        return self.n_spheres + self.n_disks + self.n_cylinders
+        return (self.n_spheres + self.n_disks + self.n_cylinders
+                + self.n_curves)
 
     def _flip_arr(self):
         return jnp.asarray(np.asarray(self.flip_normals, np.float32))
@@ -121,6 +139,12 @@ class AnalyticShapes:
             ln = np.asarray(_sg(self.cy_len))[:, None]
             r = np.asarray(_sg(self.cy_radius))[:, None]
             pts += [p0 - r, p0 + r, p0 + ax * ln - r, p0 + ax * ln + r]
+        if self.n_curves:
+            pa = np.asarray(_sg(self.cv_pa))
+            pb = np.asarray(_sg(self.cv_pb))
+            ra = np.asarray(_sg(self.cv_ra))[:, None]
+            rb = np.asarray(_sg(self.cv_rb))[:, None]
+            pts += [pa - ra, pa + ra, pb - rb, pb + rb]
         return np.concatenate(pts) if pts else np.zeros((0, 3), np.float32)
 
     # -------------------------------------------------- detached traversal
@@ -175,6 +199,15 @@ class AnalyticShapes:
                               maxt[:, None], valid_lane)
             consider(tk, self.n_spheres + self.n_disks
                      + jnp.arange(self.n_cylinders, dtype=jnp.int32))
+        if self.n_curves:
+            tk = _rounded_cone_first(
+                o[:, None, :], d[:, None, :],
+                self.cv_pa[None], self.cv_pb[None],
+                self.cv_ra[None], self.cv_rb[None],
+                maxt[:, None], valid_lane)
+            consider(tk, self.n_spheres + self.n_disks
+                     + self.n_cylinders
+                     + jnp.arange(self.n_curves, dtype=jnp.int32))
         return best_t, best_p
 
     def any_hit(self, o, d, maxt, active):
@@ -220,8 +253,14 @@ class AnalyticShapes:
         if self.n_cylinders:
             base = self.n_spheres + self.n_disks
             j = jnp.clip(prim - base, 0, self.n_cylinders - 1)
-            m = valid & (prim >= base)
+            m = valid & (prim >= base) \
+                & (prim < base + self.n_cylinders)
             merge(m, self._cylinder_si(ray, t, p_det, j, mode))
+        if self.n_curves:
+            base = self.n_spheres + self.n_disks + self.n_cylinders
+            j = jnp.clip(prim - base, 0, self.n_curves - 1)
+            m = valid & (prim >= base)
+            merge(m, self._curve_si(ray, t, p_det, j, mode))
 
         t_a, p, ng, uv = out
         ng = ng * sign[:, None]
@@ -332,6 +371,74 @@ class AnalyticShapes:
             [phi / _TWO_PI, z / jnp.maximum(ln, 1e-20)], axis=-1)
         return t, p, ng, uv
 
+    def _curve_si(self, ray, t_det, p_det, j, mode):
+        """Swept-sphere (rounded cone) segment SI: the hit classifies
+        by its detached axial coordinate into cap-a / side / cap-b; the
+        attached position/normal re-derive differentiably from the
+        segment endpoints and radii (bsplinecurve.cpp:1310-style exact
+        tube normals; the reference's curve v spans the cross-section
+        circle, its u the spline parameter)."""
+        pa = self.cv_pa[j]
+        pb = self.cv_pb[j]
+        ra = self.cv_ra[j]
+        rb = self.cv_rb[j]
+        u0 = self.cv_u0[j]
+        u1 = self.cv_u1[j]
+        if mode == "detach_shape":
+            pa, pb, ra, rb = _sg(pa), _sg(pb), _sg(ra), _sg(rb)
+
+        ba = pb - pa
+        m0 = dot(ba, ba)
+        rr = ra - rb
+        d2 = jnp.maximum(m0 - rr * rr, 1e-20)
+
+        # detached classification: axial coordinate of the tangency
+        # point (y in [0, d2] <-> side; outside <-> sphere caps)
+        oa_det = p_det - _sg(pa)
+        y_det = (dot(oa_det, _sg(ba))
+                 - _sg(ra) * _sg(rr))
+        s_loc = jnp.clip(_sg(y_det / d2), 0.0, 1.0)
+
+        if mode == "follow_shape":
+            # rigid reattachment: detached local params, attached frame
+            c0 = _sg(pa) + _sg(ba) * s_loc[:, None]
+            rad0 = _sg(normalize(p_det - c0))
+            c = pa + ba * s_loc[:, None]
+            r = ra + (rb - ra) * s_loc
+            p = c + rad0 * r[:, None]
+            t = _t_from_point(ray, p)
+            ng = rad0
+        else:
+            # attached re-solve: nearest quadratic root to the detached t
+            t0, t1, y_at = _rounded_cone_roots(
+                ray.o, ray.d, pa, pb, ra, rb)
+            side = (y_det > 0.0) & (y_det < d2)
+            t_side = jnp.where(
+                jnp.abs(t0 - t_det) <= jnp.abs(t1 - t_det), t0, t1)
+            # cap spheres
+            cap_c = jnp.where((y_det <= 0.0)[:, None], pa, pb)
+            cap_r = jnp.where(y_det <= 0.0, ra, rb)
+            tc0, tc1, _ = _sphere_roots(ray.o, ray.d, cap_c, cap_r)
+            t_cap = jnp.where(
+                jnp.abs(tc0 - t_det) <= jnp.abs(tc1 - t_det), tc0, tc1)
+            t = jnp.where(side, t_side, t_cap)
+            t = jnp.where(jnp.isfinite(t), t, t_det)
+            p = ray.o + ray.d * t[:, None]
+            oa = p - pa
+            y = dot(oa, ba) - ra * rr
+            n_side = d2[:, None] * oa - ba * y[:, None]
+            n_cap = p - cap_c
+            ng = normalize(jnp.where(side[:, None], n_side, n_cap))
+
+        # uv: u = global curve parameter, v = azimuth about the segment
+        su, sv = coordinate_system(_sg(normalize(ba)))
+        rel = p - (pa + ba * s_loc[:, None])
+        phi = jnp.arctan2(dot(rel, sv), dot(rel, su))
+        phi = jnp.where(phi < 0.0, phi + _TWO_PI, phi)
+        u_glob = u0 + (u1 - u0) * s_loc
+        uv = jnp.stack([u_glob, phi / _TWO_PI], axis=-1)
+        return t, p, ng, uv
+
     # ------------------------------------------------------ emitter geom
 
     def sphere_geom(self, prim: int):
@@ -382,6 +489,57 @@ def _cylinder_roots(o, d, p0, ax, r):
     z0 = ooa + jnp.where(jnp.isfinite(t0), t0, 0.0) * doa
     z1 = ooa + jnp.where(jnp.isfinite(t1), t1, 0.0) * doa
     return t0, t1, z0, z1
+
+
+def _rounded_cone_roots(o, d, pa, pb, ra, rb):
+    """Both roots of the swept-sphere SIDE surface between (pa, ra) and
+    (pb, rb), plus the axial tangency coordinate helper pieces.  The
+    quadratic follows the classic rounded-cone formulation (the cone
+    tangent to both end spheres): with ba = pb-pa, rr = ra-rb,
+    d2 = |ba|^2 - rr^2,
+
+      k2 t^2 + 2 k1 t + k0 = 0,
+      k2 = d2 - (ba.d)^2 / ... (non-unit-d safe: all terms explicit)
+
+    Returns (t0, t1, y(t)=axial coord fn pieces are recomputed by the
+    caller); roots are NOT validity-masked (mirrors _sphere_roots)."""
+    ba = pb - pa
+    oa = o - pa
+    rr = ra - rb
+    m0 = dot(ba, ba)
+    m1 = dot(ba, oa)
+    m2 = dot(ba, d)
+    m3 = dot(oa, d)
+    m5 = dot(oa, oa)
+    md = dot(d, d)                      # sensor rays may be non-unit
+    d2 = jnp.maximum(m0 - rr * rr, 1e-20)
+    k2 = d2 * md - m2 * m2
+    k1 = d2 * m3 - m1 * m2 + m2 * rr * ra
+    k0 = d2 * m5 - m1 * m1 + 2.0 * m1 * rr * ra - m0 * ra * ra
+    disc = k1 * k1 - k0 * k2
+    ok = (disc >= 0.0) & (jnp.abs(k2) > 1e-20)
+    sq = safe_sqrt(jnp.maximum(disc, 0.0))
+    inv = 1.0 / jnp.where(ok, k2, 1.0)
+    t0 = jnp.where(ok, (-k1 - sq) * inv, jnp.inf)
+    t1 = jnp.where(ok, (-k1 + sq) * inv, jnp.inf)
+    y0 = m1 - ra * rr + t0 * m2
+    y1 = m1 - ra * rr + t1 * m2
+    return t0, t1, (y0, y1, d2)
+
+
+def _rounded_cone_first(o, d, pa, pb, ra, rb, maxt, active):
+    """First valid hit of the full rounded cone (side + both sphere
+    caps); returns (N, K) candidate t with inf for misses."""
+    t0, t1, (y0, y1, d2) = _rounded_cone_roots(o, d, pa, pb, ra, rb)
+    ok0 = (y0 > 0.0) & (y0 < d2)
+    ok1 = (y1 > 0.0) & (y1 < d2)
+    cand = _first_valid(jnp.where(ok0, t0, jnp.inf),
+                        jnp.where(ok1, t1, jnp.inf), maxt, active)
+    ta0, ta1, _ = _sphere_roots(o, d, pa, ra)
+    ca = _first_valid(ta0, ta1, maxt, active)
+    tb0, tb1, _ = _sphere_roots(o, d, pb, rb)
+    cb = _first_valid(tb0, tb1, maxt, active)
+    return jnp.minimum(cand, jnp.minimum(ca, cb))
 
 
 def _first_valid(t0, t1, maxt, active):
@@ -520,10 +678,13 @@ def build_analytic(prims):
     ``("sphere", center, radius, bsdf, emitter, flip, id)``
     ``("disk", center, su, sv, n, bsdf, emitter, flip, id)``
     ``("cylinder", p0, axis, length, radius, bsdf, emitter, flip, id)``
+    ``("curve", pa, pb, ra, rb, u0, u1, bsdf, emitter, flip, id)``
+    (one descriptor per swept-sphere segment)
     """
-    sp, dk, cy = [], [], []
+    sp, dk, cy, cv = [], [], [], []
     for p in prims:
-        {"sphere": sp, "disk": dk, "cylinder": cy}[p[0]].append(p)
+        {"sphere": sp, "disk": dk, "cylinder": cy,
+         "curve": cv}[p[0]].append(p)
     meta = []   # (bsdf, emitter, flip, id) in global prim order
     for p in sp:
         meta.append(p[3:])
@@ -531,6 +692,8 @@ def build_analytic(prims):
         meta.append(p[5:])
     for p in cy:
         meta.append(p[5:])
+    for p in cv:
+        meta.append(p[7:])
 
     def arr(rows, idx, width=None):
         if not rows:
@@ -545,6 +708,9 @@ def build_analytic(prims):
         dk_sv=arr(dk, 3, 3), dk_n=arr(dk, 4, 3),
         cy_p0=arr(cy, 1, 3), cy_axis=arr(cy, 2, 3),
         cy_len=arr(cy, 3), cy_radius=arr(cy, 4),
+        cv_pa=arr(cv, 1, 3), cv_pb=arr(cv, 2, 3),
+        cv_ra=arr(cv, 3), cv_rb=arr(cv, 4),
+        cv_u0=arr(cv, 5), cv_u1=arr(cv, 6),
         bsdf_index=tuple(int(m[0]) for m in meta),
         emitter_index=tuple(int(m[1]) for m in meta),
         flip_normals=tuple(bool(m[2]) for m in meta),

@@ -350,8 +350,10 @@ def _sweep_tube(centers, radii, n_seg, to_world=None):
             b = (a + 1) % n_seg
             i0, i1 = i * n_seg + a, i * n_seg + b
             j0, j1 = (i + 1) * n_seg + a, (i + 1) * n_seg + b
-            f.append([i0, j0, j1])
-            f.append([i0, j1, i1])
+            # outward winding: geometric normals agree with the smooth
+            # ring normals (and the reference's outward tube normals)
+            f.append([i0, j1, j0])
+            f.append([i0, i1, j1])
     f = np.asarray(f, np.int32)
     return _apply_to_world(v, f, n, uv, to_world)
 
@@ -365,12 +367,10 @@ def linear_curve_mesh(control_points, radii, n_seg: int = 8,
     return _sweep_tube(control_points, radii, n_seg, to_world)
 
 
-def bspline_curve_mesh(control_points, radii, n_seg: int = 8,
-                       subdiv: int = 4, to_world=None):
-    """Cubic B-spline curve swept into a tube
-    (src/shapes/bsplinecurve.cpp): uniform cubic B-spline evaluated at
-    ``subdiv`` points per span (positions AND radii), then tessellated.
-    Endpoints are clamped by repeating the first/last control point."""
+def bspline_centerline(control_points, radii, subdiv: int = 4):
+    """Uniform cubic B-spline centerline samples (positions AND radii)
+    with clamped endpoints (bsplinecurve.cpp basis).  Shared by the
+    tessellated tube mesh and the analytic swept-sphere prims."""
     cp = np.asarray(control_points, np.float32)
     r = np.broadcast_to(np.asarray(radii, np.float32), (cp.shape[0],))
     cp = np.concatenate([cp[:1], cp, cp[-1:]])
@@ -390,9 +390,17 @@ def bspline_curve_mesh(control_points, radii, n_seg: int = 8,
             pts.append(w @ p)
             rads.append(float(w @ rr))
     # close the curve end exactly
-    pts.append(cp[-2] / 6.0 + 2.0 / 3.0 * cp[-1] + cp[-1] / 6.0
-               - cp[-1] / 6.0 + cp[-2] * 0.0)
-    pts[-1] = (cp[-3] + 4.0 * cp[-2] + cp[-1]) / 6.0
+    pts.append((cp[-3] + 4.0 * cp[-2] + cp[-1]) / 6.0)
     rads.append(float((r[-3] + 4.0 * r[-2] + r[-1]) / 6.0))
-    return _sweep_tube(np.asarray(pts, np.float32),
-                       np.asarray(rads, np.float32), n_seg, to_world)
+    return (np.asarray(pts, np.float32),
+            np.asarray(rads, np.float32))
+
+
+def bspline_curve_mesh(control_points, radii, n_seg: int = 8,
+                       subdiv: int = 4, to_world=None):
+    """Cubic B-spline curve swept into a tube
+    (src/shapes/bsplinecurve.cpp): uniform cubic B-spline evaluated at
+    ``subdiv`` points per span (positions AND radii), then tessellated.
+    Endpoints are clamped by repeating the first/last control point."""
+    pts, rads = bspline_centerline(control_points, radii, subdiv)
+    return _sweep_tube(pts, rads, n_seg, to_world)

@@ -464,6 +464,32 @@ def _make_analytic_prim(d, bsdf_index, emitter_index):
         length = max(float(np.linalg.norm(axis)), 1e-20)
         return ("cylinder", p0, axis / length, length, r,
                 bsdf_index, emitter_index, flip, sid)
+    if t in ("linearcurve", "bsplinecurve"):
+        # analytic swept-sphere segments (exact tube cross-section;
+        # cubic splines flatten their CENTERLINE at load —
+        # models/analytic.py curve prims, linearcurve.cpp /
+        # bsplinecurve.cpp:1310)
+        cp = np.asarray(d["control_points"], np.float32)
+        rr = np.broadcast_to(
+            np.asarray(d.get("radius", 0.05), np.float32),
+            (cp.shape[0],)).astype(np.float32)
+        if t == "bsplinecurve":
+            from ..models.shapes import bspline_centerline
+
+            cp, rr = bspline_centerline(cp, rr,
+                                        int(d.get("subdiv", 4)))
+        if w is not None:
+            m = np.asarray(w, np.float32)
+            cp = cp @ m[:3, :3].T + m[:3, 3]
+            rr = rr * float(np.linalg.norm(m[:3, 0]))
+        n_seg = cp.shape[0] - 1
+        us = np.linspace(0.0, 1.0, n_seg + 1, dtype=np.float32)
+        return [
+            ("curve", cp[i], cp[i + 1], float(rr[i]), float(rr[i + 1]),
+             float(us[i]), float(us[i + 1]),
+             bsdf_index, emitter_index, flip, sid)
+            for i in range(n_seg)
+        ]
     raise ValueError(f"shape {t!r} has no analytic form")
 
 
@@ -894,8 +920,9 @@ def load_dict(scene_dict: dict, use_bvh=None):
                     medium = _make_medium(val["interior"])
             val = dict(val, id=val.get("id", key))
             if val.get("analytic", False):
-                analytic_prims.append(
-                    _make_analytic_prim(val, b_idx, em_idx))
+                p = _make_analytic_prim(val, b_idx, em_idx)
+                # curve shapes expand to one prim per segment
+                analytic_prims.extend(p if isinstance(p, list) else [p])
             else:
                 meshes.append(_make_shape_mesh(val, b_idx, em_idx))
         elif t in EMITTER_TYPES:
