@@ -65,6 +65,9 @@ class ParticleTracerIntegrator:
     rr_depth: int = static(5)
     hide_emitters: bool = static(False)
     spectral: bool = static(False)
+    # rematerialize bounce activations in reverse-mode AD (see the
+    # jax.checkpoint note at the scan below); harmless for primal use
+    remat: bool = static(True)
     id: str = static("ptracer")
 
     # ------------------------------------------------------------------
@@ -269,8 +272,18 @@ class ParticleTracerIntegrator:
             return dict(ray=new_ray, beta=beta, eta=eta, active=act,
                         img=img2), None
 
+        # rematerialize per-bounce activations in the adjoint: without
+        # this, jax.grad through the scan stores every bounce's SI
+        # rebuild/shading intermediates — O(depth x wavefront) HBM that
+        # OOMs deep lens stacks (the 22-surface Nikon prescription at
+        # 128 spp holds ~20 f32[22,131072,3] temps).  checkpoint makes
+        # the residual per bounce just the carried state, recomputed on
+        # the backward pass (~2x bounce FLOPs, backward only) — the
+        # renderer's activation-recomputation analogue (SURVEY §5.7).
+        body_fn = (jax.checkpoint(body, prevent_cse=False)
+                   if self.remat else body)
         out, _ = jax.lax.scan(
-            body, state, jnp.arange(1, self.max_depth, dtype=jnp.int32)
+            body_fn, state, jnp.arange(1, self.max_depth, dtype=jnp.int32)
         )
         return out["img"]
 
