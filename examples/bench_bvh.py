@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--mode", default="both",
                     choices=["both", "sorted", "unsorted", "wavefront"])
+    ap.add_argument("--sort-every", type=int, default=1)
     args = ap.parse_args()
 
     from mitsuba_tpu.models.integrators import MegakernelPathIntegrator
@@ -65,7 +66,7 @@ def main():
     if args.mode in ("both", "sorted"):
         modes.append(("sorted", MegakernelPathIntegrator(
             max_depth=args.depth, rr_depth=5, strict=True,
-            sort_bounces=True)))
+            sort_bounces=True, sort_every=args.sort_every)))
     if args.mode == "wavefront":
         modes.append(("wavefront", PathIntegrator(
             max_depth=args.depth, rr_depth=5)))

@@ -142,6 +142,10 @@ class MegakernelPathIntegrator:
     # Default on: measured 1.7x over the single-launch walk on an 82k-tri
     # scene (PERF.md round-2 table).
     sort_bounces: bool = static(True)
+    # re-sort every k-th depth only: bounce-origin coherence persists a
+    # couple of bounces, so skipping alternate sorts trades a little
+    # packet coherence for the per-depth argsort + (N,18) gather cost
+    sort_every: int = static(1)
     id: str = static("megapath")
 
     def sample(self, scene, ray, lane, seed, active):
@@ -263,21 +267,23 @@ class MegakernelPathIntegrator:
         lane_c = lane.astype(jnp.int32)
         idx = jnp.arange(n, dtype=jnp.int32)
         for depth in range(self.max_depth):
-            key = _bounce_sort_key(state, center, inv_r)
-            perm = jnp.argsort(key)
-            # ONE contiguous row gather instead of 18 independent 1-float
-            # gathers: TPU gathers pay per-row DMA setup, so packing the
-            # carried state into an (N, 18) matrix first is ~5x cheaper
-            # (PERF.md round-2 sorted-pipeline profile).  lane/idx ride
-            # along as bitcast f32 (NOT astype — values above 2^24 must
-            # survive the permutation bit-exactly).
-            bc = jax.lax.bitcast_convert_type
-            packed = jnp.stack(
-                state + (bc(lane_c, jnp.float32),
-                         bc(idx, jnp.float32)), axis=1)[perm]
-            state = tuple(packed[:, i] for i in range(16))
-            lane_c = bc(packed[:, 16], jnp.int32)
-            idx = bc(packed[:, 17], jnp.int32)
+            if depth % max(self.sort_every, 1) == 0:
+                key = _bounce_sort_key(state, center, inv_r)
+                perm = jnp.argsort(key)
+                # ONE contiguous row gather instead of 18 independent
+                # 1-float gathers: TPU gathers pay per-row DMA setup, so
+                # packing the carried state into an (N, 18) matrix first
+                # is ~5x cheaper (PERF.md round-2 sorted-pipeline
+                # profile).  lane/idx ride along as bitcast f32 (NOT
+                # astype — values above 2^24 must survive the
+                # permutation bit-exactly).
+                bc = jax.lax.bitcast_convert_type
+                packed = jnp.stack(
+                    state + (bc(lane_c, jnp.float32),
+                             bc(idx, jnp.float32)), axis=1)[perm]
+                state = tuple(packed[:, i] for i in range(16))
+                lane_c = bc(packed[:, 16], jnp.int32)
+                idx = bc(packed[:, 17], jnp.int32)
 
             def launch(args, depth=depth):
                 st, ln = args

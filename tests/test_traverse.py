@@ -229,6 +229,13 @@ def test_sorted_per_bounce_matches_unsorted(big_scene):
     a, b = np.asarray(L_all), np.asarray(L_srt)
     close = np.isclose(a, b, rtol=1e-5, atol=1e-6).all(axis=-1)
     assert close.mean() > 0.999, close.mean()
+    # sparser re-sorting changes only the permutation, never the values
+    L_s2 = MegakernelPathIntegrator(
+        max_depth=3, sort_bounces=True, sort_every=2).sample(
+        big_scene, ray, lane, seed, active)
+    c = np.asarray(L_s2)
+    close2 = np.isclose(a, c, rtol=1e-5, atol=1e-6).all(axis=-1)
+    assert close2.mean() > 0.999, close2.mean()
 
 
 def test_bvh_megakernel_plastic_parity():
