@@ -339,14 +339,20 @@ class DesignProblem:
         if lr_overrides:
             opt.set_learning_rate(lr_overrides)
         state = opt.init(p)
+        from ..utils.elastic import nan_guard_step
+
         for it in range(self.iters):
             val, g = grad_fn(p, self.seed + it)
-            p, state = opt.step(p, g, state)
+            # a single pathological lane (grazing TIR, degenerate
+            # normal) can NaN the whole MC gradient; skipping the step
+            # redraws with the next seed instead of poisoning Adam
+            p, state, ok = nan_guard_step(opt, p, g, state)
             self.loss_history.append(float(val))
             if callback is not None:
                 callback(it, p, float(val))
             if verbose:
-                print(f"iter {it:3d}: loss = {float(val):.5f}")
+                print(f"iter {it:3d}: loss = {float(val):.5f}"
+                      + ("" if ok else "  [step skipped: non-finite]"))
         if fixed_efl is not None:
             ls = self.apply_params(p)
             rear = ls.rear_surface_params_for_EFL(fixed_efl)
