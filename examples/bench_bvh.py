@@ -61,8 +61,10 @@ def main():
     results = {}
     modes = []
     if args.mode in ("both", "unsorted"):
+        # single-launch megakernel (no per-bounce relaunch, no sort)
         modes.append(("unsorted", MegakernelPathIntegrator(
-            max_depth=args.depth, rr_depth=5, strict=True)))
+            max_depth=args.depth, rr_depth=5, strict=True,
+            sort_bounces=False)))
     if args.mode in ("both", "sorted"):
         modes.append(("sorted", MegakernelPathIntegrator(
             max_depth=args.depth, rr_depth=5, strict=True,

@@ -1,0 +1,143 @@
+"""Round-4 full decomposition of the 82k-tri path cost (hardware).
+
+Measures, per 1M rays on the MXU packet-BVH path:
+  - closest-hit: primary morton / bounce sorted / bounce unsorted,
+    with minimal (1-col) vs full (30-col) attribute resolve
+  - any-hit on bounce rays
+  - the per-depth coherence sort step alone
+  - one full sorted-pipeline bounce launch (kernel incl. shading)
+  - single-launch megakernel (sort_bounces=False) vs sorted pipeline
+
+The gaps identify where the non-traversal time goes (VERDICT round-3
+weak #1: >=40% outside the traversal proper).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from examples.bench_bvh import big_scene
+
+
+def timeit(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    res, spp = 256, 16
+    scene = big_scene(res, res, 6)
+    n = res * res * spp
+    acc = scene.packet_accel
+    print(f"accel: nodes={acc.n_nodes} leaves={acc.n_leaves} "
+          f"rpl={acc.rpl} mxu={acc.mxu}")
+
+    from mitsuba_tpu.models.integrators import sample_rays
+    from mitsuba_tpu.models.integrators.megapath import _bounce_sort_key
+    from mitsuba_tpu.ops.pallas.megakernel import (megakernel_bounce_bvh,
+                                                   pack_scene_bvh)
+    from mitsuba_tpu.ops.pallas.traverse import (packet_any_hit,
+                                                 packet_closest_hit)
+
+    rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
+    seed = jnp.uint32(3)
+    ray, _, _, lane = sample_rays(scene, seed, spp)
+    active = jnp.ones((n,), bool)
+
+    def t_closest(o, d, label, mxu=True, res_cols=None):
+        kw = {}
+        f = jax.jit(lambda o, d: packet_closest_hit(
+            acc.node_box, acc.node_meta, rows, o, d,
+            jnp.full((n,), jnp.inf), active,
+            n_nodes=acc.n_nodes, rpl=acc.rpl, batch=acc.batch,
+            mxu_rows=mxu_rows if mxu else None, **kw))
+        t = timeit(f, o, d)
+        print(f"{label:36s}: {t*1e3:8.1f} ms ({n/t/1e6:7.3f} Mray/s)")
+        return t
+
+    def t_anyhit(o, d, maxt, label, mxu=True):
+        f = jax.jit(lambda o, d: packet_any_hit(
+            acc.node_box, acc.node_meta, rows, o, d, maxt, active,
+            n_nodes=acc.n_nodes, rpl=acc.rpl, batch=acc.batch,
+            mxu_rows=mxu_rows if mxu else None))
+        t = timeit(f, o, d)
+        print(f"{label:36s}: {t*1e3:8.1f} ms ({n/t/1e6:7.3f} Mray/s)")
+        return t
+
+    # primary (pixel-major as the pipeline feeds them)
+    t_closest(ray.o, ray.d, "closest primary pix-major (mxu)")
+
+    # synthetic bounce rays
+    f0 = jax.jit(lambda o, d: packet_closest_hit(
+        acc.node_box, acc.node_meta, rows, o, d, jnp.full((n,), jnp.inf),
+        active, n_nodes=acc.n_nodes, rpl=acc.rpl, batch=acc.batch,
+        mxu_rows=mxu_rows))
+    t_hit, _ = f0(ray.o, ray.d)
+    t_hit = jnp.where(jnp.isfinite(t_hit), t_hit, 0.0)
+    p = ray.o + ray.d * (t_hit * 0.999)[:, None]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    u = jax.random.uniform(k1, (n, 2))
+    r = jnp.sqrt(u[:, 0])
+    phi = 2 * jnp.pi * u[:, 1]
+    d2 = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                    jnp.sqrt(jnp.maximum(0, 1 - u[:, 0]))], -1)
+    sgn = jnp.where(jax.random.uniform(k2, (n,)) > 0.5, 1.0, -1.0)
+    d2 = d2 * jnp.stack([jnp.ones(n), jnp.ones(n), sgn], -1)
+
+    state = (p[:, 0], p[:, 1], p[:, 2], d2[:, 0], d2[:, 1], d2[:, 2]) + \
+        (jnp.zeros(n),) * 9 + (jnp.ones(n),)
+    key = _bounce_sort_key(state, scene.scene_center,
+                           1.0 / scene.scene_radius)
+    prm = jnp.argsort(key)
+    ps, ds = p[prm], d2[prm]
+
+    t_closest(p, d2, "closest bounce unsorted (mxu)")
+    t_closest(ps, ds, "closest bounce sorted (mxu)")
+    t_anyhit(ps, ds, jnp.full((n,), 0.35), "anyhit bounce sorted (mxu)")
+    t_anyhit(p, d2, jnp.full((n,), 0.35), "anyhit bounce unsorted (mxu)")
+
+    # sort step alone (key + argsort + (N,18) packed gather)
+    def sort_step(st_p, st_d):
+        st = (st_p[:, 0], st_p[:, 1], st_p[:, 2],
+              st_d[:, 0], st_d[:, 1], st_d[:, 2]) + \
+            (jnp.zeros(n),) * 9 + (jnp.ones(n),)
+        k = _bounce_sort_key(st, scene.scene_center,
+                             1.0 / scene.scene_radius)
+        perm = jnp.argsort(k)
+        packed = jnp.stack(st + (st[0], st[1]), axis=1)[perm]
+        return packed.sum()
+
+    t = timeit(jax.jit(sort_step), p, d2)
+    print(f"{'sort step (key+argsort+gather)':36s}: {t*1e3:8.1f} ms")
+
+    # one full bounce launch (kernel incl. shading chain + NEE anyhit)
+    st16 = (ps[:, 0], ps[:, 1], ps[:, 2], ds[:, 0], ds[:, 1], ds[:, 2],
+            jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+            jnp.ones(n), jnp.ones(n), jnp.ones(n),
+            jnp.ones(n), jnp.ones(n), jnp.ones(n), jnp.ones(n))
+
+    def one_bounce(st):
+        out = megakernel_bounce_bvh(
+            acc.node_box, acc.node_meta, rows, light,
+            lane.astype(jnp.int32), seed, st, depth=1, max_depth=6,
+            rr_depth=5, n_nodes=acc.n_nodes, n_lights=n_lights,
+            btypes=(0,), rpl=acc.rpl, batch=acc.batch, smooth=True,
+            mxu_rows=mxu_rows)
+        return out[6]
+
+    t = timeit(jax.jit(one_bounce), st16)
+    print(f"{'one bounce launch (sorted rays)':36s}: {t*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -529,16 +529,36 @@ def _rounded_cone_roots(o, d, pa, pb, ra, rb):
 
 def _rounded_cone_first(o, d, pa, pb, ra, rb, maxt, active):
     """First valid hit of the full rounded cone (side + both sphere
-    caps); returns (N, K) candidate t with inf for misses."""
+    caps); returns (N, K) candidate t with inf for misses.
+
+    Cap-sphere roots are masked to their EXPOSED cap region (the same
+    axial functional y(t) that windows the side surface: y <= 0 on the
+    pa cap, y >= d2 on the pb cap) — without the mask, rays starting
+    inside the tube (dielectric transmission, camera inside a curve)
+    would hit interior sphere surface before the true exit point."""
+    ba = pb - pa
+    rr = ra - rb
+    m1 = dot(ba, o - pa)
+    m2 = dot(ba, d)
+    yb = m1 - ra * rr          # y(t) = yb + t*m2 (matches side coords)
     t0, t1, (y0, y1, d2) = _rounded_cone_roots(o, d, pa, pb, ra, rb)
     ok0 = (y0 > 0.0) & (y0 < d2)
     ok1 = (y1 > 0.0) & (y1 < d2)
     cand = _first_valid(jnp.where(ok0, t0, jnp.inf),
                         jnp.where(ok1, t1, jnp.inf), maxt, active)
+
+    def cap(tc0, tc1, lo_cap):
+        yc0 = yb + tc0 * m2
+        yc1 = yb + tc1 * m2
+        in0 = (yc0 <= 0.0) if lo_cap else (yc0 >= d2)
+        in1 = (yc1 <= 0.0) if lo_cap else (yc1 >= d2)
+        return (jnp.where(in0, tc0, jnp.inf),
+                jnp.where(in1, tc1, jnp.inf))
+
     ta0, ta1, _ = _sphere_roots(o, d, pa, ra)
-    ca = _first_valid(ta0, ta1, maxt, active)
+    ca = _first_valid(*cap(ta0, ta1, True), maxt, active)
     tb0, tb1, _ = _sphere_roots(o, d, pb, rb)
-    cb = _first_valid(tb0, tb1, maxt, active)
+    cb = _first_valid(*cap(tb0, tb1, False), maxt, active)
     return jnp.minimum(cand, jnp.minimum(ca, cb))
 
 

@@ -1116,9 +1116,10 @@ class Principled:
         return (1.0 - self.metallic) * f0_diel + self.metallic * base
 
     def _cc_alpha(self):
-        return (0.1 * self.clearcoat_gloss
-                + 0.001 * (1.0 - self.clearcoat_gloss)) * 0.0 +             jnp.clip(0.1 * (1.0 - self.clearcoat_gloss)
-                     + 0.001 * self.clearcoat_gloss + 0.0, 1e-3, 0.3)
+        """GTR1 clearcoat roughness: lerp(0.1, 0.001, gloss)
+        (principled.cpp clearcoat params)."""
+        return jnp.clip(0.1 * (1.0 - self.clearcoat_gloss)
+                        + 0.001 * self.clearcoat_gloss, 1e-3, 0.3)
 
     def _trans_lobe(self):
         return RoughDielectric(eta=jnp.maximum(self.eta, 1.001),

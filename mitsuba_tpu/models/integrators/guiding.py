@@ -10,8 +10,9 @@ jit.  ``UniformDistr`` samples edges by (detached) length.
 |boundary contribution| and resamples proportionally — the per-edge
 table IS the grid here, since the boundary domain for meshes is the
 edge set (the reference's screen-space grid maps to the same masses
-through the projection).  The octree variant is future work; GridDistr
-covers its role at the scales the tests exercise.
+through the projection).  ``OcSpaceDistr`` (below) adds the octree
+variant: adaptive spatial refinement of the 3D boundary-sample cloud
+with per-cell mass, mirroring the reference's aabb-octree construction.
 """
 from __future__ import annotations
 

@@ -17,8 +17,10 @@ TPU-shaped design:
 - Leaves are padded so every leaf tests exactly LEAF_SIZE triangle slots:
   static shapes, no data-dependent control flow.
 
-A Pallas tiled traversal kernel is the planned upgrade path; this module is
-the correctness reference and is already vector-friendly.
+The Pallas packet traversal (ops/pallas/traverse.py) is the shipped fast
+path built on the same miss-link layout; this module is the correctness
+reference (used for parity tests and the pure-JAX fallback) and is
+already vector-friendly.
 """
 from __future__ import annotations
 

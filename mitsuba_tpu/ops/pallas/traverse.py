@@ -483,7 +483,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     instead of a per-triangle scalar-splat loop.  The enqueue-time slab
     mask doubles as a GROUP mask, so groups whose rays all miss the
     leaf's bbox skip their matmul entirely (hardware: ~2.4x leaf-stage
-    win before masking, examples/ubench_mxu_leaf3.py).  ``rows_hbm``
+    win before masking, examples/ubench_mxu_leaf.py).  ``rows_hbm``
     (attr slots) is then only used by the deferred attribute resolve.
     """
     shape = ox.shape
@@ -598,7 +598,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                             r8_h[4:8, lo_:hi_], r8_l[4:8, lo_:hi_])
                 num = out_o[0 * TL:1 * TL]              # (TL, 128)
                 den = out_d[0 * TL:1 * TL]
-                okd = jnp.abs(den) > 1e-12
+                okd = jnp.abs(den) > DET_EPS
                 t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
                                          approx=False)
                 u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
@@ -987,7 +987,7 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
                             r8_h[4:8, lo_:hi_], r8_l[4:8, lo_:hi_])
                 num = out_o[0 * TL:1 * TL]
                 den = out_d[0 * TL:1 * TL]
-                okd = jnp.abs(den) > 1e-12
+                okd = jnp.abs(den) > DET_EPS
                 t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
                                          approx=False)
                 u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]

@@ -33,18 +33,38 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .logging import Info, Warn, log
 
 
+# exception classes that can plausibly be a transient device/runtime
+# fault and are worth retrying; programming errors (TypeError, shape
+# mismatches, tracer leaks) re-raise immediately so they surface at the
+# first attempt instead of after max_retries backoffs
+_TRANSIENT = (RuntimeError, OSError, ConnectionError, TimeoutError)
+
+
+def _is_transient(e: Exception) -> bool:
+    if isinstance(e, _TRANSIENT):
+        return True
+    # jaxlib's XlaRuntimeError doesn't always subclass RuntimeError
+    # across versions — match by name to stay version-robust
+    return type(e).__name__ in ("XlaRuntimeError", "InternalError",
+                                "UnavailableError", "AbortedError")
+
+
 def retry_pass(fn, *args, max_retries: int = 3, backoff: float = 0.5,
                _sleep=time.sleep):
     """Run ``fn(*args)`` (a jitted render pass), re-executing on runtime
     failure.  Deterministic: same args -> same result, so a retry after
-    a transient fault is bit-identical to an untroubled run."""
+    a transient fault is bit-identical to an untroubled run.  Only
+    runtime/device fault classes are retried; deterministic programming
+    errors (TypeError, ValueError, ...) propagate immediately."""
     err = None
     for attempt in range(max_retries + 1):
         try:
             out = fn(*args)
             jax.block_until_ready(out)
             return out
-        except Exception as e:  # noqa: BLE001 — device faults are broad
+        except Exception as e:  # noqa: BLE001 — classify below
+            if not _is_transient(e):
+                raise
             err = e
             if attempt < max_retries:
                 log(Warn, "render pass failed (%r); retry %d/%d",
