@@ -36,7 +36,8 @@ def main():
     from mitsuba_tpu.ops.pallas.megakernel import (megakernel_bounce_bvh,
                                                    pack_scene_bvh)
 
-    rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
+    rows, mxu_rows, res_rows, _tex, _env, light, n_lights = \
+        pack_scene_bvh(scene, acc)
     seed = jnp.uint32(3)
     ray, _, _, lane = sample_rays(scene, seed, spp)
     active = jnp.ones((n,), bool)

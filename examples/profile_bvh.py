@@ -66,7 +66,8 @@ def main():
     ray, weight, film_pos, lane = sample_rays(scene, seed, spp)
     active = jnp.ones((n,), bool)
     acc = scene.packet_accel
-    rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
+    rows, mxu_rows, res_rows, _tex, _env, light, n_lights = \
+        pack_scene_bvh(scene, acc)
     smooth = True
     btypes = (0,)
 

@@ -49,7 +49,8 @@ def main():
     from mitsuba_tpu.ops.pallas.traverse import (packet_any_hit,
                                                  packet_closest_hit)
 
-    rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
+    rows, mxu_rows, res_rows, _tex, _env, light, n_lights = \
+        pack_scene_bvh(scene, acc)
     seed = jnp.uint32(3)
     ray, _, _, lane = sample_rays(scene, seed, spp)
     active = jnp.ones((n,), bool)
@@ -60,7 +61,8 @@ def main():
             acc.node_box, acc.node_meta, rows, o, d,
             jnp.full((n,), jnp.inf), active,
             n_nodes=acc.n_nodes, rpl=acc.rpl, batch=acc.batch,
-            mxu_rows=mxu_rows if mxu else None, **kw))
+            mxu_rows=mxu_rows if mxu else None,
+            res_rows=res_rows if mxu else None, **kw))
         t = timeit(f, o, d)
         print(f"{label:36s}: {t*1e3:8.1f} ms ({n/t/1e6:7.3f} Mray/s)")
         return t
@@ -132,7 +134,7 @@ def main():
             lane.astype(jnp.int32), seed, st, depth=1, max_depth=6,
             rr_depth=5, n_nodes=acc.n_nodes, n_lights=n_lights,
             btypes=(0,), rpl=acc.rpl, batch=acc.batch, smooth=True,
-            mxu_rows=mxu_rows)
+            mxu_rows=mxu_rows, res_rows=res_rows)
         return out[6]
 
     t = timeit(jax.jit(one_bounce), st16)

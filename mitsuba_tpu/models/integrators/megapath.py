@@ -204,7 +204,8 @@ class MegakernelPathIntegrator:
                 env_nee=env_nee, env_pos=env_pos, smooth=smooth,
             )
         acc = scene.packet_accel
-        rows, mxu_rows, light, n_lights = pack_scene_bvh(scene, acc)
+        rows, mxu_rows, res_rows, tex, env_meta, light, n_lights = \
+            pack_scene_bvh(scene, acc)
         # refit node boxes from current (possibly traced) vertices so
         # in-jit geometry deformation keeps the accel conservative
         from ...ops.pallas.traverse import refit_packet_bvh
@@ -212,8 +213,13 @@ class MegakernelPathIntegrator:
         node_box = refit_packet_bvh(
             acc, jax.lax.stop_gradient(scene.geometry()[0]))
         smooth = any(m.normals is not None for m in scene.meshes)
-        if self.sort_bounces:
+        env_pos = int(scene.env_index)
+        # textures/envmaps ride the per-bounce pipeline only (the
+        # single-launch BVH kernel has no arena/NEE-slab inputs)
+        needs_pipeline = env_pos >= 0 or any(b % 16 == 5 for b in btypes)
+        if self.sort_bounces or needs_pipeline:
             return self._sorted_bvh(scene, acc, node_box, rows, mxu_rows,
+                                    res_rows, tex, env_meta, env_pos,
                                     light, n_lights, btypes, smooth,
                                     lane, ray, active, seed, interpret)
         # Feed the kernel Morton-tiled packets: lanes arrive pixel-major
@@ -237,7 +243,7 @@ class MegakernelPathIntegrator:
                 max_depth=self.max_depth, rr_depth=self.rr_depth,
                 n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
                 interpret=interpret, rpl=acc.rpl, batch=acc.batch,
-                smooth=smooth, mxu_rows=mxu_rows,
+                smooth=smooth, mxu_rows=mxu_rows, res_rows=res_rows,
             )
             return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
@@ -246,12 +252,12 @@ class MegakernelPathIntegrator:
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
             interpret=interpret, rpl=acc.rpl, batch=acc.batch,
-            smooth=smooth, mxu_rows=mxu_rows,
+            smooth=smooth, mxu_rows=mxu_rows, res_rows=res_rows,
         )
 
-    def _sorted_bvh(self, scene, acc, node_box, rows, mxu_rows, light,
-                    n_lights, btypes, smooth, lane, ray, active, seed,
-                    interpret):
+    def _sorted_bvh(self, scene, acc, node_box, rows, mxu_rows,
+                    res_rows, tex, env_meta, env_pos, light, n_lights,
+                    btypes, smooth, lane, ray, active, seed, interpret):
         """Per-bounce pipeline: sort -> one-bounce kernel, repeated."""
         from ...ops.pallas.megakernel import megakernel_bounce_bvh
 
@@ -266,6 +272,8 @@ class MegakernelPathIntegrator:
         inv_r = 1.0 / jnp.maximum(scene.scene_radius, 1e-6)
         lane_c = lane.astype(jnp.int32)
         idx = jnp.arange(n, dtype=jnp.int32)
+        env_nee = (_env_nee_table(scene, lane, seed, self.max_depth)
+                   if env_pos >= 0 else None)
         for depth in range(self.max_depth):
             if depth % max(self.sort_every, 1) == 0:
                 key = _bounce_sort_key(state, center, inv_r)
@@ -285,7 +293,13 @@ class MegakernelPathIntegrator:
                 lane_c = bc(packed[:, 16], jnp.int32)
                 idx = bc(packed[:, 17], jnp.int32)
 
-            def launch(args, depth=depth):
+            # this depth's envmap NEE slice, gathered into the CURRENT
+            # lane order (idx maps position -> original lane row)
+            env_nee_d = (jnp.take(env_nee[:, 8 * depth:8 * depth + 8],
+                                  idx, axis=0)
+                         if env_nee is not None else None)
+
+            def launch(args, depth=depth, env_nee_d=env_nee_d):
                 st, ln = args
                 return megakernel_bounce_bvh(
                     node_box, acc.node_meta, rows, light, ln, seed,
@@ -293,7 +307,9 @@ class MegakernelPathIntegrator:
                     rr_depth=self.rr_depth, n_nodes=acc.n_nodes,
                     n_lights=n_lights, btypes=btypes,
                     interpret=interpret, rpl=acc.rpl, batch=acc.batch,
-                    smooth=smooth, mxu_rows=mxu_rows)
+                    smooth=smooth, mxu_rows=mxu_rows, res_rows=res_rows,
+                    env_meta=env_meta, env_nee_d=env_nee_d,
+                    env_pos=env_pos, tex=tex)
 
             # compaction, coarse level: once RR/escapes kill the whole
             # wavefront, skip the remaining launches entirely

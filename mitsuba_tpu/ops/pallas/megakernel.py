@@ -1605,20 +1605,29 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
 
 
 def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
-                   rpl, batch, smooth=False, mxu=False):
+                   rpl, batch, smooth=False, mxu=False, res=False):
     """BVH-packet megakernel: same fused path loop, but ray queries run
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
     lifts the MAX_FACES cap to the SMEM node budget (~300k triangles).
-    ``mxu`` switches leaf intersection to the dot_general stage."""
+    ``mxu`` switches leaf intersection to the dot_general stage; ``res``
+    switches the winner-attribute resolve to the one-hot matmul form."""
     from .traverse import traverse_any, traverse_closest
 
     def kernel(node_box_ref, node_meta_ref, light_ref, rows_ref, *rest):
         if mxu:
             mxu_ref, rest = rest[0], rest[1:]
+        if res:
+            res_ref, rest = rest[0], rest[1:]
         (lane_ref, seed_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
          lr_ref, lg_ref, lb_ref, qbuf, sems) = rest[:14]
-        mctx = (mxu_ref, rest[14], rest[15]) if mxu else None
+        rest = rest[14:]
+        mctx = rctx = None
+        if mxu:
+            mctx = (mxu_ref, rest[0], rest[1])
+            rest = rest[2:]
+        if res:
+            rctx = (res_ref, rest[0], rest[1])
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
         act0 = act_ref[:] > 0.5
@@ -1643,7 +1652,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                 ox, oy, oz, dx, dy, dz,
                 jnp.full(shape, jnp.inf), act_b,
                 resolve_cols=res_cols, rpl=rpl, batch=batch,
-                mxu_ctx=mctx)
+                mxu_ctx=mctx, res_ctx=rctx)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -1777,29 +1786,34 @@ def megakernel_trace(tris, light, lane, o, d, active, seed,
 
 def megakernel_bvh_applicable(scene) -> bool:
     """Plugin-subset check for the BVH megakernel: same BSDF/emitter
-    constraints as ``megakernel_applicable`` but faces bounded only by the
-    SMEM node budget (requires scene.packet_accel, built at make_scene);
-    bitmap textures / envmaps are brute-kernel-only for now (the
-    traverse leaf layout has no UV slots)."""
+    constraints as ``megakernel_applicable`` but faces bounded only by
+    the SMEM node budget (requires scene.packet_accel, built at
+    make_scene).  Bitmap textures and small envmaps are supported when
+    the accel carries the MXU one-hot resolve layout (round 4: uv rows
+    ride the transposed resolve table; such scenes route through the
+    per-bounce pipeline, megapath._sorted_bvh)."""
     from .traverse import MAX_NODES
 
     accel = getattr(scene, "packet_accel", None)
     if accel is None or accel.n_nodes > MAX_NODES:
         return False
-    return _plugin_subset_ok(scene, allow_tex=False)
+    return _plugin_subset_ok(scene, allow_tex=bool(accel.mxu))
 
 
 def pack_scene_bvh(scene, layout):
     """Packed leaf-row table + light table for the BVH megakernel.
 
     Reuses pack_scene's face shading assembly, re-laid out into the
-    25-column traverse.py slot format (refl | ng | is_light | pdf_area |
-    btype | bparams | face_id) and permuted into HBM leaf rows.  When
-    the layout has the MXU leaf stage, also returns the Baldwin-Weber
-    coefficient table (else None)."""
-    from .traverse import pack_leaf_rows, pack_mxu_rows
+    traverse.py 32-column slot format (refl | ng | is_light | pdf_area |
+    btype | bparams | face_id | shading normals) and permuted into HBM
+    leaf rows.  When the layout has the MXU leaf stage, also returns
+    the Baldwin-Weber coefficient table and the transposed one-hot
+    resolve table (with per-vertex uv rows for textured scenes), else
+    None for both.  Returns (rows, mxu_rows, res_rows, tex, env_meta,
+    light, L)."""
+    from .traverse import pack_leaf_rows, pack_mxu_rows, pack_resolve_rows
 
-    tris, light, F, L, _tex, _env = pack_scene(scene)
+    tris, light, F, L, tex, env_meta = pack_scene(scene)
     t = tris[:F]
     cols = jnp.concatenate([
         t[:, 0:9],                 # p0 | e1 | e2
@@ -1812,7 +1826,9 @@ def pack_scene_bvh(scene, layout):
     ], axis=1)
     rows = pack_leaf_rows(cols, layout)
     mxu_rows = pack_mxu_rows(cols, layout) if layout.mxu else None
-    return rows, mxu_rows, light, L
+    res_rows = (pack_resolve_rows(cols, layout, uv=t[:, 24:30])
+                if layout.mxu else None)
+    return rows, mxu_rows, res_rows, tex, env_meta, light, L
 
 
 @partial(jax.jit,
@@ -1825,14 +1841,17 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          n_lights: int, btypes: tuple = (0,),
                          interpret: bool = False,
                          rpl: int = None, batch: int = None,
-                         smooth: bool = False, mxu_rows=None):
+                         smooth: bool = False, mxu_rows=None,
+                         res_rows=None):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
-    from .traverse import BATCH, PACK, QUEUE, RPL, mxu_width
+    from .traverse import (BATCH, PACK, QUEUE, RES_COLS, RPL, mxu_width,
+                           res_width)
 
     rpl = RPL if rpl is None else rpl
     batch = BATCH if batch is None else batch
     mxu = mxu_rows is not None
+    res = res_rows is not None
 
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -1855,7 +1874,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
-                            btypes, rpl, batch, smooth, mxu=mxu)
+                            btypes, rpl, batch, smooth, mxu=mxu,
+                            res=res)
     scratch = [
         pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((QUEUE,)),
@@ -1865,8 +1885,14 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     if mxu:
         scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
                     pltpu.SemaphoreType.DMA((QUEUE,))]
-        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
-        extra_args = [mxu_rows]
+        extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args += [mxu_rows]
+    if res:
+        scratch += [pltpu.VMEM((2 * RES_COLS, res_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+        extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args += [res_rows]
     lr, lg, lb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1890,24 +1916,39 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
 
 def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                           btypes, rpl, batch, smooth, env_pos,
-                          mxu=False):
+                          mxu=False, res=False):
     """ONE bounce of the BVH megakernel with full state I/O — the
     building block of the sorted per-bounce pipeline: between launches
     the caller re-sorts rays by (direction octant, position cell) so
     every packet traverses coherently (PERF.md round-2: sorted packets
-    are ~8-10x cheaper than divergent ones)."""
-    from .traverse import traverse_any, traverse_closest
+    are ~8-10x cheaper than divergent ones).  ``res`` enables the
+    one-hot matmul attribute resolve; bitmap-textured diffuse faces
+    (btype 5/21) additionally resolve per-vertex uv rows and evaluate
+    the texture arena in-kernel like the brute megakernel
+    (path.cpp:216 fused texture vcalls)."""
+    from .traverse import COL_UV, traverse_any, traverse_closest
+
+    has_tex = any(b % 16 == 5 for b in btypes)
+    assert not has_tex or res, "textured BVH kernel needs the resolve table"
 
     def kernel(node_box_ref, node_meta_ref, light_ref, env_ref, tex_ref,
                tflag_ref, en_ref, rows_ref, *rest):
         if mxu:
             mxu_ref, rest = rest[0], rest[1:]
+        if res:
+            res_ref, rest = rest[0], rest[1:]
         lane_ref, seed_ref = rest[0], rest[1]
         st_refs = rest[2:]
         in_refs = st_refs[:16]
         out_refs = st_refs[16:32]
         qbuf, sems = st_refs[32], st_refs[33]
-        mctx = (mxu_ref, st_refs[34], st_refs[35]) if mxu else None
+        st_refs = st_refs[34:]
+        mctx = rctx = None
+        if mxu:
+            mctx = (mxu_ref, st_refs[0], st_refs[1])
+            st_refs = st_refs[2:]
+        if res:
+            rctx = (res_ref, st_refs[0], st_refs[1])
 
         # ---- path-state compaction (SURVEY §7): the caller sorts dead
         # lanes to trailing tiles, so a tile whose activity flag is 0
@@ -1924,15 +1965,17 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
         def _body():
             _bounce_body(node_box_ref, node_meta_ref, light_ref,
                          env_ref, tex_ref, en_ref, rows_ref, lane_ref,
-                         seed_ref, in_refs, out_refs, qbuf, sems, mctx)
+                         seed_ref, in_refs, out_refs, qbuf, sems, mctx,
+                         rctx)
 
     def _bounce_body(node_box_ref, node_meta_ref, light_ref, env_ref,
                      tex_ref, en_ref, rows_ref, lane_ref, seed_ref,
-                     in_refs, out_refs, qbuf, sems, mctx):
+                     in_refs, out_refs, qbuf, sems, mctx, rctx):
         lane = lane_ref[:]
         seed_x = seed_ref[:] ^ jnp.uint32(0xDEADBEEF)
         shape = lane.shape
         zero = jnp.zeros(shape)
+        n_tex_rows = int(tex_ref.shape[0])
 
         multi = tuple(btypes) != (0,)
         res_cols = tuple(range(0, 15))
@@ -1940,6 +1983,8 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
             res_cols += tuple(range(15, 21))
         if smooth:
             res_cols += tuple(range(22, 31))
+        if has_tex:
+            res_cols += tuple(range(COL_UV, COL_UV + 6))
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
             found, t, attrs = traverse_closest(
@@ -1948,7 +1993,7 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                 ox, oy, oz, dx, dy, dz,
                 jnp.full(shape, jnp.inf), act_b,
                 resolve_cols=res_cols, rpl=rpl, batch=batch,
-                mxu_ctx=mctx)
+                mxu_ctx=mctx, res_ctx=rctx)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -1959,9 +2004,8 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                 Btype = C0 = C1 = C2 = C3 = C4 = C5 = zero
             ngx, ngy, ngz = _cross(E1x, E1y, E1z, E2x, E2y, E2z)
             ngx, ngy, ngz = _normalize3(ngx, ngy, ngz)
-            if smooth:
-                (N0x, N0y, N0z, N1x, N1y, N1z,
-                 N2x, N2y, N2z) = attrs[k:k + 9]
+            if smooth or has_tex:
+                # winner barycentrics (compute_si mirror)
                 pvx, pvy, pvz = _cross(dx, dy, dz, E2x, E2y, E2z)
                 det = E1x * pvx + E1y * pvy + E1z * pvz
                 okd = jnp.abs(det) > DET_EPS
@@ -1973,6 +2017,27 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                 vb = jnp.clip((dx * qvx + dy * qvy + dz * qvz) * inv,
                               0.0, 1.0)
                 b0 = 1.0 - ub - vb
+            if has_tex:
+                kk = len(res_cols) - 6
+                (U0x, U0y, U1x, U1y, U2x, U2y) = attrs[kk:kk + 6]
+                uvx = U0x * b0 + U1x * ub + U2x * vb
+                uvy = U0y * b0 + U1y * ub + U2y * vb
+                # textured diffuse bands 5 (one-sided) / 21 (twosided)
+                # collapse to 0 / 16 after the fetch (brute-kernel
+                # mirror, megakernel.py _mk_kernel)
+                is_texd = ((Btype >= 4.5) & (Btype < 5.5)) \
+                    | ((Btype >= 20.5) & (Btype < 21.5))
+                tr, tg, tb_ = _tex_eval(tex_ref, n_tex_rows,
+                                        C0, C1, C2, C3, C4, uvx, uvy)
+                Rr = jnp.where(is_texd, tr, Rr)
+                Rg = jnp.where(is_texd, tg, Rg)
+                Rb = jnp.where(is_texd, tb_, Rb)
+                Btype = jnp.where(is_texd,
+                                  jnp.where(Btype >= 15.5, 16.0, 0.0),
+                                  Btype)
+            if smooth:
+                (N0x, N0y, N0z, N1x, N1y, N1z,
+                 N2x, N2y, N2z) = attrs[k:k + 9]
                 nsx = N0x * b0 + N1x * ub + N2x * vb
                 nsy = N0y * b0 + N1y * ub + N2y * vb
                 nsz = N0z * b0 + N1z * ub + N2z * vb
@@ -2023,15 +2088,17 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
                           rpl: int = None, batch: int = None,
                           smooth: bool = False, env_meta=None,
                           env_nee_d=None, env_pos: int = -1, tex=None,
-                          mxu_rows=None):
+                          mxu_rows=None, res_rows=None):
     """One sorted-pipeline bounce over flat (N,) state arrays.  ``state``
     is the 16-tuple of (N,) float arrays matching _bounce_step (act as
     f32 0/1); ``env_nee_d`` is this depth's (N, 8) envmap NEE slice."""
-    from .traverse import BATCH, PACK, QUEUE, RPL, mxu_width
+    from .traverse import (BATCH, PACK, QUEUE, RES_COLS, RPL, mxu_width,
+                           res_width)
 
     rpl = RPL if rpl is None else rpl
     batch = BATCH if batch is None else batch
     mxu = mxu_rows is not None
+    res = res_rows is not None
     n = lane.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
     pad = n_pad - n
@@ -2065,7 +2132,7 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
         tex = jnp.zeros((1, LANES))
     kernel = _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes,
                                    n_lights, btypes, rpl, batch, smooth,
-                                   env_pos, mxu=mxu)
+                                   env_pos, mxu=mxu, res=res)
     # per-tile activity flags: with lanes sorted dead-last, trailing
     # tiles go fully inactive and the kernel passes them through
     tflags = (st_t[15].reshape(grid[0], -1).max(axis=-1)
@@ -2079,8 +2146,14 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     if mxu:
         scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
                     pltpu.SemaphoreType.DMA((QUEUE,))]
-        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
-        extra_args = [mxu_rows]
+        extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args += [mxu_rows]
+    if res:
+        scratch += [pltpu.VMEM((2 * RES_COLS, res_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+        extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_args += [res_rows]
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -68,6 +68,19 @@ BATCH = 4         # speculative nodes tested per traversal iteration
 COL_FACE_ID = 21
 N_COLS = 32
 
+# MXU one-hot resolve table (round 4): per leaf a TRANSPOSED attr block
+# (RES_COLS attr rows x triangle-slot columns) so the deferred winner
+# resolve is ONE one-hot matmul per (distinct winning leaf, active
+# sublane group) instead of a tb-iteration scalar-select loop.  Rows
+# 0:32 mirror the 32 leaf-row columns above; rows 32:38 carry
+# uv0|uv1|uv2 (texture support in the BVH megakernel); 38:48 pad (48 =
+# bf16-tile sublane multiple).  f32 attrs are split EXACTLY into three
+# bf16 terms by mantissa truncation (top 8 / next 8 / last 8 significant
+# bits), and the one-hot operand is exactly representable, so the
+# matmul reconstruction is bit-exact for normal f32 values.
+RES_COLS = 48
+COL_UV = 32        # uv0.x at row 32 ... uv2.y at row 37
+
 
 # ----------------------------------------------------------------- build
 
@@ -350,6 +363,42 @@ def mxu_width(rpl: int) -> int:
     return -(-3 * PACK * rpl // 128) * 128
 
 
+def res_width(rpl: int) -> int:
+    """Lane-padded column count of the pack_resolve_rows table (the
+    one-hot contraction length: triangle slots per leaf, padded)."""
+    return -(-PACK * rpl // 128) * 128
+
+
+def pack_resolve_rows(tri_cols: jnp.ndarray, layout: PacketAccel,
+                      uv=None) -> jnp.ndarray:
+    """Transposed per-leaf attribute table for the MXU one-hot resolve:
+    (n_leaves * RES_COLS, res_width) where block [li*RES_COLS:(li+1)*
+    RES_COLS] holds leaf li's N_COLS attr columns as ROWS and its
+    triangle slots as COLUMNS, plus optional per-vertex uv rows
+    (``uv`` is (F, 6) = uv0|uv1|uv2).  The deferred resolve then reads
+    the winner's attrs with attrs = A @ onehot(winner_slot) — one
+    (RES_COLS, TL) x (TL, 128) matmul per (distinct winning leaf,
+    active group).  Traceable like pack_leaf_rows."""
+    F = tri_cols.shape[0]
+    TL = PACK * layout.rpl
+    TLpad = res_width(layout.rpl)
+    perm = layout.perm.a
+    idx = np.where(perm < 0, F, perm)
+    cols = tri_cols
+    if uv is not None:
+        assert uv.shape == (F, 6)
+        cols = jnp.concatenate([cols, uv], axis=1)
+    nc = cols.shape[1]
+    safe = jnp.concatenate(
+        [cols, jnp.zeros((1, nc), cols.dtype)], axis=0)
+    slots = safe[idx]                                # (nl*TL, nc)
+    blocks = slots.reshape(layout.n_leaves, TL, nc)
+    blocks = jnp.transpose(blocks, (0, 2, 1))        # (nl, nc, TL)
+    blocks = jnp.pad(blocks, ((0, 0), (0, RES_COLS - nc), (0, 0)))
+    out = blocks.reshape(layout.n_leaves * RES_COLS, TL)
+    return jnp.pad(out, ((0, 0), (0, TLpad - TL)))
+
+
 def tri_columns(v, f, extra=None, normals=None):
     """Default (F, 32) geometry columns from concatenated verts/faces:
     p0 | e1 | e2 | zeros(shading 9:21) | face_id | n0 n1 n2 | pad.
@@ -442,6 +491,14 @@ def _node_meta4(node_meta, nid):
 
 QUEUE = 4      # leaf DMA queue depth (ring)
 
+# profiling affordance (examples/profile_r4.py): when True,
+# packet_closest_hit returns (walk iterations, leaf enqueues) per packet
+# instead of (t, prim) — set BEFORE the first jit of the kernel
+DEBUG_COUNTERS = False
+# profiling affordance: when True, leaf visits pay their DMA wait but
+# skip the intersection work — isolates node-walk + ring cost
+DEBUG_NOLEAF = False
+
 
 def _ring_get(vals, idx):
     """4-way scalar select: vals[idx & 3] for a traced idx."""
@@ -455,7 +512,7 @@ def _ring_get(vals, idx):
 def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                      n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
                      resolve_cols=(COL_FACE_ID,), rpl=RPL, batch=BATCH,
-                     mxu_ctx=None):
+                     mxu_ctx=None, res_ctx=None):
     """Packet closest-hit traversal subroutine (kernel-internal).
 
     node_box/node_meta are packed SMEM refs (see PacketAccel); rows_hbm
@@ -485,6 +542,15 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     leaf's bbox skip their matmul entirely (hardware: ~2.4x leaf-stage
     win before masking, examples/ubench_mxu_leaf.py).  ``rows_hbm``
     (attr slots) is then only used by the deferred attribute resolve.
+
+    ``res_ctx`` = (res_hbm, res_buf, res_sems) switches the deferred
+    resolve to the round-4 MXU one-hot form: per distinct winning leaf
+    the transposed attr block (pack_resolve_rows) is DMA'd (double
+    buffered) and each active group reads ALL its winner attrs with
+    one bit-exact 3-term bf16 one-hot matmul — replacing the
+    tb-iteration scalar-select loop whose cost dominated the resolve
+    (round-4 profile: ~130 ms of a 343 ms bounce launch was resolve).
+    ``resolve_cols`` may then include the uv rows (COL_UV..COL_UV+5).
     """
     shape = ox.shape
     eps = jnp.float32(1e-30)
@@ -583,6 +649,8 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         single-pass calls beat both per-group Precision.HIGHEST (6
         passes each) and unmasked all-group batching."""
         mxu_dma(row_start, slot).wait()
+        if DEBUG_NOLEAF:
+            return found, best_t, best_row, best_j
         block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
         bh = block.astype(jnp.bfloat16)
         bl = (block - bh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -667,6 +735,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             found, best_t = s[5 + NQ], s[6 + NQ]
             best_row, best_j = s[7 + NQ], s[8 + NQ]
             max_best = s[9 + NQ]
+            n_it, n_enq = s[10 + NQ], s[11 + NQ]
 
             nid = jnp.maximum(cursor, 0)
             is_node = cursor >= 0
@@ -832,13 +901,21 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                 pcond, pbody, (nxt, sp, pmask))
             return (nxt, head, tail, sp, pmask) + rows_ring + cnts_ring \
                 + (masks_ring if mxu else ()) + (
-                found, best_t, best_row, best_j, max_best)
+                found, best_t, best_row, best_j, max_best,
+                n_it + 1, n_enq + enqueue.astype(jnp.int32))
 
         z = jnp.int32(0)
         init = (z, z, z, z, jnp.int32(255)) + (z,) * NQ + (
             jnp.zeros(shape), maxt, jnp.full(shape, -1.0),
-            jnp.full(shape, -1.0), jnp.max(jnp.where(act, maxt, neg_inf)))
+            jnp.full(shape, -1.0), jnp.max(jnp.where(act, maxt, neg_inf)),
+            z, z)
         out = jax.lax.while_loop(cond, body, init)
+        if DEBUG_COUNTERS:
+            cnt = (out[10 + NQ].astype(jnp.float32)
+                   + jnp.zeros(shape))
+            enqf = (out[11 + NQ].astype(jnp.float32)
+                    + jnp.zeros(shape))
+            return out[5 + NQ], cnt, out[7 + NQ], enqf
         return out[5 + NQ], out[6 + NQ], out[7 + NQ], out[8 + NQ]
 
     found, best_t, best_row, best_j = pl.run_scoped(
@@ -846,6 +923,11 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         pltpu.SMEM((STACK,), jnp.int32),
         pltpu.SMEM((STACK,), jnp.float32),
         pltpu.SMEM((STACK,), jnp.int32))
+
+    if DEBUG_COUNTERS:
+        # debug: best_t carries walk iterations, best_j leaf enqueues;
+        # skip the resolve so the counters time the walk alone
+        return found, best_t, tuple(best_j for _ in resolve_cols)
 
     # ---- deferred attribute resolve over DISTINCT winning leaves ----
     # The walk above carries only the winner's identity (row_start, j);
@@ -859,6 +941,114 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     if n_res == 0:
         return found, best_t, ()
     tb = PACK * rpl
+
+    if res_ctx is not None:
+        # ---- MXU one-hot resolve (round 4) ----
+        res_hbm, rbuf, rsems = res_ctx
+        TLpad = -(-tb // 128) * 128
+        rpl_sh2 = int(np.log2(rpl))
+        # integer iota (tpu.iota only produces int vectors on hardware)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (TLpad, LANES), 0)
+        subsel_r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        w2r = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
+            jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+        BIG = jnp.float32(3e38)
+        dn_r = (((1,), (0,)), ((), ()))
+        mm_kw = dict(dimension_numbers=dn_r,
+                     preferred_element_type=jnp.float32)
+        TOPMASK = jnp.int32(-65536)          # 0xFFFF0000
+
+        def rdma(r0f, slot):
+            li = pl.multiple_of(
+                (r0f.astype(jnp.int32) >> rpl_sh2) * RES_COLS, 8)
+            off = pl.multiple_of(slot * RES_COLS, 8)
+            return pltpu.make_async_copy(
+                res_hbm.at[pl.ds(li, RES_COLS)],
+                rbuf.at[pl.ds(off, RES_COLS)], rsems.at[slot])
+
+        def next_r0(un):
+            return jnp.min(jnp.where(un > 0.0, best_row, BIG))
+
+        r0f0 = next_r0(found)
+
+        @pl.when(r0f0 < BIG)
+        def _():
+            rdma(r0f0, 0).start()
+
+        def rcond2(s):
+            return s[0] < BIG
+
+        def rbody2(s):
+            r0f, un, it = s[0], s[1], s[2]
+            attrs = s[3:]
+            m = (un > 0.0) & (best_row == r0f)
+            mf = m.astype(jnp.float32)
+            un = un * (1.0 - mf)
+            # prefetch the NEXT distinct leaf before processing this
+            # one: the reduce + DMA ride under the matmul work below
+            r0f_next = next_r0(un)
+            slot = it & 1
+
+            @pl.when(r0f_next < BIG)
+            def _():
+                rdma(r0f_next, 1 - slot).start()
+
+            rdma(r0f, slot).wait()
+            off = pl.multiple_of(slot * RES_COLS, 8)
+            A = rbuf[pl.ds(off, RES_COLS), :]        # (RES_COLS, TLpad)
+            # EXACT 3-way bf16 split by mantissa truncation: hi keeps
+            # the top 8 significant bits (= f32's top 16 raw bits =
+            # bf16 layout), the residual has <=16 significant bits and
+            # splits exactly into two more bf16 terms
+            hi_f = pltpu.bitcast(
+                pltpu.bitcast(A, jnp.int32) & TOPMASK, jnp.float32)
+            r1 = A - hi_f
+            mid_f = pltpu.bitcast(
+                pltpu.bitcast(r1, jnp.int32) & TOPMASK, jnp.float32)
+            lo_f = r1 - mid_f
+            ah = hi_f.astype(jnp.bfloat16)
+            am = mid_f.astype(jnp.bfloat16)
+            al = lo_f.astype(jnp.bfloat16)
+            bits = jnp.sum(jnp.max(mf, axis=1, keepdims=True)
+                           * w2r).astype(jnp.int32)
+
+            def grp(g, attrs):
+                def run(attrs):
+                    # winner slot ids are small ints riding f32; the
+                    # cast is exact and lets the compare stay integer
+                    jb = jnp.broadcast_to(
+                        best_j[g:g + 1, :].astype(jnp.int32),
+                        (TLpad, LANES))
+                    mb = jnp.broadcast_to(mf[g:g + 1, :],
+                                          (TLpad, LANES))
+                    oh = ((kiota == jb) & (mb > 0.0)).astype(
+                        jnp.bfloat16)
+                    out = (jax.lax.dot_general(ah, oh, **mm_kw)
+                           + jax.lax.dot_general(am, oh, **mm_kw)
+                           + jax.lax.dot_general(al, oh, **mm_kw))
+                    return tuple(
+                        a + jnp.where(
+                            subsel_r == g,
+                            jnp.broadcast_to(out[c:c + 1, :], shape),
+                            0.0)
+                        for c, a in zip(resolve_cols, attrs))
+
+                return jax.lax.cond(((bits >> g) & 1) != 0, run,
+                                    lambda a: a, attrs)
+
+            for g in range(SUB):
+                attrs = grp(g, attrs)
+            return (r0f_next, un, it + 1) + attrs
+
+        # attrs accumulate from zero (each winning lane matches exactly
+        # one leaf); the face column's no-hit sentinel is applied after
+        zero_attrs = tuple(jnp.zeros(shape) for _ in resolve_cols)
+        out_r = jax.lax.while_loop(
+            rcond2, rbody2, (r0f0, found, jnp.int32(0)) + zero_attrs)
+        attrs = tuple(
+            jnp.where(found > 0.0, a, -1.0) if col == COL_FACE_ID else a
+            for col, a in zip(resolve_cols, out_r[3:]))
+        return found, best_t, attrs
 
     def rcond(s):
         return jnp.max(s[0]) > 0.0
@@ -1119,11 +1309,12 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
                        o, d, maxt, active, n_nodes: int,
                        interpret: bool = False,
                        rpl: int = RPL, batch: int = BATCH,
-                       mxu_rows=None):
+                       mxu_rows=None, res_rows=None):
     """Standalone closest-hit wavefront query: (N,3) rays -> (t (N,),
     prim (N,) i32).  Misses return t = inf (scene.cpp:181).
     ``mxu_rows`` (pack_mxu_rows output) switches the leaf stage to the
-    MXU dot_general form."""
+    MXU dot_general form; ``res_rows`` (pack_resolve_rows output)
+    switches the face-id resolve to the one-hot matmul form."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
     rows = n_pad // LANES
@@ -1132,21 +1323,29 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
                             memory_space=pltpu.VMEM)
     maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
     mxu = mxu_rows is not None
+    res = res_rows is not None
 
     def kernel(box_ref, meta_ref, rows_ref, *args):
         if mxu:
             mxu_ref = args[0]
             args = args[1:]
+        if res:
+            res_ref = args[0]
+            args = args[1:]
         (ox, oy, oz, dx, dy, dz, mt, act, t_ref, fid_ref,
          qbuf, sems) = args[:12]
-        mctx = None
+        args = args[12:]
+        mctx = rctx = None
         if mxu:
-            mqbuf, msems = args[12], args[13]
-            mctx = (mxu_ref, mqbuf, msems)
+            mctx = (mxu_ref, args[0], args[1])
+            args = args[2:]
+        if res:
+            rctx = (res_ref, args[0], args[1])
         found, best_t, (fid,) = traverse_closest(
             box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx)
+            act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx,
+            res_ctx=rctx)
         t_ref[:] = jnp.where(found > 0.0, best_t, jnp.inf)
         fid_ref[:] = fid
 
@@ -1158,7 +1357,12 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     if mxu:
         scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
                     pltpu.SemaphoreType.DMA((QUEUE,))]
-        extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
+        extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
+    if res:
+        scratch += [pltpu.VMEM((2 * RES_COLS, res_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+        extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
     t, fid = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1173,6 +1377,7 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
         interpret=interpret,
     )(node_box, node_meta, rows_hbm,
       *([mxu_rows] if mxu else []),
+      *([res_rows] if res else []),
       _tile(o[:, 0], n_pad, rows), _tile(o[:, 1], n_pad, rows),
       _tile(o[:, 2], n_pad, rows),
       _tile(d[:, 0], n_pad, rows), _tile(d[:, 1], n_pad, rows),

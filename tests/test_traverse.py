@@ -283,3 +283,103 @@ def test_bvh_megakernel_plastic_parity():
     # mean check below still binds tightly
     assert close.mean() > 0.98, close.mean()
     assert np.abs(b.mean() - a.mean()) / a.mean() < 5e-3
+
+
+def test_bvh_megakernel_textured_parity():
+    """Bitmap-textured diffuse through the packet-BVH megakernel
+    (round 4): uv rows ride the one-hot resolve table and the texture
+    arena is evaluated in-kernel, so a textured >1024-face scene stays
+    on the fast path (VERDICT r3 gap #4; ref path.cpp:216 fused
+    texture vcalls + textures/bitmap.cpp)."""
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.bsdfs import SmoothDiffuse
+    from mitsuba_tpu.models.integrators import (
+        MegakernelPathIntegrator, PathIntegrator, sample_rays)
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.shapes import Mesh, sphere_mesh
+    from mitsuba_tpu.models.textures import BitmapTexture
+    from mitsuba_tpu.ops.pallas.megakernel import megakernel_bvh_applicable
+    from mitsuba_tpu.utils.scenes import cornell_box
+
+    rng = np.random.default_rng(11)
+    data = rng.uniform(0.1, 0.9, (16, 16, 3)).astype(np.float32)
+    base = cornell_box(width=16, height=16)
+    v, f, n, uv = sphere_mesh(
+        3, np.asarray(tf.compose(tf.translate([0.3, 0.2, 0.2]),
+                                 tf.scale(0.35))))
+    ball = Mesh.make(v, f, normals=n, uvs=uv, bsdf_index=3, id="ball")
+    bsdfs = list(base.bsdfs) + [
+        SmoothDiffuse(reflectance=BitmapTexture(data=jnp.asarray(data)))]
+    meshes = list(base.meshes) + [ball]
+    meshes[6] = meshes[6].replace(bsdf_index=3)  # small box textured too
+    scene = make_scene(meshes, bsdfs, list(base.emitters), base.sensor)
+    assert scene.packet_accel is not None
+    assert megakernel_bvh_applicable(scene)
+
+    seed = jnp.uint32(5)
+    ray, weight, film_pos, lane = sample_rays(scene, seed, 2)
+    active = jnp.ones((ray.o.shape[0],), bool)
+    L_ref = PathIntegrator(max_depth=4, rr_depth=16).sample(
+        scene, ray, lane, seed, active)
+    L_mk = MegakernelPathIntegrator(max_depth=4, rr_depth=16).sample(
+        scene, ray, lane, seed, active)
+    a, b = np.asarray(L_ref), np.asarray(L_mk)
+    assert np.isfinite(b).all()
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.97, close.mean()
+    assert np.abs(b.mean() - a.mean()) / a.mean() < 5e-3
+
+
+def test_bvh_megakernel_envmap_parity():
+    """Envmap illumination through the packet-BVH megakernel: escape
+    eval + MIS pdf + the precomputed NEE table gathered through the
+    per-bounce sort permutation (round 4)."""
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.bsdfs import SmoothDiffuse
+    from mitsuba_tpu.models.emitters import EnvmapEmitter
+    from mitsuba_tpu.models.film import Film, ReconstructionFilter
+    from mitsuba_tpu.models.integrators import (
+        MegakernelPathIntegrator, PathIntegrator, sample_rays)
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.sensors import PerspectiveCamera
+    from mitsuba_tpu.models.shapes import Mesh, rectangle, sphere_mesh
+    from mitsuba_tpu.models.textures import ConstantTexture
+    from mitsuba_tpu.ops.pallas.megakernel import megakernel_bvh_applicable
+
+    rng = np.random.default_rng(3)
+    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.full(3, 0.7)))
+    meshes = [
+        Mesh.make(*rectangle(np.asarray(tf.compose(
+            tf.translate([0, -1, 0]), tf.rotate([1, 0, 0], -90),
+            tf.scale(3.0)), np.float32)), bsdf_index=0, id="floor"),
+    ]
+    v, f, n, uv = sphere_mesh(3, np.asarray(tf.compose(
+        tf.translate([0, -0.4, 0]), tf.scale(0.6)), np.float32))
+    meshes.append(Mesh.make(v, f, normals=n, uvs=uv, bsdf_index=0,
+                            id="ball"))
+    env_data = rng.uniform(0.05, 1.5, (16, 32, 3)).astype(np.float32)
+    env_data[3:6, 8:12] *= 8.0
+    emitters = [EnvmapEmitter.create(env_data, scale=1.0)]
+    cam = PerspectiveCamera(
+        to_world=jnp.asarray(tf.look_at([0, 0.5, -4], [0, -0.3, 0],
+                                        [0, 1, 0])),
+        fov=45.0,
+        film=Film(width=16, height=16,
+                  rfilter=ReconstructionFilter.box()))
+    scene = make_scene(meshes, [white], emitters, cam)
+    assert scene.packet_accel is not None, \
+        sum(int(m.faces.shape[0]) for m in meshes)
+    assert megakernel_bvh_applicable(scene)
+
+    seed = jnp.uint32(9)
+    ray, weight, film_pos, lane = sample_rays(scene, seed, 2)
+    active = jnp.ones((ray.o.shape[0],), bool)
+    L_ref = PathIntegrator(max_depth=3, rr_depth=16).sample(
+        scene, ray, lane, seed, active)
+    L_mk = MegakernelPathIntegrator(max_depth=3, rr_depth=16).sample(
+        scene, ray, lane, seed, active)
+    a, b = np.asarray(L_ref), np.asarray(L_mk)
+    assert np.isfinite(b).all()
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.97, close.mean()
+    assert np.abs(b.mean() - a.mean()) / a.mean() < 5e-3
