@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--mode", default="both",
                     choices=["both", "sorted", "unsorted", "wavefront"])
     ap.add_argument("--sort-every", type=int, default=1)
+    ap.add_argument("--rpl", type=int, default=0,
+                    help="override leaf size (rows per leaf; 0 = default)")
     args = ap.parse_args()
 
     from mitsuba_tpu.models.integrators import MegakernelPathIntegrator
@@ -53,6 +55,23 @@ def main():
     from mitsuba_tpu.models.integrators.path import PathIntegrator
 
     scene = big_scene(args.res, args.res, args.subdiv)
+    if args.rpl:
+        import numpy as np
+
+        from mitsuba_tpu.ops.pallas.traverse import build_packet_bvh
+
+        offs = np.cumsum([0] + [int(m.vertices.shape[0])
+                                for m in scene.meshes])
+        fc = np.concatenate([
+            np.asarray(jax.lax.stop_gradient(m.faces)) + offs[i]
+            for i, m in enumerate(scene.meshes)])
+        vc = np.concatenate([
+            np.asarray(jax.lax.stop_gradient(m.vertices))
+            for m in scene.meshes])
+        scene = scene.replace(packet_accel=build_packet_bvh(
+            vc, fc, rpl=args.rpl, mxu=True))
+        print(f"rpl override: {args.rpl} "
+              f"(nodes={scene.packet_accel.n_nodes})")
     n_tris = sum(int(m.faces.shape[0]) for m in scene.meshes)
     rays = args.res * args.res * args.spp
     print(f"tris={n_tris} rays={rays} depth={args.depth} "

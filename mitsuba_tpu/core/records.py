@@ -64,6 +64,10 @@ class PreliminaryIntersection:
     prim_index: jnp.ndarray  # (N,) global triangle/primitive index, int32
     prim_uv: jnp.ndarray    # (N, 2) barycentrics (b1, b2)
     shape_index: jnp.ndarray  # (N,) scene shape id, -1 = miss
+    # instance id within the hit shape's group (models/instancing.py);
+    # None unless the scene has instanced geometry (instance.cpp's
+    # per-instance hit bookkeeping)
+    inst_index: jnp.ndarray = None
 
     def is_valid(self):
         return jnp.isfinite(self.t)
@@ -89,6 +93,8 @@ class SurfaceInteraction:
     # differentials were attached (interaction.h:85 duv_dx/duv_dy)
     duv_dx: jnp.ndarray = None   # (N, 2) or None
     duv_dy: jnp.ndarray = None   # (N, 2) or None
+    # instance id (models/instancing.py); None unless instanced
+    inst_index: jnp.ndarray = None
 
     def is_valid(self):
         return self.shape_index >= 0

@@ -300,7 +300,8 @@ class DesignProblem:
         return total / len(self.sensors)
 
     def optimize(self, fixed_efl=None, verbose=False, lr_overrides=None,
-                 callback=None, train_keys=None):
+                 callback=None, train_keys=None, checkpoint_path=None,
+                 checkpoint_every=10):
         """Adam loop (design_problem.py:495-586).  ``fixed_efl``: hold the
         effective focal length by solving the rear surface per step
         (ConstrainedEFLProblem, :656).  ``lr_overrides``: per-parameter
@@ -310,7 +311,11 @@ class DesignProblem:
         the optimizer to this parameter subset; everything else is a
         frozen constant — the reference's disable_all_materials /
         disable_surface_vars freezing (report_nikon_exp.ipynb cell 14)
-        without paying gradients for the frozen leaves."""
+        without paying gradients for the frozen leaves.
+        ``checkpoint_path``: resumable optimization via
+        utils.elastic.CheckpointedLoop — a killed run continues from
+        the last saved (params, opt state, step); seeds derive from the
+        step index so the resumed trajectory is identical."""
         p = self.params()
         if fixed_efl is not None:
             p.pop("lens0_c", None)
@@ -341,13 +346,24 @@ class DesignProblem:
         state = opt.init(p)
         from ..utils.elastic import nan_guard_step
 
-        for it in range(self.iters):
+        start = 0
+        loop = None
+        if checkpoint_path is not None:
+            from ..utils.elastic import CheckpointedLoop
+
+            loop = CheckpointedLoop(checkpoint_path,
+                                    every=checkpoint_every)
+            p, state, start = loop.resume(p, state)
+
+        for it in range(start, self.iters):
             val, g = grad_fn(p, self.seed + it)
             # a single pathological lane (grazing TIR, degenerate
             # normal) can NaN the whole MC gradient; skipping the step
             # redraws with the next seed instead of poisoning Adam
             p, state, ok = nan_guard_step(opt, p, g, state)
             self.loss_history.append(float(val))
+            if loop is not None:
+                loop.maybe_save(it, p, state)
             if callback is not None:
                 callback(it, p, float(val))
             if verbose:

@@ -61,6 +61,7 @@ class Scene:
     scene_sdf: object = None      # optional SDFGrid shape (models/sdf.py)
     scene_analytic: object = None  # AnalyticShapes (models/analytic.py)
     packet_accel: object = None   # PacketAccel (>MAX_FACES scenes, TPU)
+    instances: tuple = ()         # tuple[InstancedGroup] (instancing.py)
     # static metadata
     shape_bsdf: tuple = static(())      # per-shape bsdf index
     shape_emitter: tuple = static(())   # per-shape emitter index (-1)
@@ -133,6 +134,11 @@ class Scene:
             tri_data=tri_data,
             fshape=fshape,
         )
+        if self.instances:
+            from .instancing import group_trace_ctx
+
+            ctx["inst"] = tuple(group_trace_ctx(g)
+                                for g in self.instances)
         if jax.default_backend() == "tpu":
             if self.packet_accel is not None:
                 # packet-BVH traversal path (ops/pallas/traverse.py)
@@ -233,6 +239,34 @@ class Scene:
                 shape_index=jnp.where(
                     closer, base + prim_a, pi.shape_index),
             )
+        if self.instances:
+            # two-level instanced geometry (models/instancing.py;
+            # ref scene_embree.inl:113-160 TLAS-over-BLAS)
+            from .instancing import group_closest
+
+            n = ray_d.o.shape[0]
+            act = active if active is not None else jnp.ones((n,), bool)
+            inst_ix = jnp.full((n,), jnp.int32(-1))
+            best_t = pi.t
+            prim_i = pi.prim_index
+            shape_i = pi.shape_index
+            slot0 = self._instance_base()
+            for g, ctx_g in zip(self.instances, ctx["inst"]):
+                t_g, prim_g, i_g = group_closest(
+                    g, ctx_g, ray_d.o, ray_d.d,
+                    jnp.minimum(best_t, ray_d.maxt), act)
+                closer = jnp.isfinite(t_g) & (t_g < best_t)
+                best_t = jnp.where(closer, t_g, best_t)
+                prim_i = jnp.where(closer, prim_g, prim_i)
+                sub = g.fshape_g[jnp.maximum(prim_g, 0)]
+                shape_i = jnp.where(closer, slot0 + sub, shape_i)
+                inst_ix = jnp.where(closer, i_g, inst_ix)
+                slot0 += g.n_submeshes
+            pi = PreliminaryIntersection(
+                t=best_t, prim_index=prim_i,
+                prim_uv=jnp.where((inst_ix >= 0)[:, None], 0.0,
+                                  pi.prim_uv),
+                shape_index=shape_i, inst_index=inst_ix)
         return pi
 
     def _face_shape(self):
@@ -266,8 +300,11 @@ class Scene:
         if self.scene_analytic is not None:
             # analytic lanes carry analytic prim ids — exclude them from
             # the mesh gather and rebuild them analytically below
+            # (instanced lanes sit in slots >= _instance_base and are
+            # rebuilt in their own branch at the end)
             base = self._analytic_base()
-            is_analytic = valid & (pi.shape_index >= base)
+            is_analytic = valid & (pi.shape_index >= base) \
+                & (pi.shape_index < self._instance_base())
             valid = valid & (pi.shape_index < base)
         prim = jnp.where(valid, pi.prim_index, 0)
         td = ctx["tri_data"][prim]          # (N, 26) single gather
@@ -322,6 +359,11 @@ class Scene:
                         is_analytic.shape + (1,) * (a.ndim - 1)), a, b),
                 si_a, si,
             )
+        if self.instances and pi.inst_index is not None:
+            from .instancing import instanced_si
+
+            si = instanced_si(self, pi, ray, ctx, mode, si)
+            si = si.replace(inst_index=pi.inst_index)
         return si
 
     def ray_intersect(self, ray: Ray, active=None, ctx=None,
@@ -342,6 +384,14 @@ class Scene:
     def _analytic_base(self) -> int:
         """First shape slot of the analytic prims (after meshes + SDF)."""
         return len(self.meshes) + (1 if self.scene_sdf is not None else 0)
+
+    def _instance_base(self) -> int:
+        """First shape slot of instanced submeshes (after analytic):
+        one slot per (group, submesh), shared by all of the group's
+        instances — the instance id rides si.inst_index instead."""
+        n_ana = (self.scene_analytic.n_prims
+                 if self.scene_analytic is not None else 0)
+        return self._analytic_base() + n_ana
 
     def _merge_sdf_si(self, si, ray: Ray, active):
         """Closest-hit merge with the scene's SDF shape (sdfgrid.cpp
@@ -474,6 +524,15 @@ class Scene:
                 ray_d.o, ray_d.d, ray_d.maxt,
                 active if active is not None
                 else jnp.ones(ray.o.shape[:-1], bool))
+        if self.instances:
+            from .instancing import group_any
+
+            ray_d = jax.lax.stop_gradient(ray)
+            act = (active if active is not None
+                   else jnp.ones(ray.o.shape[:-1], bool))
+            for g, ctx_g in zip(self.instances, ctx["inst"]):
+                hit = hit | group_any(g, ctx_g, ray_d.o, ray_d.d,
+                                      ray_d.maxt, act & ~hit)
         return hit
 
     # ------------------------------------------------------ BSDF dispatch
@@ -748,7 +807,8 @@ class Scene:
 # ------------------------------------------------------------------ build
 
 def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
-               integrator=None, medium=None, sdf=None, analytic=None):
+               integrator=None, medium=None, sdf=None, analytic=None,
+               instances=None):
     """Assemble a Scene (reference Scene ctor, scene.cpp:22-96).
 
     - ``meshes``: list[Mesh]; each mesh's static ``bsdf_index`` /
@@ -782,6 +842,13 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         # virtual slots for the analytic prims (models/analytic.py)
         shape_bsdf = shape_bsdf + tuple(analytic.bsdf_index)
         shape_emitter = shape_emitter + tuple(analytic.emitter_index)
+    instances = tuple(instances) if instances else ()
+    for g in instances:
+        # one virtual slot per (group, submesh), shared by all the
+        # group's instances (instancing.py; emitters in groups are
+        # unsupported like the reference's instance.cpp)
+        shape_bsdf = shape_bsdf + g.bsdf_of_submesh
+        shape_emitter = shape_emitter + (-1,) * g.n_submeshes
     emitter_shape = []
     for ei in range(len(emitters)):
         owner = -1
@@ -801,6 +868,9 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
     pts = [np.asarray(m.vertices) for m in meshes]
     if analytic is not None and analytic.n_prims:
         pts.append(analytic.bound_points())
+    for g in instances:
+        pts.append(np.asarray(jax.lax.stop_gradient(g.world_lo)))
+        pts.append(np.asarray(jax.lax.stop_gradient(g.world_hi)))
     if sdf is not None:
         lo = np.asarray(jax.lax.stop_gradient(sdf.bbox_min))
         hi = np.asarray(jax.lax.stop_gradient(sdf.bbox_max))
@@ -875,11 +945,12 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
                                                build_packet_bvh)
 
             # MXU leaf stage (round 3): one dot_general tests a whole
-            # 64-triangle leaf per sublane group, so large leaves are
-            # cheap and the serial node walk shrinks; rpl=16 is the
-            # measured sweet spot (PERF.md round-3).  Larger rpl only
-            # when the node table would overflow SMEM.
-            for rpl in (16, 32, 64):
+            # leaf per sublane group, so large leaves are cheap and the
+            # serial node walk shrinks.  rpl=32 (128-tri leaves) is the
+            # round-4 sweet spot — the one-hot resolve made leaf size
+            # nearly free, so fewer walk iterations win (PERF.md).
+            # Larger rpl only when the node table would overflow SMEM.
+            for rpl in (32, 64):
                 if 2.2 * len(faces_np) / (PACK * rpl) > MAX_NODES:
                     continue   # predicted overflow: skip the build
                 pa = build_packet_bvh(verts_np, faces_np, rpl=rpl,
@@ -887,6 +958,17 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
                 if pa.n_nodes <= MAX_NODES:
                     packet_accel = pa
                     break
+            if packet_accel is None:
+                # no silent cliff (round-3 verdict weak #1 follow-up):
+                # the scene still renders via the pure-JAX miss-link
+                # traversal, but 1-2 orders of magnitude slower
+                from ..utils.logging import Warn, log
+
+                log(Warn,
+                    "scene has %d triangles — packet-BVH node table "
+                    "would exceed the SMEM budget even at 256-triangle "
+                    "leaves; falling back to the pure-JAX traversal "
+                    "(much slower)", len(faces_np))
 
     return Scene(
         meshes=meshes,
@@ -908,4 +990,5 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
         scene_sdf=sdf,
         scene_analytic=analytic,
         packet_accel=packet_accel,
+        instances=instances,
     )

@@ -156,6 +156,9 @@ def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
 
     if scene.scene_medium is not None:
         return False
+    if getattr(scene, "instances", ()):
+        # two-level instanced geometry rides the wavefront path
+        return False
     if scene.env_index >= 0:
         e = scene.emitters[scene.env_index]
         d = getattr(e, "data", None)
@@ -1876,8 +1879,13 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
                             btypes, rpl, batch, smooth, mxu=mxu,
                             res=res)
+    # with BOTH the MXU leaf stage and the one-hot resolve active the
+    # SMEM leaf-row queue is dead code — shrink it so large-leaf
+    # configs (rpl=64 for multi-million-triangle scenes) fit the SMEM
+    # budget next to the node tables
+    qrpl = 1 if (mxu and res) else rpl
     scratch = [
-        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SMEM((QUEUE, qrpl, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((QUEUE,)),
     ]
     extra_in = []
@@ -2137,8 +2145,13 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     # tiles go fully inactive and the kernel passes them through
     tflags = (st_t[15].reshape(grid[0], -1).max(axis=-1)
               > 0.5).astype(jnp.int32)
+    # with BOTH the MXU leaf stage and the one-hot resolve active the
+    # SMEM leaf-row queue is dead code — shrink it so large-leaf
+    # configs (rpl=64 for multi-million-triangle scenes) fit the SMEM
+    # budget next to the node tables
+    qrpl = 1 if (mxu and res) else rpl
     scratch = [
-        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SMEM((QUEUE, qrpl, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((QUEUE,)),
     ]
     extra_in = []

@@ -572,25 +572,39 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         BIGKEY = jnp.int32(0x7F000000)
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TL, LANES), 0)
         subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-        # homogeneous ray features over ALL 1024 rays (loop-invariant):
-        # rows [ox oy oz 1 dx dy dz 0] match the pack_mxu_rows feature
-        # order.  Split once into a bf16 hi/lo pair: the leaf matmuls
-        # run bf16x3 (hi*hi + hi*lo + lo*hi with f32 accumulation,
-        # ~2^-16 relative error — the MXU multiplies bf16 mantissas
-        # exactly), i.e. 3 single-pass calls per group instead of
-        # Precision.HIGHEST's 6 emulation passes per call.
-        row_all = lambda x: x.reshape(1, R_TILE)
-        rays8 = jnp.concatenate(
-            [row_all(ox), row_all(oy), row_all(oz),
-             jnp.ones((1, R_TILE), jnp.float32),
-             row_all(dx), row_all(dy), row_all(dz),
-             jnp.zeros((1, R_TILE), jnp.float32)], axis=0)
+        # homogeneous ray features (loop-invariant): per sublane group a
+        # pair of (4, 128) bf16 hi/lo matrices for the origin half
+        # [o, 1] and the direction half [d, 0], matching the
+        # pack_mxu_rows feature order.  Built from (1, 128) sublane
+        # slices and hoisted as PYTHON lists — the earlier
+        # (8, 128) -> (1, 1024) lane-flattening reshapes each cost a
+        # full cross-lane relayout and dominated the per-packet fixed
+        # cost (round-4 profile: ~25 us/packet prologue).  The leaf
+        # matmuls run bf16x3 (hi*hi + hi*lo + lo*hi with f32
+        # accumulation, ~2^-16 relative error — the MXU multiplies
+        # bf16 mantissas exactly).
+        one_r = jnp.ones((1, LANES), jnp.float32)
+        zero_r = jnp.zeros((1, LANES), jnp.float32)
 
         def bsplit(x):
             h = x.astype(jnp.bfloat16)
             return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        r8_h, r8_l = bsplit(rays8)
+        ray_oh, ray_ol, ray_dh, ray_dl = [], [], [], []
+        for _s in range(SUB):
+            og = jnp.concatenate(
+                [ox[_s:_s + 1, :], oy[_s:_s + 1, :], oz[_s:_s + 1, :],
+                 one_r], axis=0)
+            dg = jnp.concatenate(
+                [dx[_s:_s + 1, :], dy[_s:_s + 1, :], dz[_s:_s + 1, :],
+                 zero_r], axis=0)
+            h, l = bsplit(og)
+            ray_oh.append(h)
+            ray_ol.append(l)
+            h, l = bsplit(dg)
+            ray_dh.append(h)
+            ray_dl.append(l)
+
         w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
             jnp.int32, (SUB, 1), 0).astype(jnp.float32)
 
@@ -659,11 +673,8 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         def group(s, carry):
             def run(c):
                 f, bt, br, bj = c
-                lo_, hi_ = s * LANES, (s + 1) * LANES
-                out_o = mm3(bh[0:4], bl[0:4],
-                            r8_h[0:4, lo_:hi_], r8_l[0:4, lo_:hi_])
-                out_d = mm3(bh[4:8], bl[4:8],
-                            r8_h[4:8, lo_:hi_], r8_l[4:8, lo_:hi_])
+                out_o = mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
+                out_d = mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
                 num = out_o[0 * TL:1 * TL]              # (TL, 128)
                 den = out_d[0 * TL:1 * TL]
                 okd = jnp.abs(den) > DET_EPS
@@ -759,6 +770,13 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
             sga = jnp.where(axis == 0, sg[0],
                             jnp.where(axis == 1, sg[1], sg[2]))
             near_is_left = jnp.logical_xor(sga, flip == 1)
+            # packet-min entry t of BOTH children, computed up front so
+            # these reduces issue back-to-back with the hit-bits reduce
+            # below and their vector->scalar sync latencies overlap
+            # (previously the far child's min ran inside the push
+            # branch, serialized AFTER the bits decode)
+            tnL_min = jnp.min(jnp.where(hmL > 0.0, tnL, jnp.inf))
+            tnR_min = jnp.min(jnp.where(hmR > 0.0, tnR, jnp.inf))
             if mxu:
                 # ONE reduction decodes both children AND yields the
                 # per-sublane-group masks the MXU leaf stage skips by:
@@ -805,14 +823,10 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
 
             @pl.when(push)
             def _():
-                # packet-min entry t of the far child (prune key); the
-                # reduce only runs on actual pushes
-                hm_far = jnp.where(near_is_left, hmR, hmL)
-                tn_far = jnp.min(jnp.where(
-                    hm_far > 0.0, jnp.where(near_is_left, tnR, tnL),
-                    jnp.inf))
+                # far child's packet-min entry t (prune key) — a scalar
+                # select of the precomputed overlapped reduces
                 stack[sp] = far
-                tstack[sp] = tn_far
+                tstack[sp] = jnp.where(near_is_left, tnR_min, tnL_min)
                 if mxu:
                     # far may be a leaf: its group mask rides the stack
                     mstack[sp] = gm_f
@@ -1112,18 +1126,31 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
         TL = PACK * rpl
         rpl_sh = int(np.log2(rpl))
         subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-        row_all = lambda x: x.reshape(1, R_TILE)
-        rays8 = jnp.concatenate(
-            [row_all(ox), row_all(oy), row_all(oz),
-             jnp.ones((1, R_TILE), jnp.float32),
-             row_all(dx), row_all(dy), row_all(dz),
-             jnp.zeros((1, R_TILE), jnp.float32)], axis=0)
+        # per-group (4, 128) bf16 hi/lo feature tiles — see
+        # traverse_closest (the lane-flattening reshape was the
+        # dominant per-packet fixed cost)
+        one_r = jnp.ones((1, LANES), jnp.float32)
+        zero_r = jnp.zeros((1, LANES), jnp.float32)
 
         def bsplit(x):
             h = x.astype(jnp.bfloat16)
             return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
 
-        r8_h, r8_l = bsplit(rays8)
+        ray_oh, ray_ol, ray_dh, ray_dl = [], [], [], []
+        for _s in range(SUB):
+            og = jnp.concatenate(
+                [ox[_s:_s + 1, :], oy[_s:_s + 1, :], oz[_s:_s + 1, :],
+                 one_r], axis=0)
+            dg = jnp.concatenate(
+                [dx[_s:_s + 1, :], dy[_s:_s + 1, :], dz[_s:_s + 1, :],
+                 zero_r], axis=0)
+            h, l = bsplit(og)
+            ray_oh.append(h)
+            ray_ol.append(l)
+            h, l = bsplit(dg)
+            ray_dh.append(h)
+            ray_dl.append(l)
+
         w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
             jnp.int32, (SUB, 1), 0).astype(jnp.float32)
 
@@ -1170,11 +1197,8 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
 
         def group(s, occ):
             def run(occ):
-                lo_, hi_ = s * LANES, (s + 1) * LANES
-                out_o = mm3(bh[0:4], bl[0:4],
-                            r8_h[0:4, lo_:hi_], r8_l[0:4, lo_:hi_])
-                out_d = mm3(bh[4:8], bl[4:8],
-                            r8_h[4:8, lo_:hi_], r8_l[4:8, lo_:hi_])
+                out_o = mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
+                out_d = mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
                 num = out_o[0 * TL:1 * TL]
                 den = out_d[0 * TL:1 * TL]
                 okd = jnp.abs(den) > DET_EPS
@@ -1346,11 +1370,20 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
             act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx,
             res_ctx=rctx)
-        t_ref[:] = jnp.where(found > 0.0, best_t, jnp.inf)
-        fid_ref[:] = fid
+        if DEBUG_COUNTERS:
+            t_ref[:] = best_t      # walk iterations (per-packet)
+            fid_ref[:] = fid       # leaf enqueues (per-packet)
+        else:
+            t_ref[:] = jnp.where(found > 0.0, best_t, jnp.inf)
+            fid_ref[:] = fid
 
+    # with BOTH the MXU leaf stage and the one-hot resolve active the
+    # SMEM leaf-row queue is dead code — shrink it so large-leaf
+    # configs (rpl=64 for multi-million-triangle scenes) fit the SMEM
+    # budget next to the node tables
+    qrpl = 1 if (mxu and res) else rpl
     scratch = [
-        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SMEM((QUEUE, qrpl, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((QUEUE,)),
     ]
     extra_in = []
@@ -1419,8 +1452,12 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
             ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
             act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx)
 
+    # in MXU mode the any-hit leaf stage reads mqbuf only — the SMEM
+    # leaf-row queue is dead code; shrink it so large-leaf configs
+    # (rpl=64 for multi-million-triangle scenes) fit the SMEM budget
+    qrpl = 1 if mxu else rpl
     scratch = [
-        pltpu.SMEM((QUEUE, rpl, 128), jnp.float32),
+        pltpu.SMEM((QUEUE, qrpl, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((QUEUE,)),
     ]
     extra_in = []

@@ -862,6 +862,7 @@ def load_dict(scene_dict: dict, use_bvh=None):
     sdf = None
     analytic_prims = []
     shapegroups = {}
+    instance_uses = {}
 
     def bsdf_index_of(b):
         """Resolve an inline bsdf dict or a ref to an index in bsdfs."""
@@ -1048,23 +1049,15 @@ def load_dict(scene_dict: dict, use_bvh=None):
                     dict(cv, id=cv.get("id", ck)), b_idx, -1))
             shapegroups[val.get("id", key)] = group
         elif t == "instance":
+            # true instancing (round 4, models/instancing.py): record
+            # (group id, to_world) — the group geometry + BLAS are
+            # shared across all its instances instead of being
+            # flattened into copies (ref instance.cpp / per-group
+            # Embree scenes, scene_embree.inl:113-160)
             ref = val.get("shapegroup")
             gid = ref["id"] if isinstance(ref, dict) else ref
             w_i = _to_world(val.get("to_world"))
-            for m in shapegroups[gid]:
-                v_, f_, n_, uv_ = shp._apply_to_world(
-                    np.asarray(m.vertices), np.asarray(m.faces),
-                    np.asarray(m.normals) if m.normals is not None
-                    else np.zeros_like(np.asarray(m.vertices)),
-                    np.asarray(m.uvs) if m.uvs is not None
-                    else np.zeros((np.asarray(m.vertices).shape[0], 2),
-                                  np.float32),
-                    w_i,
-                )
-                meshes.append(shp.Mesh.make(
-                    v_, f_, normals=n_, uvs=uv_,
-                    bsdf_index=m.bsdf_index,
-                    id=f"{m.id}@{key}"))
+            instance_uses.setdefault(gid, []).append(np.asarray(w_i))
         elif t == "sdfgrid":
             from ..models.sdf import SDFGrid
 
@@ -1092,9 +1085,17 @@ def load_dict(scene_dict: dict, use_bvh=None):
         from ..models.analytic import build_analytic
 
         analytic = build_analytic(analytic_prims)
+    instances = None
+    if instance_uses:
+        from ..models.instancing import InstancedGroup
+
+        instances = [
+            InstancedGroup.create(shapegroups[gid], mats, id=gid)
+            for gid, mats in instance_uses.items()
+        ]
     return make_scene(meshes, bsdfs, emitters, sensor, use_bvh=use_bvh,
                       integrator=integrator, medium=medium, sdf=sdf,
-                      analytic=analytic)
+                      analytic=analytic, instances=instances)
 
 
 def _make_phase(d):

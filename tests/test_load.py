@@ -144,12 +144,32 @@ def test_shapegroup_instance():
                "to_world": np.asarray(tf.translate([-1, 0, 0]), np.float32)},
         "sensor": {"type": "perspective"},
     })
-    # two instances of the 12-face cube, group itself not added
-    assert len(scene.meshes) == 2
-    assert int(scene.meshes[0].faces.shape[0]) == 12
-    c0 = np.asarray(scene.meshes[0].vertices).mean(0)
-    c1 = np.asarray(scene.meshes[1].vertices).mean(0)
-    assert abs(c0[0] - 1.0) < 1e-5 and abs(c1[0] + 1.0) < 1e-5
+    # round 4 (true instancing): the 12-face cube is stored ONCE in an
+    # InstancedGroup with two transforms — no flattened mesh copies
+    # (ref instance.cpp / per-group Embree scenes)
+    assert len(scene.instances) == 1
+    g = scene.instances[0]
+    assert g.n_inst == 2
+    assert int(g.faces.shape[0]) == 12
+    # group geometry is object-space; the transforms carry the offsets
+    centers = np.asarray(g.to_world)[:, 0, 3]
+    assert sorted(np.round(centers, 5).tolist()) == [-1.0, 1.0]
+    # rays toward each instance hit the transformed cube surface
+    import jax.numpy as jnp
+    from mitsuba_tpu.core.records import Ray
+
+    # off-center rays (an axis ray through y=z=0 grazes the cube
+    # face's triangle-splitting diagonal — numerically degenerate)
+    o = jnp.asarray([[0.0, 0.05, 0.03], [0.0, 0.05, 0.03]])
+    d = jnp.asarray([[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]])
+    si = scene.ray_intersect(Ray.make(o, d))
+    np.testing.assert_allclose(np.asarray(si.t), [0.8, 0.8], atol=1e-5)
+    assert np.asarray(si.inst_index).tolist() == [0, 1]
+    np.testing.assert_allclose(np.asarray(si.n),
+                               [[-1, 0, 0], [1, 0, 0]], atol=1e-5)
+    # shadow query: the second maxt stops short of the cube
+    hit = scene.ray_test(Ray.make(o, d, maxt=jnp.asarray([2.0, 0.5])))
+    assert np.asarray(hit).tolist() == [True, False]
 
 
 def test_emitter_sampling_weight():
