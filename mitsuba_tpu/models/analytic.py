@@ -86,11 +86,26 @@ class AnalyticShapes:
     cv_rb: jnp.ndarray        # (K,)
     cv_u0: jnp.ndarray        # (K,) global curve parameter at pa
     cv_u1: jnp.ndarray        # (K,) at pb
+    # exact cubic payload (round 4, bsplinecurve.cpp exact swept-sphere
+    # intersection): per curve prim, the PARENT uniform cubic B-spline
+    # segment's 4 control points/radii, this flattened subsegment's
+    # parameter window [w0, w1] within the parent's s in [0, 1], and a
+    # candidate-tube radius inflation bounding the flattening error.
+    # Linear prims carry zeros (cv_cubic = 0) and keep the closed-form
+    # rounded-cone path; cubic prims use the flattened tube only as a
+    # Newton INITIALIZER and re-solve the true canal surface.
+    cv_cp: jnp.ndarray = None   # (K, 4, 3)
+    cv_cr: jnp.ndarray = None   # (K, 4)
+    cv_w0: jnp.ndarray = None   # (K,)
+    cv_w1: jnp.ndarray = None   # (K,)
+    cv_pad: jnp.ndarray = None  # (K,)
+    cv_cubic: jnp.ndarray = None  # (K,) f32 0/1
     # static per-prim metadata, in global prim order (length S+D+C+K)
     bsdf_index: tuple = static(())
     emitter_index: tuple = static(())
     flip_normals: tuple = static(())
     ids: tuple = static(())
+    any_cubic: bool = static(False)
 
     # ------------------------------------------------------------ counts
 
@@ -200,11 +215,23 @@ class AnalyticShapes:
             consider(tk, self.n_spheres + self.n_disks
                      + jnp.arange(self.n_cylinders, dtype=jnp.int32))
         if self.n_curves:
+            # cubic prims inflate the flattened tube by the flattening
+            # bound so the candidate pass can't miss a bulge; the
+            # candidate is then REPLACED by the exact Newton solve
+            pad = (self.cv_pad[None] if self.any_cubic
+                   else jnp.zeros((1, self.n_curves)))
             tk = _rounded_cone_first(
                 o[:, None, :], d[:, None, :],
                 self.cv_pa[None], self.cv_pb[None],
-                self.cv_ra[None], self.cv_rb[None],
+                self.cv_ra[None] + pad, self.cv_rb[None] + pad,
                 maxt[:, None], valid_lane)
+            if self.any_cubic:
+                t_cub = _cubic_first(
+                    o[:, None, :], d[:, None, :],
+                    self.cv_cp[None], self.cv_cr[None],
+                    self.cv_w0[None], self.cv_w1[None],
+                    maxt[:, None], valid_lane, tk)
+                tk = jnp.where(self.cv_cubic[None] > 0.5, t_cub, tk)
             consider(tk, self.n_spheres + self.n_disks
                      + self.n_cylinders
                      + jnp.arange(self.n_curves, dtype=jnp.int32))
@@ -437,6 +464,94 @@ class AnalyticShapes:
         phi = jnp.where(phi < 0.0, phi + _TWO_PI, phi)
         u_glob = u0 + (u1 - u0) * s_loc
         uv = jnp.stack([u_glob, phi / _TWO_PI], axis=-1)
+
+        if self.any_cubic:
+            tc, pc, ngc, uvc = self._curve_si_cubic(ray, t_det, p_det,
+                                                    j, mode)
+            is_cub = (self.cv_cubic[j] > 0.5)
+            m3 = is_cub[:, None]
+            t = jnp.where(is_cub, tc, t)
+            p = jnp.where(m3, pc, p)
+            ng = jnp.where(m3, ngc, ng)
+            uv = jnp.where(m3, uvc, uv)
+        return t, p, ng, uv
+
+    def _curve_si_cubic(self, ray, t_det, p_det, j, mode):
+        """Exact cubic swept-sphere SI (bsplinecurve.cpp
+        compute_surface_interaction): the envelope foot s* is re-solved
+        by a detached Newton from the hit, the normal is the touching
+        sphere's (p - c(s*)) / r(s*) — exact including the taper tilt —
+        and the attachment follows the asphere pattern: one implicit-
+        function correction of t against the ATTACHED surface."""
+        cp = self.cv_cp[j]
+        cr = self.cv_cr[j]
+        w0 = self.cv_w0[j]
+        w1 = self.cv_w1[j]
+        u0 = self.cv_u0[j]
+        u1 = self.cv_u1[j]
+        if mode == "detach_shape":
+            cp, cr = _sg(cp), _sg(cr)
+        cp_d, cr_d = _sg(cp), _sg(cr)
+
+        # detached envelope foot from the detached hit
+        pa = _bspline_eval(cp_d, cr_d, w0)[0]
+        pb = _bspline_eval(cp_d, cr_d, w1)[0]
+        ba = pb - pa
+        m0 = jnp.maximum(jnp.sum(ba * ba, -1), 1e-20)
+        frac = jnp.clip(jnp.sum((p_det - pa) * ba, -1) / m0, 0.0, 1.0)
+        s0 = w0 + frac * (w1 - w0)
+        o_d, d_d = _sg(ray.o), _sg(ray.d)
+        t_s, s_s, F1_s, scale = _cubic_newton(o_d, d_d, cp_d, cr_d,
+                                              _sg(t_det), s0)
+        s_cl = jnp.clip(s_s, 0.0, 1.0)
+        side = ((jnp.abs(F1_s) <= 1e-3 * scale)
+                & (s_s > 1e-3) & (s_s < 1.0 - 1e-3)
+                & (jnp.abs(t_s - t_det) < 0.5 * jnp.abs(t_det) + 1e-3))
+        # cap classification: nearer parent end of the foot
+        s_cap = jnp.where(s_cl < 0.5, 0.0, 1.0)
+        s_det = jnp.where(side, s_cl, s_cap)
+
+        c_att, c1_att, _, r_att, _, _ = _bspline_eval(cp, cr, s_det)
+        if mode == "follow_shape":
+            c_det0 = _bspline_eval(cp_d, cr_d, s_det)[0]
+            rad0 = _sg(normalize(p_det - c_det0))
+            p = c_att + rad0 * r_att[:, None]
+            t = _t_from_point(ray, p)
+            ng = rad0
+        else:
+            # side: implicit-function t correction against the attached
+            # canal surface (dF1/ds = 0 at the envelope, so correcting
+            # along t alone is exact to first order)
+            q_det = p_det - _sg(c_att)
+            c_att2 = _bspline_eval(cp, cr, _sg(s_det))[0]
+            r_att2 = _bspline_eval(cp, cr, _sg(s_det))[3]
+            q_att = ray.o + ray.d * _sg(t_s)[:, None] - c_att2
+            F1_att = jnp.sum(q_att * q_att, -1) - r_att2 * r_att2
+            J11 = 2.0 * jnp.sum(_sg(q_att) * ray.d, -1)
+            J11 = jnp.where(jnp.abs(J11) > 1e-9, J11,
+                            jnp.where(J11 >= 0, 1e-9, -1e-9))
+            t_side = _sg(t_s) - F1_att / J11
+            # caps: attached sphere root nearest the detached t
+            cap_c = c_att2
+            cap_r = r_att2
+            tc0, tc1, _ = _sphere_roots(ray.o, ray.d, cap_c, cap_r)
+            t_cap = jnp.where(
+                jnp.abs(tc0 - t_det) <= jnp.abs(tc1 - t_det), tc0, tc1)
+            t = jnp.where(side, t_side, t_cap)
+            t = jnp.where(jnp.isfinite(t), t, t_det)
+            p = ray.o + ray.d * t[:, None]
+            ng = normalize(p - c_att2)
+
+        # uv: u maps the parent parameter window to the global curve
+        # parameter; v = azimuth about the (detached) tangent
+        denom_w = jnp.maximum(w1 - w0, 1e-9)
+        u_glob = u0 + (u1 - u0) * (s_det - w0) / denom_w
+        tang = _sg(normalize(c1_att))
+        su, sv = coordinate_system(tang)
+        rel = p - c_att
+        phi = jnp.arctan2(dot(rel, sv), dot(rel, su))
+        phi = jnp.where(phi < 0.0, phi + _TWO_PI, phi)
+        uv = jnp.stack([u_glob, phi / _TWO_PI], axis=-1)
         return t, p, ng, uv
 
     # ------------------------------------------------------ emitter geom
@@ -560,6 +675,131 @@ def _rounded_cone_first(o, d, pa, pb, ra, rb, maxt, active):
     tb0, tb1, _ = _sphere_roots(o, d, pb, rb)
     cb = _first_valid(*cap(tb0, tb1, False), maxt, active)
     return jnp.minimum(cand, jnp.minimum(ca, cb))
+
+
+def _bspline_eval(cp, cr, s):
+    """Uniform cubic B-spline segment evaluation with first/second
+    derivatives (basis matches shapes.bspline_centerline, i.e. the
+    reference's bsplinecurve.cpp basis).  ``cp`` (..., 4, 3), ``cr``
+    (..., 4), ``s`` (...,) -> (c, c', c'', r, r', r'')."""
+    s2 = s * s
+    s3 = s2 * s
+    w = jnp.stack([
+        (1.0 - 3.0 * s + 3.0 * s2 - s3) / 6.0,
+        (3.0 * s3 - 6.0 * s2 + 4.0) / 6.0,
+        (-3.0 * s3 + 3.0 * s2 + 3.0 * s + 1.0) / 6.0,
+        s3 / 6.0,
+    ], axis=-1)
+    dw = jnp.stack([
+        (-3.0 + 6.0 * s - 3.0 * s2) / 6.0,
+        (9.0 * s2 - 12.0 * s) / 6.0,
+        (-9.0 * s2 + 6.0 * s + 3.0) / 6.0,
+        3.0 * s2 / 6.0,
+    ], axis=-1)
+    ddw = jnp.stack([
+        (6.0 - 6.0 * s) / 6.0,
+        (18.0 * s - 12.0) / 6.0,
+        (-18.0 * s + 6.0) / 6.0,
+        6.0 * s / 6.0,
+    ], axis=-1)
+    c = jnp.sum(w[..., None] * cp, axis=-2)
+    c1 = jnp.sum(dw[..., None] * cp, axis=-2)
+    c2 = jnp.sum(ddw[..., None] * cp, axis=-2)
+    r = jnp.sum(w * cr, axis=-1)
+    r1 = jnp.sum(dw * cr, axis=-1)
+    r2 = jnp.sum(ddw * cr, axis=-1)
+    return c, c1, c2, r, r1, r2
+
+
+_CUBIC_ITERS = 10
+
+
+def _cubic_newton(o, d, cp, cr, t0, s0, iters=_CUBIC_ITERS):
+    """2D Newton on the canal-surface conditions of the swept sphere
+    along a cubic B-spline segment (bsplinecurve.cpp's per-ray
+    iterative solve, vectorized over all candidates):
+
+        F1(t, s) = |o + t d - c(s)|^2 - r(s)^2       (on the sphere)
+        F2(t, s) = (o + t d - c(s)) . c'(s) + r r'   (envelope foot)
+
+    Note dF1/ds = -2 F2 exactly, so near the solution the system is
+    triangular and converges quadratically.  Returns (t, s, F1, scale)
+    — the caller masks by |F1| <= tol * scale and the s/t ranges."""
+    t, s = t0, s0
+
+    def body(_, ts):
+        t, s = ts
+        c, c1, c2, r, r1, r2 = _bspline_eval(cp, cr, s)
+        q = o + t[..., None] * d - c
+        F1 = jnp.sum(q * q, -1) - r * r
+        F2 = jnp.sum(q * c1, -1) + r * r1
+        J11 = 2.0 * jnp.sum(q * d, -1)
+        J12 = -2.0 * F2
+        J21 = jnp.sum(d * c1, -1)
+        J22 = (-jnp.sum(c1 * c1, -1) + jnp.sum(q * c2, -1)
+               + r1 * r1 + r * r2)
+        det = J11 * J22 - J12 * J21
+        inv = jnp.where(jnp.abs(det) > 1e-20,
+                        1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1.0),
+                        0.0)
+        dt = -(F1 * J22 - J12 * F2) * inv
+        ds = -(J11 * F2 - J21 * F1) * inv
+        # damped steps keep divergent candidates from flying off
+        ds = jnp.clip(ds, -0.25, 0.25)
+        r_sc = jnp.maximum(r, 1e-6)
+        dt = jnp.clip(dt, -4.0 * r_sc, 4.0 * r_sc)
+        return t + dt, jnp.clip(s + ds, -0.25, 1.25)
+
+    t, s = jax.lax.fori_loop(0, iters, body, (t, s))
+    c, c1, _, r, r1, _ = _bspline_eval(cp, cr, s)
+    q = o + t[..., None] * d - c
+    F1 = jnp.sum(q * q, -1) - r * r
+    scale = jnp.maximum(r * r, 1e-10)
+    return t, s, F1, scale
+
+
+def _cubic_first(o, d, cp, cr, w0, w1, maxt, active, t_init):
+    """First valid exact-cubic hit per (ray, subsegment) candidate:
+    Newton-refined side surface + the parent spline's endpoint cap
+    spheres (only exposed caps on the w0==0 / w1==1 subsegments).
+    ``t_init`` is the inflated flattened-tube candidate (inf = no
+    candidate; those lanes still run but are masked out)."""
+    has = jnp.isfinite(t_init) & active
+    t0 = jnp.where(has, t_init, 1.0)
+    s0 = jnp.clip(0.5 * (w0 + w1), 0.0, 1.0)
+    # initialize s from the linear candidate's axial fraction
+    pa = _bspline_eval(cp, cr, w0)[0]
+    pb = _bspline_eval(cp, cr, w1)[0]
+    ba = pb - pa
+    m0 = jnp.maximum(jnp.sum(ba * ba, -1), 1e-20)
+    ph = o + t0[..., None] * d
+    frac = jnp.clip(jnp.sum((ph - pa) * ba, -1) / m0, 0.0, 1.0)
+    s0 = jnp.where(has, w0 + frac * (w1 - w0), s0)
+
+    t, s, F1, scale = _cubic_newton(o, d, cp, cr, t0, s0)
+    ok = (has & (jnp.abs(F1) <= 1e-3 * scale)
+          & (s >= -1e-3) & (s <= 1.0 + 1e-3)
+          & (t > 0.0) & (t <= maxt))
+    t_side = jnp.where(ok, t, jnp.inf)
+
+    # endpoint cap spheres (the reference curve "is terminated by a
+    # spherical endcap"): exposed region = beyond the envelope foot
+    def cap(at_s, outward):
+        c, c1, _, r, r1, _ = _bspline_eval(cp, cr, at_s)
+        tc0, tc1, _ = _sphere_roots(o, d, c, r)
+
+        def expose(tc):
+            q = o + tc[..., None] * d - c
+            g = jnp.sum(q * c1, -1) + r * r1
+            okc = (g * outward >= 0.0) & jnp.isfinite(tc)
+            return jnp.where(okc, tc, jnp.inf)
+
+        return _first_valid(expose(tc0), expose(tc1), maxt, active)
+
+    z = jnp.full_like(t_side, jnp.inf)
+    t_cap0 = jnp.where(w0 <= 1e-6, cap(jnp.zeros_like(w0), -1.0), z)
+    t_cap1 = jnp.where(w1 >= 1.0 - 1e-6, cap(jnp.ones_like(w1), 1.0), z)
+    return jnp.minimum(t_side, jnp.minimum(t_cap0, t_cap1))
 
 
 def _first_valid(t0, t1, maxt, active):
@@ -700,11 +940,15 @@ def build_analytic(prims):
     ``("cylinder", p0, axis, length, radius, bsdf, emitter, flip, id)``
     ``("curve", pa, pb, ra, rb, u0, u1, bsdf, emitter, flip, id)``
     (one descriptor per swept-sphere segment)
+    ``("cubiccurve", pa, pb, ra, rb, u0, u1, cp4, cr4, w0, w1, pad,
+    bsdf, emitter, flip, id)`` — one per flattened subsegment of a
+    cubic B-spline segment (round 4, exact intersection; the linear
+    (pa, pb, ra, rb) tube only seeds the Newton solve)
     """
     sp, dk, cy, cv = [], [], [], []
     for p in prims:
         {"sphere": sp, "disk": dk, "cylinder": cy,
-         "curve": cv}[p[0]].append(p)
+         "curve": cv, "cubiccurve": cv}[p[0]].append(p)
     meta = []   # (bsdf, emitter, flip, id) in global prim order
     for p in sp:
         meta.append(p[3:])
@@ -713,7 +957,7 @@ def build_analytic(prims):
     for p in cy:
         meta.append(p[5:])
     for p in cv:
-        meta.append(p[7:])
+        meta.append(p[12:] if p[0] == "cubiccurve" else p[7:])
 
     def arr(rows, idx, width=None):
         if not rows:
@@ -721,6 +965,23 @@ def build_analytic(prims):
             return jnp.zeros(shape, jnp.float32)
         return jnp.asarray(np.stack([np.asarray(r[idx], np.float32)
                                      for r in rows]), jnp.float32)
+
+    K = len(cv)
+    any_cubic = any(p[0] == "cubiccurve" for p in cv)
+    cv_cp = np.zeros((K, 4, 3), np.float32)
+    cv_cr = np.zeros((K, 4), np.float32)
+    cv_w0 = np.zeros((K,), np.float32)
+    cv_w1 = np.ones((K,), np.float32)
+    cv_pad = np.zeros((K,), np.float32)
+    cv_cub = np.zeros((K,), np.float32)
+    for k, p in enumerate(cv):
+        if p[0] == "cubiccurve":
+            cv_cp[k] = np.asarray(p[7], np.float32)
+            cv_cr[k] = np.asarray(p[8], np.float32)
+            cv_w0[k] = float(p[9])
+            cv_w1[k] = float(p[10])
+            cv_pad[k] = float(p[11])
+            cv_cub[k] = 1.0
 
     return AnalyticShapes(
         sp_center=arr(sp, 1, 3), sp_radius=arr(sp, 2),
@@ -731,8 +992,12 @@ def build_analytic(prims):
         cv_pa=arr(cv, 1, 3), cv_pb=arr(cv, 2, 3),
         cv_ra=arr(cv, 3), cv_rb=arr(cv, 4),
         cv_u0=arr(cv, 5), cv_u1=arr(cv, 6),
+        cv_cp=jnp.asarray(cv_cp), cv_cr=jnp.asarray(cv_cr),
+        cv_w0=jnp.asarray(cv_w0), cv_w1=jnp.asarray(cv_w1),
+        cv_pad=jnp.asarray(cv_pad), cv_cubic=jnp.asarray(cv_cub),
         bsdf_index=tuple(int(m[0]) for m in meta),
         emitter_index=tuple(int(m[1]) for m in meta),
         flip_normals=tuple(bool(m[2]) for m in meta),
         ids=tuple(str(m[3]) for m in meta),
+        any_cubic=bool(any_cubic),
     )

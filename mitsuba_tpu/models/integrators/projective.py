@@ -31,10 +31,12 @@ Scope: primarily-visible silhouettes (camera discontinuities) with
 uniform or grid-guided edge sampling (guiding.py), shadow
 (indirect-visibility) boundaries via the light->edge->receiver
 construction (indirect_boundary_grads) with optional octree guiding
-(OcSpaceDistr) and an optional extra camera-side bounce
-(indirect_depth=2) so shadow boundaries are differentiated even when
-their receiver is only indirectly visible.  Receiver-motion terms and
-arbitrary-depth boundary prefixes remain future work.
+(OcSpaceDistr) and camera-side prefix walks of ARBITRARY depth
+(indirect_depth=k, round 4: a PRB-style detached random walk whose
+every vertex connects bidirectionally to the boundary point), so
+shadow boundaries are differentiated even when their receiver is
+only indirectly visible through several bounces.  Receiver-motion
+terms are included via the attached re-projection (view_on_plane).
 """
 from __future__ import annotations
 
@@ -624,59 +626,80 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
         0.0,
     )
 
+    # ---- deeper camera prefixes (projective.py:228-373 indirect
+    # visibility at ARBITRARY prefix depth, round 4): the shadow-
+    # boundary point x_B is observed through j-1 extra bounces,
+    # j = 2..indirect_depth.  The prefix is a PRB-style detached random
+    # walk started at a uniformly sampled film position; at EVERY
+    # prefix vertex x_j the walk CONNECTS x_j <-> x_B
+    # (bidirectional-style), so each sample lands on a camera-visible
+    # surface and a concrete pixel delta, unlike naive cosine bouncing
+    # from x_B.  extras collects (coeff_j, viewer_j) pairs for the
+    # attached re-projection in S(fl) below.
+    extras = []
     if indirect_depth >= 2:
-        # ---- depth-2 camera prefix (projective.py:228-373 indirect
-        # visibility at deeper bounces): the shadow-boundary point x_B
-        # is observed through ONE extra bounce.  For variance, the
-        # extra vertex x_2 is found by tracing a camera ray through a
-        # uniformly sampled film position and CONNECTING x_2 <-> x_B
-        # (bidirectional-style): every sample lands on a camera-visible
-        # surface and a concrete pixel delta, unlike naive cosine
-        # bouncing from x_B.
         u_px = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 7))
         u_ap = rng.sample_2d(seed_b, lane, jnp.int32(DIM_B_SUB + 8))
         cam_ray, _cw = sensor_det.sample_ray(
             jnp.zeros((n_samples,)), jnp.zeros((n_samples,)), u_px,
             u_ap)
-        si_2 = scene_det.ray_intersect(cam_ray, valid_b, ctx_det)
-        ok2 = valid_b & si_2.is_valid() & \
-            (si_2.shape_index != light_shape)
-        d_2b = x_b - si_2.p
-        r2b = jnp.sqrt(jnp.maximum(jnp.sum(d_2b * d_2b, -1), 1e-20))
-        d_2b = d_2b / r2b[:, None]
-        # visibility x_2 -> x_B
-        off2 = 1e-4 * jnp.maximum(
-            1.0, jnp.max(jnp.abs(si_2.p), -1, keepdims=True))
-        sg2 = jnp.sign(jnp.sum(d_2b * si_2.n, -1, keepdims=True))
-        sh2 = Ray.make(si_2.p + sg2 * off2 * si_2.n, d_2b,
-                       maxt=r2b * (1.0 - 2e-3))
-        occ2 = scene_det.ray_test(sh2, ok2, ctx_det)
-        ok2 = ok2 & ~occ2
-        # f at x_2: wi = from the camera (primary), wo = toward x_B
-        # (includes the x_2-side cosine of the connection)
-        f_2, _ = scene_det.bsdf_eval_pdf(
-            si_2, si_2.to_local(d_2b), ok2)
-        # f at x_B: wi = from the light, wo = toward x_2 (includes the
-        # x_B-side cosine)
-        f_b, _ = scene_det.bsdf_eval_pdf(
-            si_r, si_r.to_local(-d_2b), ok2)
+        si_j = scene_det.ray_intersect(cam_ray, valid_b, ctx_det)
+        ok_walk = valid_b & si_j.is_valid() & \
+            (si_j.shape_index != light_shape)
+        # BSDF throughput of the prefix walk (unity for the primary hit)
+        tput_walk = jnp.ones((n_samples, 3))
         px2 = jnp.clip((u_px[:, 0] * w_px).astype(jnp.int32), 0,
                        w_px - 1)
         py2 = jnp.clip((u_px[:, 1] * h_px).astype(jnp.int32), 0,
                        h_px - 1)
         delta2 = grad_image[py2, px2]
-        tput2 = jnp.sum(delta2 * f_2 * f_b * le[None, :], -1) \
-            / jnp.maximum(r2b * r2b, 1e-12)
-        coeff2 = jnp.where(
-            ok2,
-            -(w_px * h_px) * tput2
-            * G * dV * speed * inv_pdf * A_L * inv_oc / n_samples,
-            0.0,
-        )
-        x2_det = si_2.p
-    else:
-        coeff2 = None
-        x2_det = None
+        for j in range(2, indirect_depth + 1):
+            d_2b = x_b - si_j.p
+            r2b = jnp.sqrt(jnp.maximum(jnp.sum(d_2b * d_2b, -1), 1e-20))
+            d_2b = d_2b / r2b[:, None]
+            # visibility x_j -> x_B
+            off2 = 1e-4 * jnp.maximum(
+                1.0, jnp.max(jnp.abs(si_j.p), -1, keepdims=True))
+            sg2 = jnp.sign(jnp.sum(d_2b * si_j.n, -1, keepdims=True))
+            sh2 = Ray.make(si_j.p + sg2 * off2 * si_j.n, d_2b,
+                           maxt=r2b * (1.0 - 2e-3))
+            occ2 = scene_det.ray_test(sh2, ok_walk, ctx_det)
+            ok2 = ok_walk & ~occ2
+            # f at x_j: wi = from the previous prefix vertex, wo =
+            # toward x_B (includes the x_j-side connection cosine)
+            f_2, _ = scene_det.bsdf_eval_pdf(
+                si_j, si_j.to_local(d_2b), ok2)
+            # f at x_B: wi = from the light, wo = toward x_j (includes
+            # the x_B-side cosine)
+            f_b, _ = scene_det.bsdf_eval_pdf(
+                si_r, si_r.to_local(-d_2b), ok2)
+            tput2 = jnp.sum(delta2 * tput_walk * f_2 * f_b
+                            * le[None, :], -1) \
+                / jnp.maximum(r2b * r2b, 1e-12)
+            coeff_j = jnp.where(
+                ok2,
+                -(w_px * h_px) * tput2
+                * G * dV * speed * inv_pdf * A_L * inv_oc / n_samples,
+                0.0,
+            )
+            extras.append((coeff_j, si_j.p))
+            if j < indirect_depth:
+                # extend the prefix one bounce (detached BSDF sampling,
+                # fresh dims per depth — PRB's replayable walk)
+                u1 = rng.sample_1d(seed_b, lane,
+                                   jnp.int32(DIM_B_SUB + 16 + 3 * j))
+                u2 = rng.sample_2d(seed_b, lane,
+                                   jnp.int32(DIM_B_SUB + 17 + 3 * j))
+                bs, w_b = scene_det.bsdf_sample(si_j, u1, u2, ok_walk)
+                wo_w = si_j.to_world(bs.wo)
+                sgb = jnp.sign(jnp.sum(wo_w * si_j.n, -1,
+                                       keepdims=True))
+                nray = Ray.make(si_j.p + sgb * off2 * si_j.n, wo_w)
+                ok_walk = ok_walk & (bs.pdf > 0.0)
+                si_j = scene_det.ray_intersect(nray, ok_walk, ctx_det)
+                ok_walk = ok_walk & si_j.is_valid() & \
+                    (si_j.shape_index != light_shape)
+                tput_walk = tput_walk * w_b
 
     lidx_d = lidx
     idx_d = idx
@@ -730,17 +753,17 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
 
         xb1 = view_on_plane(xb_att, cam_p)
         out = jnp.sum(coeff * jnp.sum(m_hat * xb1, -1))
-        if coeff2 is not None:
-            xb2 = view_on_plane(xb_att, x2_det)
-            out = out + jnp.sum(coeff2 * jnp.sum(m_hat * xb2, -1))
+        for coeff_j, viewer_j in extras:
+            xbj = view_on_plane(xb_att, viewer_j)
+            out = out + jnp.sum(coeff_j * jnp.sum(m_hat * xbj, -1))
         return out
 
     grads = jax.grad(S)(floats)
     if collect:
         pts = jnp.stack([u_e, t_e, u_lf], axis=-1)
         mass = jnp.abs(coeff)
-        if coeff2 is not None:
-            mass = mass + jnp.abs(coeff2)
+        for coeff_j, _ in extras:
+            mass = mass + jnp.abs(coeff_j)
         return grads, pts, mass
     return grads, None, None
 

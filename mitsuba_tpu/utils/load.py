@@ -464,20 +464,13 @@ def _make_analytic_prim(d, bsdf_index, emitter_index):
         length = max(float(np.linalg.norm(axis)), 1e-20)
         return ("cylinder", p0, axis / length, length, r,
                 bsdf_index, emitter_index, flip, sid)
-    if t in ("linearcurve", "bsplinecurve"):
-        # analytic swept-sphere segments (exact tube cross-section;
-        # cubic splines flatten their CENTERLINE at load —
-        # models/analytic.py curve prims, linearcurve.cpp /
-        # bsplinecurve.cpp:1310)
+    if t == "linearcurve":
+        # analytic swept-sphere segments (exact tube cross-section —
+        # models/analytic.py curve prims, linearcurve.cpp)
         cp = np.asarray(d["control_points"], np.float32)
         rr = np.broadcast_to(
             np.asarray(d.get("radius", 0.05), np.float32),
             (cp.shape[0],)).astype(np.float32)
-        if t == "bsplinecurve":
-            from ..models.shapes import bspline_centerline
-
-            cp, rr = bspline_centerline(cp, rr,
-                                        int(d.get("subdiv", 4)))
         if w is not None:
             m = np.asarray(w, np.float32)
             cp = cp @ m[:3, :3].T + m[:3, 3]
@@ -490,6 +483,63 @@ def _make_analytic_prim(d, bsdf_index, emitter_index):
              bsdf_index, emitter_index, flip, sid)
             for i in range(n_seg)
         ]
+    if t == "bsplinecurve":
+        # EXACT cubic swept-sphere prims (round 4; bsplinecurve.cpp's
+        # per-ray iterative solve): each parent uniform-cubic segment
+        # contributes ``subdiv`` subsegment prims whose flattened tube
+        # (inflated by the measured flattening bound) only SEEDS the
+        # in-kernel Newton solve on the true canal surface
+        cp = np.asarray(d["control_points"], np.float32)
+        rr = np.broadcast_to(
+            np.asarray(d.get("radius", 0.05), np.float32),
+            (cp.shape[0],)).astype(np.float32)
+        if w is not None:
+            m = np.asarray(w, np.float32)
+            cp = cp @ m[:3, :3].T + m[:3, 3]
+            rr = rr * float(np.linalg.norm(m[:3, 0]))
+        # clamped endpoints (shapes.bspline_centerline convention)
+        cp = np.concatenate([cp[:1], cp, cp[-1:]])
+        rr = np.concatenate([rr[:1], rr, rr[-1:]])
+        subdiv = int(d.get("subdiv", 4))
+        n_par = cp.shape[0] - 3
+
+        def beval(P, R, s):
+            s = np.asarray(s, np.float32)
+            w4 = np.stack([(1 - s) ** 3 / 6.0,
+                           (3 * s ** 3 - 6 * s ** 2 + 4) / 6.0,
+                           (-3 * s ** 3 + 3 * s ** 2 + 3 * s + 1) / 6.0,
+                           s ** 3 / 6.0], axis=-1)
+            return w4 @ P, w4 @ R
+
+        out = []
+        total = n_par * subdiv
+        for i in range(n_par):
+            P = cp[i:i + 4]
+            R = rr[i:i + 4]
+            ws = np.linspace(0.0, 1.0, subdiv + 1, dtype=np.float32)
+            pts, rads = beval(P, R, ws)
+            # flattening bound: max deviation of the cubic from the
+            # chord/lerp tube over a dense probe (inflates candidates)
+            sd = np.linspace(0.0, 1.0, 16 * subdiv + 1,
+                             dtype=np.float32)
+            cpts, crad = beval(P, R, sd)
+            wi = np.clip((sd * subdiv).astype(np.int32), 0, subdiv - 1)
+            fr = sd * subdiv - wi
+            lerp_p = (pts[wi] * (1 - fr)[:, None]
+                      + pts[wi + 1] * fr[:, None])
+            lerp_r = rads[wi] * (1 - fr) + rads[wi + 1] * fr
+            pad = float(np.max(
+                np.linalg.norm(cpts - lerp_p, axis=1)
+                + np.abs(crad - lerp_r))) * 1.25 + 1e-5
+            for q in range(subdiv):
+                k = i * subdiv + q
+                out.append((
+                    "cubiccurve", pts[q], pts[q + 1],
+                    float(rads[q]), float(rads[q + 1]),
+                    k / total, (k + 1) / total,
+                    P, R, float(ws[q]), float(ws[q + 1]), pad,
+                    bsdf_index, emitter_index, flip, sid))
+        return out
     raise ValueError(f"shape {t!r} has no analytic form")
 
 
