@@ -21,6 +21,27 @@ Top-level convenience API (the mi.* surface):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # Make the persistent compile cache reliable: the env var alone is
+    # not always honored (verified on the axon/TPU tunnel, where
+    # megakernel compiles take minutes), so wire it through jax.config.
+    # TPU-path processes ONLY — cache artifacts produced via the
+    # tunnel's remote-compile service are stamped with the *server's*
+    # CPU features, and loading one in a local CPU process SIGABRTs
+    # ("machine type doesn't match", observed in the round-4 test run).
+    # CPU processes must therefore opt in with their own cache dir
+    # (tests/conftest.py uses /tmp/jax_cache_cpu).
+    import jax as _jax
+
+    if "cpu" not in (_jax.config.jax_platforms or
+                     _os.environ.get("JAX_PLATFORMS", "")):
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from . import core  # noqa: F401
 from .models.integrators import (  # noqa: F401
     DepthIntegrator,

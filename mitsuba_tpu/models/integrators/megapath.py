@@ -130,6 +130,27 @@ def _bounce_sort_key(state, center, inv_r):
     return jnp.where(act > 0.5, key, jnp.int32(0x7FFFFFFF))
 
 
+def _sort_perm(key, n, fast):
+    """Permutation ordering lanes by coherence key.
+
+    ``fast`` packs a coarsened 12-bit key (octant + 3 Morton bits/axis)
+    with the lane position into ONE uint32 and sorts that single array —
+    an XLA kv-argsort carries the payload through every bitonic stage,
+    so the single-array sort is substantially cheaper (PERF.md round 4).
+    Ties keep the PREVIOUS lane order (the position rides the low
+    bits), and the previous order was itself coherence-sorted, so the
+    fine-grained locality the coarse key drops is largely retained.
+    Dead lanes (key 0x7FFFFFFF) coarsen to bucket 0xFFF, sharing it
+    with the last live octant bucket — they still sort (almost) last,
+    which is what the per-tile skip flags need.  Falls back to a full
+    argsort when n exceeds the 20 position bits."""
+    if not fast or n > (1 << 20):
+        return jnp.argsort(key)
+    key12 = (key >> 12).astype(jnp.uint32) & jnp.uint32(0xFFF)
+    combined = (key12 << 20) | jnp.arange(n, dtype=jnp.uint32)
+    return (jnp.sort(combined) & jnp.uint32(0xFFFFF)).astype(jnp.int32)
+
+
 @pytree
 class MegakernelPathIntegrator:
     max_depth: int = static(6)
@@ -146,6 +167,10 @@ class MegakernelPathIntegrator:
     # couple of bounces, so skipping alternate sorts trades a little
     # packet coherence for the per-depth argsort + (N,18) gather cost
     sort_every: int = static(1)
+    # single-array packed sort (coarse key | lane position) instead of
+    # a kv argsort — cheaper per depth, near-identical coherence
+    # (ties preserve the previous sorted order); see _sort_perm
+    fast_sort: bool = static(True)
     id: str = static("megapath")
 
     def sample(self, scene, ray, lane, seed, active):
@@ -277,7 +302,7 @@ class MegakernelPathIntegrator:
         for depth in range(self.max_depth):
             if depth % max(self.sort_every, 1) == 0:
                 key = _bounce_sort_key(state, center, inv_r)
-                perm = jnp.argsort(key)
+                perm = _sort_perm(key, n, self.fast_sort)
                 # ONE contiguous row gather instead of 18 independent
                 # 1-float gathers: TPU gathers pay per-row DMA setup, so
                 # packing the carried state into an (N, 18) matrix first

@@ -949,8 +949,12 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
             # serial node walk shrinks.  rpl=32 (128-tri leaves) is the
             # round-4 sweet spot — the one-hot resolve made leaf size
             # nearly free, so fewer walk iterations win (PERF.md).
-            # Larger rpl only when the node table would overflow SMEM.
-            for rpl in (32, 64):
+            # Larger rpl only when the node table would overflow SMEM:
+            # rpl=64 (256-tri leaves) carries ~1.2M triangles, rpl=128
+            # (512-tri leaves) ~2.4M — the MXU leaf stage keeps big
+            # leaves cheap, so capacity costs a modest constant factor
+            # rather than a fallback cliff (round-3 verdict missing #3).
+            for rpl in (32, 64, 128):
                 if 2.2 * len(faces_np) / (PACK * rpl) > MAX_NODES:
                     continue   # predicted overflow: skip the build
                 pa = build_packet_bvh(verts_np, faces_np, rpl=rpl,

@@ -1613,8 +1613,14 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
     lifts the MAX_FACES cap to the SMEM node budget (~300k triangles).
     ``mxu`` switches leaf intersection to the dot_general stage; ``res``
-    switches the winner-attribute resolve to the one-hot matmul form."""
-    from .traverse import traverse_any, traverse_closest
+    switches the winner-attribute resolve to the one-hot matmul form.
+    With the MXU stage active the wave-parallel walk is used (USE_WAVE,
+    traverse.py round 4: up to WAVE node visits per vector->scalar
+    sync instead of one)."""
+    from .traverse import (USE_WAVE, traverse_any, traverse_any_wave,
+                           traverse_closest, traverse_closest_wave)
+
+    wave = USE_WAVE and mxu
 
     def kernel(node_box_ref, node_meta_ref, light_ref, rows_ref, *rest):
         if mxu:
@@ -1649,13 +1655,22 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
             res_cols += tuple(range(22, 31))
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
-            found, t, attrs = traverse_closest(
-                node_box_ref, node_meta_ref, rows_ref,
-                qbuf, sems, n_nodes,
-                ox, oy, oz, dx, dy, dz,
-                jnp.full(shape, jnp.inf), act_b,
-                resolve_cols=res_cols, rpl=rpl, batch=batch,
-                mxu_ctx=mctx, res_ctx=rctx)
+            if wave:
+                found, t, attrs = traverse_closest_wave(
+                    node_box_ref, node_meta_ref, rows_ref,
+                    qbuf, sems, n_nodes,
+                    ox, oy, oz, dx, dy, dz,
+                    jnp.full(shape, jnp.inf), act_b,
+                    resolve_cols=res_cols, rpl=rpl,
+                    mxu_ctx=mctx, res_ctx=rctx)
+            else:
+                found, t, attrs = traverse_closest(
+                    node_box_ref, node_meta_ref, rows_ref,
+                    qbuf, sems, n_nodes,
+                    ox, oy, oz, dx, dy, dz,
+                    jnp.full(shape, jnp.inf), act_b,
+                    resolve_cols=res_cols, rpl=rpl, batch=batch,
+                    mxu_ctx=mctx, res_ctx=rctx)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -1695,6 +1710,12 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
         def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
+            if wave:
+                return traverse_any_wave(
+                    node_box_ref, node_meta_ref, rows_ref,
+                    qbuf, sems, n_nodes,
+                    ox, oy, oz, dx, dy, dz, maxt, act_b,
+                    rpl=rpl, mxu_ctx=mctx) > 0.5
             return traverse_any(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
@@ -1848,7 +1869,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          res_rows=None):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
-    from .traverse import (BATCH, PACK, QUEUE, RES_COLS, RPL, mxu_width,
+    from .traverse import (BATCH, N_LEAF_MAX, PACK, QUEUE, RES_COLS,
+                           RPL, USE_WAVE, mxu_width,
                            res_width)
 
     rpl = RPL if rpl is None else rpl
@@ -1891,8 +1913,10 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     extra_in = []
     extra_args = []
     if mxu:
-        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
-                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        n_slots = 2 * N_LEAF_MAX if USE_WAVE else QUEUE
+        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((n_slots,))]
         extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
         extra_args += [mxu_rows]
     if res:
@@ -1934,7 +1958,11 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
     (btype 5/21) additionally resolve per-vertex uv rows and evaluate
     the texture arena in-kernel like the brute megakernel
     (path.cpp:216 fused texture vcalls)."""
-    from .traverse import COL_UV, traverse_any, traverse_closest
+    from .traverse import (COL_UV, USE_WAVE, traverse_any,
+                           traverse_any_wave, traverse_closest,
+                           traverse_closest_wave)
+
+    wave = USE_WAVE and mxu
 
     has_tex = any(b % 16 == 5 for b in btypes)
     assert not has_tex or res, "textured BVH kernel needs the resolve table"
@@ -1995,13 +2023,22 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
             res_cols += tuple(range(COL_UV, COL_UV + 6))
 
         def closest(ox, oy, oz, dx, dy, dz, act_b):
-            found, t, attrs = traverse_closest(
-                node_box_ref, node_meta_ref, rows_ref,
-                qbuf, sems, n_nodes,
-                ox, oy, oz, dx, dy, dz,
-                jnp.full(shape, jnp.inf), act_b,
-                resolve_cols=res_cols, rpl=rpl, batch=batch,
-                mxu_ctx=mctx, res_ctx=rctx)
+            if wave:
+                found, t, attrs = traverse_closest_wave(
+                    node_box_ref, node_meta_ref, rows_ref,
+                    qbuf, sems, n_nodes,
+                    ox, oy, oz, dx, dy, dz,
+                    jnp.full(shape, jnp.inf), act_b,
+                    resolve_cols=res_cols, rpl=rpl,
+                    mxu_ctx=mctx, res_ctx=rctx)
+            else:
+                found, t, attrs = traverse_closest(
+                    node_box_ref, node_meta_ref, rows_ref,
+                    qbuf, sems, n_nodes,
+                    ox, oy, oz, dx, dy, dz,
+                    jnp.full(shape, jnp.inf), act_b,
+                    resolve_cols=res_cols, rpl=rpl, batch=batch,
+                    mxu_ctx=mctx, res_ctx=rctx)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -2059,6 +2096,12 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                     IsL, PdfA, Btype, C0, C1, C2, C3, C4, C5)
 
         def anyhit(ox, oy, oz, dx, dy, dz, maxt, act_b):
+            if wave:
+                return traverse_any_wave(
+                    node_box_ref, node_meta_ref, rows_ref,
+                    qbuf, sems, n_nodes,
+                    ox, oy, oz, dx, dy, dz, maxt, act_b,
+                    rpl=rpl, mxu_ctx=mctx) > 0.5
             return traverse_any(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
@@ -2100,7 +2143,8 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     """One sorted-pipeline bounce over flat (N,) state arrays.  ``state``
     is the 16-tuple of (N,) float arrays matching _bounce_step (act as
     f32 0/1); ``env_nee_d`` is this depth's (N, 8) envmap NEE slice."""
-    from .traverse import (BATCH, PACK, QUEUE, RES_COLS, RPL, mxu_width,
+    from .traverse import (BATCH, N_LEAF_MAX, PACK, QUEUE, RES_COLS,
+                           RPL, USE_WAVE, mxu_width,
                            res_width)
 
     rpl = RPL if rpl is None else rpl
@@ -2157,8 +2201,10 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     extra_in = []
     extra_args = []
     if mxu:
-        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
-                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        n_slots = 2 * N_LEAF_MAX if USE_WAVE else QUEUE
+        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((n_slots,))]
         extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
         extra_args += [mxu_rows]
     if res:

@@ -489,7 +489,27 @@ def _node_meta4(node_meta, nid):
             node_meta[r, b + 3])
 
 
+def _node_rs(node_meta, nid):
+    """Only the row_start word (leaf test: rs >= 0) — one SMEM read."""
+    return node_meta[nid // 32, (nid % 32) * 4]
+
+
 QUEUE = 4      # leaf DMA queue depth (ring)
+
+# ---- wave traversal (round 4) ----
+# Instead of one node visit per serialized vector->scalar sync (~0.9 us
+# each, ~119 per sorted bounce packet — PERF.md round-4 walk anatomy),
+# pop up to WAVE stack entries per iteration, slab-test all their
+# children and issue ALL per-node group-mask reduces back to back, so
+# ONE sync retires up to WAVE node visits.  Hit leaf children enqueue
+# into a double-buffered leaf table at discovery (they never occupy a
+# wave slot); the previous wave's leaf DMAs are processed while this
+# wave's reduces are in flight, which both hides the DMA latency and
+# gives the reduces time to land before their scalar decode.
+WAVE = 8           # stack pops per wave
+N_LEAF_MAX = 16    # leaf discoveries per wave (2 children x WAVE)
+# default: wave traversal on whenever the MXU leaf stage is active
+USE_WAVE = True
 
 # profiling affordance (examples/profile_r4.py): when True,
 # packet_closest_hit returns (walk iterations, leaf enqueues) per packet
@@ -507,6 +527,190 @@ def _ring_get(vals, idx):
     for k in range(1, QUEUE):
         out = jnp.where(sel == k, vals[k], out)
     return out
+
+
+# ------------------------------------------------- shared MXU leaf stage
+
+def _bsplit(x):
+    """f32 -> (bf16 hi, bf16 lo) split for the manual bf16x3 product."""
+    h = x.astype(jnp.bfloat16)
+    return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _mm3(ah, al, rh, rl):
+    """bf16x3 matmul (hi*hi + hi*lo + lo*hi, f32 accumulation) over
+    contraction dim 0 — ~2^-16 relative error, 3 single-pass MXU calls
+    (PERF.md round-3: Precision.HIGHEST's 6-pass emulation erases the
+    MXU win; one bf16 pass punches holes at triangle edges)."""
+    dn = (((0,), (0,)), ((), ()))
+    kw = dict(dimension_numbers=dn, preferred_element_type=jnp.float32)
+    return (jax.lax.dot_general(ah, rh, **kw)
+            + jax.lax.dot_general(ah, rl, **kw)
+            + jax.lax.dot_general(al, rh, **kw))
+
+
+def _ray_features_bf16(ox, oy, oz, dx, dy, dz):
+    """Per-sublane-group (4, 128) bf16 hi/lo homogeneous ray features
+    for the MXU leaf stage: origin half [o, 1], direction half [d, 0],
+    matching the pack_mxu_rows feature order.  Built from (1, 128)
+    sublane slices and returned as PYTHON lists — the earlier
+    (8, 128) -> (1, 1024) lane-flattening reshapes each cost a full
+    cross-lane relayout and dominated the per-packet fixed cost."""
+    one_r = jnp.ones((1, LANES), jnp.float32)
+    zero_r = jnp.zeros((1, LANES), jnp.float32)
+    ray_oh, ray_ol, ray_dh, ray_dl = [], [], [], []
+    for _s in range(SUB):
+        og = jnp.concatenate(
+            [ox[_s:_s + 1, :], oy[_s:_s + 1, :], oz[_s:_s + 1, :],
+             one_r], axis=0)
+        dg = jnp.concatenate(
+            [dx[_s:_s + 1, :], dy[_s:_s + 1, :], dz[_s:_s + 1, :],
+             zero_r], axis=0)
+        h, l = _bsplit(og)
+        ray_oh.append(h)
+        ray_ol.append(l)
+        h, l = _bsplit(dg)
+        ray_dh.append(h)
+        ray_dl.append(l)
+    return ray_oh, ray_ol, ray_dh, ray_dl
+
+
+def _make_mxu_dma(mxu_hbm, mqbuf, msems, rpl):
+    """Leaf-block DMA helper: HBM Baldwin-Weber rows -> VMEM slot."""
+    rpl_sh = int(np.log2(rpl))
+
+    def mxu_dma(row_start, slot):
+        mrow = pl.multiple_of((row_start >> rpl_sh) * 8, 8)
+        return pltpu.make_async_copy(
+            mxu_hbm.at[pl.ds(mrow, 8)],
+            mqbuf.at[pl.ds(slot * 8, 8)], msems.at[slot])
+
+    return mxu_dma
+
+
+def _make_mxu_closest(mxu_ctx, rpl, feats, act, shape):
+    """Build (mxu_dma, process_mxu) for closest-hit: per sublane group
+    the whole leaf is tested with two bf16x3 K=4 matmul stacks
+    (origin/direction functional halves) — 6 single-pass MXU calls per
+    ACTIVE group; groups whose rays all missed the leaf's bbox at
+    enqueue time skip entirely (gmask).  Winner selection packs
+    (t bits | tri slot) into one int key and min-reduces: positive-f32
+    bit order equals float order, costing t its log2(TL) low mantissa
+    bits (SI is re-derived from the prim id downstream)."""
+    mxu_hbm, mqbuf, msems = mxu_ctx
+    TL = PACK * rpl
+    JM = TL - 1
+    BIGKEY = jnp.int32(0x7F000000)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TL, LANES), 0)
+    subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    ray_oh, ray_ol, ray_dh, ray_dl = feats
+    mxu_dma = _make_mxu_dma(mxu_hbm, mqbuf, msems, rpl)
+
+    def process_mxu(row_start, gmask, slot,
+                    found, best_t, best_row, best_j):
+        mxu_dma(row_start, slot).wait()
+        if DEBUG_NOLEAF:
+            return found, best_t, best_row, best_j
+        block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
+        bh, bl = _bsplit(block)
+        rsf = row_start.astype(jnp.float32)
+
+        def group(s, carry):
+            def run(c):
+                f, bt, br, bj = c
+                out_o = _mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
+                out_d = _mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
+                num = out_o[0 * TL:1 * TL]              # (TL, 128)
+                den = out_d[0 * TL:1 * TL]
+                okd = jnp.abs(den) > DET_EPS
+                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
+                                         approx=False)
+                u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
+                v = out_o[2 * TL:3 * TL] + t * out_d[2 * TL:3 * TL]
+                bt_s = bt[s:s + 1, :]                   # (1, 128)
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t < bt_s))
+                key = jnp.where(
+                    hit,
+                    (pltpu.bitcast(t, jnp.int32) & jnp.int32(~JM))
+                    | sub_iota,
+                    BIGKEY)
+                kmin = jnp.min(key, axis=0, keepdims=True)  # (1, 128)
+                t_leaf = pltpu.bitcast(kmin & jnp.int32(~JM), jnp.float32)
+                j_leaf = (kmin & JM).astype(jnp.float32)
+                imp = (subsel == s) & (kmin < BIGKEY) & act
+                bt = jnp.where(imp, jnp.broadcast_to(t_leaf, shape), bt)
+                bj = jnp.where(imp, jnp.broadcast_to(j_leaf, shape), bj)
+                br = jnp.where(imp, rsf, br)
+                f = jnp.maximum(f, imp.astype(jnp.float32))
+                return f, bt, br, bj
+
+            return jax.lax.cond(((gmask >> s) & 1) != 0, run,
+                                lambda c: c, carry)
+
+        carry = (found, best_t, best_row, best_j)
+        for s in range(SUB):
+            carry = group(s, carry)
+        return carry
+
+    return mxu_dma, process_mxu
+
+
+def _make_mxu_any(mxu_ctx, rpl, feats, maxt, shape):
+    """Build (mxu_dma, process_mxu_any) for shadow rays: per-group
+    masked bf16x3 leaf test, any-hit accumulation into occ."""
+    mxu_hbm, mqbuf, msems = mxu_ctx
+    TL = PACK * rpl
+    subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    ray_oh, ray_ol, ray_dh, ray_dl = feats
+    mxu_dma = _make_mxu_dma(mxu_hbm, mqbuf, msems, rpl)
+
+    def process_any(row_start, gmask, slot, occ):
+        mxu_dma(row_start, slot).wait()
+        if DEBUG_NOLEAF:
+            return occ
+        block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
+        bh, bl = _bsplit(block)
+
+        def group(s, occ):
+            def run(occ):
+                out_o = _mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
+                out_d = _mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
+                num = out_o[0 * TL:1 * TL]
+                den = out_d[0 * TL:1 * TL]
+                okd = jnp.abs(den) > DET_EPS
+                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
+                                         approx=False)
+                u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
+                v = out_o[2 * TL:3 * TL] + t * out_d[2 * TL:3 * TL]
+                mt_s = maxt[s:s + 1, :]
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t <= mt_s))
+                anyh = jnp.max(hit.astype(jnp.float32), axis=0,
+                               keepdims=True)           # (1, 128)
+                return jnp.where(subsel == s,
+                                 jnp.maximum(occ, jnp.broadcast_to(
+                                     anyh, shape)), occ)
+
+            return jax.lax.cond(((gmask >> s) & 1) != 0, run,
+                                lambda o: o, occ)
+
+        for s in range(SUB):
+            occ = group(s, occ)
+        return occ
+
+    return mxu_dma, process_any
+
+
+def _inv_dir(dx, dy, dz):
+    eps = jnp.float32(1e-30)
+    ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
+                         jnp.where(dx >= 0, eps, -eps))
+    iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy,
+                         jnp.where(dy >= 0, eps, -eps))
+    iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz,
+                         jnp.where(dz >= 0, eps, -eps))
+    return ix, iy, iz
 
 
 def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
@@ -553,74 +757,17 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
     ``resolve_cols`` may then include the uv rows (COL_UV..COL_UV+5).
     """
     shape = ox.shape
-    eps = jnp.float32(1e-30)
-    ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
-                         jnp.where(dx >= 0, eps, -eps))
-    iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy,
-                         jnp.where(dy >= 0, eps, -eps))
-    iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz,
-                         jnp.where(dz >= 0, eps, -eps))
+    ix, iy, iz = _inv_dir(dx, dy, dz)
     actf = act.astype(jnp.float32)
 
     n_res = len(resolve_cols)
     mxu = mxu_ctx is not None
     if mxu:
-        mxu_hbm, mqbuf, msems = mxu_ctx
-        TL = PACK * rpl
-        rpl_sh = int(np.log2(rpl))      # rpl is a power of two by layout
-        JM = TL - 1                     # tri index bits inside the t key
-        BIGKEY = jnp.int32(0x7F000000)
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TL, LANES), 0)
-        subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-        # homogeneous ray features (loop-invariant): per sublane group a
-        # pair of (4, 128) bf16 hi/lo matrices for the origin half
-        # [o, 1] and the direction half [d, 0], matching the
-        # pack_mxu_rows feature order.  Built from (1, 128) sublane
-        # slices and hoisted as PYTHON lists — the earlier
-        # (8, 128) -> (1, 1024) lane-flattening reshapes each cost a
-        # full cross-lane relayout and dominated the per-packet fixed
-        # cost (round-4 profile: ~25 us/packet prologue).  The leaf
-        # matmuls run bf16x3 (hi*hi + hi*lo + lo*hi with f32
-        # accumulation, ~2^-16 relative error — the MXU multiplies
-        # bf16 mantissas exactly).
-        one_r = jnp.ones((1, LANES), jnp.float32)
-        zero_r = jnp.zeros((1, LANES), jnp.float32)
-
-        def bsplit(x):
-            h = x.astype(jnp.bfloat16)
-            return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        ray_oh, ray_ol, ray_dh, ray_dl = [], [], [], []
-        for _s in range(SUB):
-            og = jnp.concatenate(
-                [ox[_s:_s + 1, :], oy[_s:_s + 1, :], oz[_s:_s + 1, :],
-                 one_r], axis=0)
-            dg = jnp.concatenate(
-                [dx[_s:_s + 1, :], dy[_s:_s + 1, :], dz[_s:_s + 1, :],
-                 zero_r], axis=0)
-            h, l = bsplit(og)
-            ray_oh.append(h)
-            ray_ol.append(l)
-            h, l = bsplit(dg)
-            ray_dh.append(h)
-            ray_dl.append(l)
-
         w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
             jnp.int32, (SUB, 1), 0).astype(jnp.float32)
-
-        def mm3(ah, al, rh, rl):
-            dn = (((0,), (0,)), ((), ()))
-            kw = dict(dimension_numbers=dn,
-                      preferred_element_type=jnp.float32)
-            return (jax.lax.dot_general(ah, rh, **kw)
-                    + jax.lax.dot_general(ah, rl, **kw)
-                    + jax.lax.dot_general(al, rh, **kw))
-
-        def mxu_dma(row_start, slot):
-            mrow = pl.multiple_of((row_start >> rpl_sh) * 8, 8)
-            return pltpu.make_async_copy(
-                mxu_hbm.at[pl.ds(mrow, 8)],
-                mqbuf.at[pl.ds(slot * 8, 8)], msems.at[slot])
+        feats = _ray_features_bf16(ox, oy, oz, dx, dy, dz)
+        mxu_dma, process_mxu = _make_mxu_closest(
+            mxu_ctx, rpl, feats, act, shape)
 
     def process(row_start, cnt, slot, found, best_t, best_row, best_j):
         pltpu.make_async_copy(
@@ -652,65 +799,6 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         best_t = jnp.where(improved, lt, best_t)
         found = jnp.maximum(found, improved.astype(jnp.float32))
         return found, best_t, best_row, best_j
-
-    def process_mxu(row_start, gmask, slot,
-                    found, best_t, best_row, best_j):
-        """MXU leaf visit: per sublane group (128 rays), the whole leaf
-        is tested with two bf16x3 K=4 matmul stacks (origin/direction
-        functional halves) — 6 single-pass MXU calls per ACTIVE group.
-        Groups whose rays all missed the leaf's bbox at enqueue time
-        skip entirely (gmask).  Hardware A/B (round 3): group masking +
-        single-pass calls beat both per-group Precision.HIGHEST (6
-        passes each) and unmasked all-group batching."""
-        mxu_dma(row_start, slot).wait()
-        if DEBUG_NOLEAF:
-            return found, best_t, best_row, best_j
-        block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
-        bh = block.astype(jnp.bfloat16)
-        bl = (block - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-        rsf = row_start.astype(jnp.float32)
-
-        def group(s, carry):
-            def run(c):
-                f, bt, br, bj = c
-                out_o = mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
-                out_d = mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
-                num = out_o[0 * TL:1 * TL]              # (TL, 128)
-                den = out_d[0 * TL:1 * TL]
-                okd = jnp.abs(den) > DET_EPS
-                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
-                                         approx=False)
-                u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
-                v = out_o[2 * TL:3 * TL] + t * out_d[2 * TL:3 * TL]
-                bt_s = bt[s:s + 1, :]                   # (1, 128)
-                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > 0.0) & (t < bt_s))
-                # packed winner key: positive-f32 bit order == float
-                # order, low bits carry the triangle slot (t loses
-                # log2(TL) low mantissa bits; SI is re-derived from the
-                # prim id downstream, scene.py compute_si)
-                key = jnp.where(
-                    hit,
-                    (pltpu.bitcast(t, jnp.int32) & jnp.int32(~JM))
-                    | sub_iota,
-                    BIGKEY)
-                kmin = jnp.min(key, axis=0, keepdims=True)  # (1, 128)
-                t_leaf = pltpu.bitcast(kmin & jnp.int32(~JM), jnp.float32)
-                j_leaf = (kmin & JM).astype(jnp.float32)
-                imp = (subsel == s) & (kmin < BIGKEY) & act
-                bt = jnp.where(imp, jnp.broadcast_to(t_leaf, shape), bt)
-                bj = jnp.where(imp, jnp.broadcast_to(j_leaf, shape), bj)
-                br = jnp.where(imp, rsf, br)
-                f = jnp.maximum(f, imp.astype(jnp.float32))
-                return f, bt, br, bj
-
-            return jax.lax.cond(((gmask >> s) & 1) != 0, run,
-                                lambda c: c, carry)
-
-        carry = (found, best_t, best_row, best_j)
-        for s in range(SUB):
-            carry = group(s, carry)
-        return carry
 
     # ring scalars: rows + cnts (+ per-leaf group masks in MXU mode)
     NQ = (3 if mxu else 2) * QUEUE
@@ -943,17 +1031,29 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         # skip the resolve so the counters time the walk alone
         return found, best_t, tuple(best_j for _ in resolve_cols)
 
-    # ---- deferred attribute resolve over DISTINCT winning leaves ----
-    # The walk above carries only the winner's identity (row_start, j);
-    # shading attributes are fetched afterwards, once per distinct
-    # winning leaf (typically ~10 for a coherent packet) instead of per
-    # visited leaf (~100) — the per-leaf masked-select resolve was a
-    # dominant cost (PERF.md round-2 profile).
+    attrs = _resolve_deferred(found, best_t, best_row, best_j,
+                              resolve_cols, rows_hbm, qbuf, sems,
+                              res_ctx, rpl, shape)
+    return found, best_t, attrs
+
+
+def _resolve_deferred(found, best_t, best_row, best_j, resolve_cols,
+                      rows_hbm, qbuf, sems, res_ctx, rpl, shape):
+    """Deferred attribute resolve over DISTINCT winning leaves.
+
+    The walk carries only the winner's identity (row_start, j); shading
+    attributes are fetched afterwards, once per distinct winning leaf
+    (typically ~10 for a coherent packet) instead of per visited leaf
+    (~100) — the per-leaf masked-select resolve was a dominant cost
+    (PERF.md round-2 profile).  With ``res_ctx`` (round 4) each distinct
+    leaf costs ONE bit-exact 3-term bf16 one-hot matmul per active
+    group instead of a tb-iteration scalar-select loop."""
+    n_res = len(resolve_cols)
     init_attrs = tuple(
         jnp.full(shape, -1.0) if col == COL_FACE_ID else jnp.zeros(shape)
         for col in resolve_cols)
     if n_res == 0:
-        return found, best_t, ()
+        return ()
     tb = PACK * rpl
 
     if res_ctx is not None:
@@ -1062,7 +1162,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         attrs = tuple(
             jnp.where(found > 0.0, a, -1.0) if col == COL_FACE_ID else a
             for col, a in zip(resolve_cols, out_r[3:]))
-        return found, best_t, attrs
+        return attrs
 
     def rcond(s):
         return jnp.max(s[0]) > 0.0
@@ -1099,7 +1199,351 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
         return (un,) + attrs
 
     res = jax.lax.while_loop(rcond, rbody, (found,) + init_attrs)
-    return found, best_t, res[1:1 + n_res]
+    return res[1:1 + n_res]
+
+
+# ------------------------------------------------------- wave traversal
+
+# wave stack bound: a wave pops WAVE entries and pushes at most 2*WAVE,
+# so the not-yet-popped frontier grows by <= WAVE per wave and is
+# bounded by ~WAVE * tree depth (96 at the MAX_NODES cap) plus slack
+STACK_WAVE = 1024
+
+
+def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
+                          n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
+                          resolve_cols=(COL_FACE_ID,), rpl=RPL,
+                          mxu_ctx=None, res_ctx=None):
+    """Wave-parallel packet closest-hit (round 4).
+
+    The ordered scalar-cursor walk (traverse_closest) pays one
+    vector->scalar sync per node visit — measured ~0.9 us/iteration and
+    ~91% of closest-hit time (PERF.md round-4 walk anatomy).  This
+    variant retires up to WAVE visits per sync:
+
+    - pop up to WAVE stack entries (all interior nodes; leaves never
+      ride the stack), slab-test all their children and issue ONE
+      weighted group-mask reduce per node, back to back;
+    - while those reduces land, process the PREVIOUS wave's leaf
+      blocks (their DMAs have had a full wave of latency cover);
+    - read the WAVE reduce scalars, push hit interior children
+      (near-on-top, using the packet majority direction signs and the
+      build's split-axis decode like the ordered walk), and enqueue
+    hit leaf children into the other half of the double-buffered leaf
+      table, starting their DMAs immediately.
+
+    Front-to-back ordering is approximate (visits within a wave cannot
+    cull each other), so a few extra nodes are visited vs the strict
+    ordered walk, but each costs 1/WAVE-th of a sync.  Requires the
+    MXU leaf stage; mqbuf must provide 2*N_LEAF_MAX slots
+    (see packet_closest_hit / megakernel_bounce_bvh scratch sizing).
+    Returns (found, best_t, attrs) like traverse_closest.
+    """
+    assert mxu_ctx is not None, "wave traversal requires the MXU leaf stage"
+    shape = ox.shape
+    ix, iy, iz = _inv_dir(dx, dy, dz)
+    actf = act.astype(jnp.float32)
+    w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
+        jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+    feats = _ray_features_bf16(ox, oy, oz, dx, dy, dz)
+    mxu_dma, process_mxu = _make_mxu_closest(
+        mxu_ctx, rpl, feats, act, shape)
+
+    # packet-majority near-child signs (one reduce per axis, once per
+    # traversal) — exact for octant-sorted packets, a heuristic (never
+    # a correctness issue) for mixed ones
+    sg = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
+
+    def walk(stack, lrow, lgm):
+        rs0, _, _, _ = _node_meta4(node_meta, 0)
+        root_leaf = rs0 >= 0
+
+        @pl.when(root_leaf)
+        def _():
+            lrow[0] = rs0
+            lgm[0] = jnp.int32(255)
+            mxu_dma(rs0, 0).start()
+
+        @pl.when(jnp.logical_not(root_leaf))
+        def _():
+            stack[0] = jnp.int32(0)
+
+        z = jnp.int32(0)
+        init = (jnp.where(root_leaf, 0, 1), z,
+                jnp.where(root_leaf, 1, 0), z, z,
+                jnp.zeros(shape), maxt, jnp.full(shape, -1.0),
+                jnp.full(shape, -1.0))
+
+        def cond(s):
+            return (s[0] > 0) | (s[2] > 0)
+
+        def body(s):
+            (sp, p, c, n_it, n_enq,
+             found, best_t, best_row, best_j) = s
+
+            # ---- pop up to WAVE interior nodes (top of stack first)
+            npop = jnp.minimum(sp, jnp.int32(WAVE))
+            nodes = []
+            for k in range(WAVE):
+                idx = jnp.maximum(sp - 1 - k, 0)
+                nodes.append(jnp.where(k < npop, stack[idx],
+                                       jnp.int32(-1)))
+            sp = sp - npop
+
+            # ---- phase 1: decode children, slab-test, fold ALL
+            # children's hit flags into ONE scalar.  Per-node reduces
+            # do not pipeline their vector->scalar syncs (hardware:
+            # 8 reduces/wave ~6.3 us/wave) and a (1, WAVE)-row
+            # VMEM->SMEM DMA costs the same (small-copy latency), so
+            # the hit decode is compressed to 2 bits/node: anyL/anyR
+            # collapse to (1, 1) vector 0/1 flags (pure vector reduces,
+            # no sync), weighted by 4^k across nodes, and ONE jnp.sum
+            # pays the only unconditional sync of the wave.  Per-group
+            # masks are fetched lazily in phase 3 for the ~2-3 nodes
+            # per wave that discover a hit leaf child.
+            infos = []
+            hitbits = jnp.zeros((1, 1), jnp.float32)
+            for k in range(WAVE):
+                nid = jnp.maximum(nodes[k], 0)
+                valid = nodes[k] >= 0
+                _, _, _, r3 = _node_meta4(node_meta, nid)
+                left = jnp.minimum(nid + 1, n_nodes - 1)
+                right = jnp.minimum(r3 >> 3, n_nodes - 1)
+                axis = r3 & 3
+                flip = (r3 >> 2) & 1
+                rsL = _node_rs(node_meta, left)
+                rsR = _node_rs(node_meta, right)
+                loL, hiL = _node_box(node_box, left)
+                loR, hiR = _node_box(node_box, right)
+                hmL, _ = _slab(loL, hiL, ox, oy, oz, ix, iy, iz, best_t)
+                hmR, _ = _slab(loR, hiR, ox, oy, oz, ix, iy, iz, best_t)
+                anyL = jnp.max(hmL * actf, axis=1, keepdims=True)
+                anyR = jnp.max(hmR * actf, axis=1, keepdims=True)
+                hL = jnp.max(anyL, axis=0, keepdims=True)    # (1,1) 0/1
+                hR = jnp.max(anyR, axis=0, keepdims=True)
+                # 2 bits per node: max sum_k 3*4^k (k<8) = 65535, exact
+                hitbits = hitbits + (hL + 2.0 * hR) * float(4 ** k)
+                infos.append((valid, left, right, axis, flip,
+                              rsL, rsR, anyL, anyR))
+
+            # ---- phase 2: process the previous wave's leaf blocks
+            # (their DMAs started last wave; the hit-bits reduce above
+            # also lands under this work)
+            def pslot(i, carry):
+                slot = p * N_LEAF_MAX + i
+                return process_mxu(lrow[slot], lgm[slot], slot, *carry)
+
+            found, best_t, best_row, best_j = jax.lax.fori_loop(
+                0, c, pslot, (found, best_t, best_row, best_j))
+
+            # ---- phase 3: read hit bits, push interiors near-on-top,
+            # enqueue leaves into the other buffer half (branchless
+            # scalar stores; dump slot for non-events).  A node's
+            # 16-bit (gmL | gmR << 8) group-mask encode is reduced
+            # HERE, under lax.cond, only when one of its hit children
+            # is a leaf.
+            hb = jnp.sum(hitbits).astype(jnp.int32)
+            n_new = jnp.int32(0)
+            pb = (1 - p) * N_LEAF_MAX
+            for k in reversed(range(WAVE)):
+                (valid, left, right, axis, flip, rsL, rsR,
+                 anyL, anyR) = infos[k]
+                hitL = ((hb >> (2 * k)) & 1) != 0
+                hitR = ((hb >> (2 * k + 1)) & 1) != 0
+                need_gm = valid & (
+                    (hitL & (rsL >= 0)) | (hitR & (rsR >= 0)))
+                b = jax.lax.cond(
+                    need_gm,
+                    lambda aL=anyL, aR=anyR: jnp.sum(
+                        (aL + 256.0 * aR) * w2).astype(jnp.int32),
+                    lambda: jnp.int32(0))
+                gmL = b & 255
+                gmR = (b >> 8) & 255
+                # interior hit children push regardless of gm; gm>0 is
+                # only consulted for leaves (where it equals hit)
+                gmL = jnp.where(hitL, gmL | (rsL < 0).astype(jnp.int32),
+                                0)
+                gmR = jnp.where(hitR, gmR | (rsR < 0).astype(jnp.int32),
+                                0)
+                sga = jnp.where(axis == 0, sg[0],
+                                jnp.where(axis == 1, sg[1], sg[2]))
+                near_is_left = jnp.logical_xor(sga, flip == 1)
+                for is_near in (False, True):     # far first, near on top
+                    pick_left = (near_is_left if is_near
+                                 else jnp.logical_not(near_is_left))
+                    child = jnp.where(pick_left, left, right)
+                    gm = jnp.where(pick_left, gmL, gmR)
+                    rs_c = jnp.where(pick_left, rsL, rsR)
+                    hit = valid & (gm > 0)
+                    isleaf = rs_c >= 0
+                    push = hit & jnp.logical_not(isleaf)
+                    enq = hit & isleaf
+
+                    stack[jnp.where(push, sp, STACK_WAVE)] = child
+                    sp = sp + push.astype(jnp.int32)
+                    lslot = jnp.where(enq, pb + n_new, 2 * N_LEAF_MAX)
+                    lrow[lslot] = rs_c
+                    lgm[lslot] = gm
+                    n_new = n_new + enq.astype(jnp.int32)
+
+            def dstart(i, _):
+                mxu_dma(lrow[pb + i], pb + i).start()
+                return 0
+
+            jax.lax.fori_loop(0, n_new, dstart, 0)
+            return (sp, 1 - p, n_new, n_it + 1, n_enq + n_new,
+                    found, best_t, best_row, best_j)
+
+        out = jax.lax.while_loop(cond, body, init)
+        if DEBUG_COUNTERS:
+            return (out[5], out[3].astype(jnp.float32) + jnp.zeros(shape),
+                    out[7], out[4].astype(jnp.float32) + jnp.zeros(shape))
+        return out[5], out[6], out[7], out[8]
+
+    found, best_t, best_row, best_j = pl.run_scoped(
+        walk,
+        pltpu.SMEM((STACK_WAVE + 1,), jnp.int32),   # +1: dump slot
+        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32),
+        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32))
+
+    if DEBUG_COUNTERS:
+        return found, best_t, tuple(best_j for _ in resolve_cols)
+
+    attrs = _resolve_deferred(found, best_t, best_row, best_j,
+                              resolve_cols, rows_hbm, qbuf, sems,
+                              res_ctx, rpl, shape)
+    return found, best_t, attrs
+
+
+def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
+                      n_nodes, ox, oy, oz, dx, dy, dz, maxt, act,
+                      rpl=RPL, mxu_ctx=None):
+    """Wave-parallel packet any-hit (shadow) traversal — the
+    traverse_closest_wave scheme without ordering concerns: pop up to
+    WAVE nodes, one weighted group-mask reduce each, leaves into the
+    double-buffered table, occluded lanes drop out of the live mask so
+    later slab tests shrink.  Requires the MXU leaf stage.  Returns an
+    f32 0/1 occluded tile."""
+    assert mxu_ctx is not None, "wave traversal requires the MXU leaf stage"
+    shape = ox.shape
+    ix, iy, iz = _inv_dir(dx, dy, dz)
+    actf = act.astype(jnp.float32)
+    w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
+        jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+    feats = _ray_features_bf16(ox, oy, oz, dx, dy, dz)
+    mxu_dma, process_any = _make_mxu_any(mxu_ctx, rpl, feats, maxt, shape)
+
+    def walk(stack, lrow, lgm):
+        rs0, _, _, _ = _node_meta4(node_meta, 0)
+        root_leaf = rs0 >= 0
+
+        @pl.when(root_leaf)
+        def _():
+            lrow[0] = rs0
+            lgm[0] = jnp.int32(255)
+            mxu_dma(rs0, 0).start()
+
+        @pl.when(jnp.logical_not(root_leaf))
+        def _():
+            stack[0] = jnp.int32(0)
+
+        z = jnp.int32(0)
+        init = (jnp.where(root_leaf, 0, 1), z,
+                jnp.where(root_leaf, 1, 0), jnp.zeros(shape))
+
+        def cond(s):
+            return (s[0] > 0) | (s[2] > 0)
+
+        def body(s):
+            sp, p, c, occ = s
+            live = actf * (1.0 - occ)
+
+            npop = jnp.minimum(sp, jnp.int32(WAVE))
+            nodes = []
+            for k in range(WAVE):
+                idx = jnp.maximum(sp - 1 - k, 0)
+                nodes.append(jnp.where(k < npop, stack[idx],
+                                       jnp.int32(-1)))
+            sp = sp - npop
+
+            # ONE packed hit-bits reduce for the whole wave + lazy
+            # per-node group-mask reduces (see traverse_closest_wave)
+            infos = []
+            hitbits = jnp.zeros((1, 1), jnp.float32)
+            for k in range(WAVE):
+                nid = jnp.maximum(nodes[k], 0)
+                valid = nodes[k] >= 0
+                _, _, _, r3 = _node_meta4(node_meta, nid)
+                left = jnp.minimum(nid + 1, n_nodes - 1)
+                right = jnp.minimum(r3 >> 3, n_nodes - 1)
+                rsL = _node_rs(node_meta, left)
+                rsR = _node_rs(node_meta, right)
+                loL, hiL = _node_box(node_box, left)
+                loR, hiR = _node_box(node_box, right)
+                hmL, _ = _slab(loL, hiL, ox, oy, oz, ix, iy, iz, maxt)
+                hmR, _ = _slab(loR, hiR, ox, oy, oz, ix, iy, iz, maxt)
+                anyL = jnp.max(hmL * live, axis=1, keepdims=True)
+                anyR = jnp.max(hmR * live, axis=1, keepdims=True)
+                hL = jnp.max(anyL, axis=0, keepdims=True)
+                hR = jnp.max(anyR, axis=0, keepdims=True)
+                hitbits = hitbits + (hL + 2.0 * hR) * float(4 ** k)
+                infos.append((valid, left, right, rsL, rsR, anyL, anyR))
+
+            def pslot(i, occ):
+                slot = p * N_LEAF_MAX + i
+                return process_any(lrow[slot], lgm[slot], slot, occ)
+
+            occ = jax.lax.fori_loop(0, c, pslot, occ)
+
+            hb = jnp.sum(hitbits).astype(jnp.int32)
+            n_new = jnp.int32(0)
+            pb = (1 - p) * N_LEAF_MAX
+            for k in range(WAVE):
+                valid, left, right, rsL, rsR, anyL, anyR = infos[k]
+                hitL = ((hb >> (2 * k)) & 1) != 0
+                hitR = ((hb >> (2 * k + 1)) & 1) != 0
+                need_gm = valid & (
+                    (hitL & (rsL >= 0)) | (hitR & (rsR >= 0)))
+                b = jax.lax.cond(
+                    need_gm,
+                    lambda aL=anyL, aR=anyR: jnp.sum(
+                        (aL + 256.0 * aR) * w2).astype(jnp.int32),
+                    lambda: jnp.int32(0))
+                gmL = jnp.where(
+                    hitL, (b & 255) | (rsL < 0).astype(jnp.int32), 0)
+                gmR = jnp.where(
+                    hitR, ((b >> 8) & 255) | (rsR < 0).astype(jnp.int32),
+                    0)
+                for child, gm, rs_c in ((left, gmL, rsL),
+                                        (right, gmR, rsR)):
+                    hit = valid & (gm > 0)
+                    isleaf = rs_c >= 0
+                    push = hit & jnp.logical_not(isleaf)
+                    enq = hit & isleaf
+
+                    # branchless routing (see traverse_closest_wave)
+                    stack[jnp.where(push, sp, STACK_WAVE)] = child
+                    sp = sp + push.astype(jnp.int32)
+                    lslot = jnp.where(enq, pb + n_new, 2 * N_LEAF_MAX)
+                    lrow[lslot] = rs_c
+                    lgm[lslot] = gm
+                    n_new = n_new + enq.astype(jnp.int32)
+
+            def dstart(i, _):
+                mxu_dma(lrow[pb + i], pb + i).start()
+                return 0
+
+            jax.lax.fori_loop(0, n_new, dstart, 0)
+            return sp, 1 - p, n_new, occ
+
+        return jax.lax.while_loop(cond, body, init)[3]
+
+    occ = pl.run_scoped(
+        walk,
+        pltpu.SMEM((STACK_WAVE + 1,), jnp.int32),   # +1: dump slot
+        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32),
+        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32))
+    return occ * actf
 
 
 def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
@@ -1111,62 +1555,16 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
     traverse_closest.  ``mxu_ctx`` switches the leaf stage to the
     group-masked dot_general form (see traverse_closest)."""
     shape = ox.shape
-    eps = jnp.float32(1e-30)
-    ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
-                         jnp.where(dx >= 0, eps, -eps))
-    iy = 1.0 / jnp.where(jnp.abs(dy) > eps, dy,
-                         jnp.where(dy >= 0, eps, -eps))
-    iz = 1.0 / jnp.where(jnp.abs(dz) > eps, dz,
-                         jnp.where(dz >= 0, eps, -eps))
+    ix, iy, iz = _inv_dir(dx, dy, dz)
     actf = act.astype(jnp.float32)
 
     mxu = mxu_ctx is not None
     if mxu:
-        mxu_hbm, mqbuf, msems = mxu_ctx
-        TL = PACK * rpl
-        rpl_sh = int(np.log2(rpl))
-        subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
-        # per-group (4, 128) bf16 hi/lo feature tiles — see
-        # traverse_closest (the lane-flattening reshape was the
-        # dominant per-packet fixed cost)
-        one_r = jnp.ones((1, LANES), jnp.float32)
-        zero_r = jnp.zeros((1, LANES), jnp.float32)
-
-        def bsplit(x):
-            h = x.astype(jnp.bfloat16)
-            return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        ray_oh, ray_ol, ray_dh, ray_dl = [], [], [], []
-        for _s in range(SUB):
-            og = jnp.concatenate(
-                [ox[_s:_s + 1, :], oy[_s:_s + 1, :], oz[_s:_s + 1, :],
-                 one_r], axis=0)
-            dg = jnp.concatenate(
-                [dx[_s:_s + 1, :], dy[_s:_s + 1, :], dz[_s:_s + 1, :],
-                 zero_r], axis=0)
-            h, l = bsplit(og)
-            ray_oh.append(h)
-            ray_ol.append(l)
-            h, l = bsplit(dg)
-            ray_dh.append(h)
-            ray_dl.append(l)
-
         w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
             jnp.int32, (SUB, 1), 0).astype(jnp.float32)
-
-        def mm3(ah, al, rh, rl):
-            dn = (((0,), (0,)), ((), ()))
-            kw = dict(dimension_numbers=dn,
-                      preferred_element_type=jnp.float32)
-            return (jax.lax.dot_general(ah, rh, **kw)
-                    + jax.lax.dot_general(ah, rl, **kw)
-                    + jax.lax.dot_general(al, rh, **kw))
-
-        def mxu_dma(row_start, slot):
-            mrow = pl.multiple_of((row_start >> rpl_sh) * 8, 8)
-            return pltpu.make_async_copy(
-                mxu_hbm.at[pl.ds(mrow, 8)],
-                mqbuf.at[pl.ds(slot * 8, 8)], msems.at[slot])
+        feats = _ray_features_bf16(ox, oy, oz, dx, dy, dz)
+        mxu_dma, process_mxu = _make_mxu_any(
+            mxu_ctx, rpl, feats, maxt, shape)
 
     def process(row_start, cnt, slot, occ):
         pltpu.make_async_copy(
@@ -1186,41 +1584,6 @@ def traverse_any(node_box, node_meta, rows_hbm, qbuf, sems,
 
         return jax.lax.fori_loop(
             0, cnt, tri_body, (occ, jnp.int32(0), jnp.int32(0)))[0]
-
-    def process_mxu(row_start, gmask, slot, occ):
-        """Per-group masked bf16x3 leaf test for shadow rays (see
-        traverse_closest.process_mxu)."""
-        mxu_dma(row_start, slot).wait()
-        block = mqbuf[pl.ds(slot * 8, 8), :]            # (8, W)
-        bh = block.astype(jnp.bfloat16)
-        bl = (block - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def group(s, occ):
-            def run(occ):
-                out_o = mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
-                out_d = mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
-                num = out_o[0 * TL:1 * TL]
-                den = out_d[0 * TL:1 * TL]
-                okd = jnp.abs(den) > DET_EPS
-                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
-                                         approx=False)
-                u = out_o[1 * TL:2 * TL] + t * out_d[1 * TL:2 * TL]
-                v = out_o[2 * TL:3 * TL] + t * out_d[2 * TL:3 * TL]
-                mt_s = maxt[s:s + 1, :]
-                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > 0.0) & (t <= mt_s))
-                anyh = jnp.max(hit.astype(jnp.float32), axis=0,
-                               keepdims=True)           # (1, 128)
-                return jnp.where(subsel == s,
-                                 jnp.maximum(occ, jnp.broadcast_to(
-                                     anyh, shape)), occ)
-
-            return jax.lax.cond(((gmask >> s) & 1) != 0, run,
-                                lambda o: o, occ)
-
-        for s in range(SUB):
-            occ = group(s, occ)
-        return occ
 
     NQ = (3 if mxu else 2) * QUEUE
 
@@ -1328,17 +1691,21 @@ def _tile(x, n_pad, rows, fill=0.0):
 
 
 @partial(jax.jit,
-         static_argnames=("n_nodes", "interpret", "rpl", "batch"))
+         static_argnames=("n_nodes", "interpret", "rpl", "batch",
+                          "wave"))
 def packet_closest_hit(node_box, node_meta, rows_hbm,
                        o, d, maxt, active, n_nodes: int,
                        interpret: bool = False,
                        rpl: int = RPL, batch: int = BATCH,
-                       mxu_rows=None, res_rows=None):
+                       mxu_rows=None, res_rows=None,
+                       wave: bool = None):
     """Standalone closest-hit wavefront query: (N,3) rays -> (t (N,),
     prim (N,) i32).  Misses return t = inf (scene.cpp:181).
     ``mxu_rows`` (pack_mxu_rows output) switches the leaf stage to the
     MXU dot_general form; ``res_rows`` (pack_resolve_rows output)
-    switches the face-id resolve to the one-hot matmul form."""
+    switches the face-id resolve to the one-hot matmul form; ``wave``
+    (default: USE_WAVE when the MXU stage is on) selects the
+    wave-parallel walk (traverse_closest_wave)."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
     rows = n_pad // LANES
@@ -1348,6 +1715,10 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
     mxu = mxu_rows is not None
     res = res_rows is not None
+    if wave is None:
+        wave = USE_WAVE and mxu
+    wave = wave and mxu
+    n_slots = 2 * N_LEAF_MAX if wave else QUEUE
 
     def kernel(box_ref, meta_ref, rows_ref, *args):
         if mxu:
@@ -1365,11 +1736,17 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
             args = args[2:]
         if res:
             rctx = (res_ref, args[0], args[1])
-        found, best_t, (fid,) = traverse_closest(
-            box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
-            ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx,
-            res_ctx=rctx)
+        if wave:
+            found, best_t, (fid,) = traverse_closest_wave(
+                box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
+                ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
+                act[:] > 0.5, rpl=rpl, mxu_ctx=mctx, res_ctx=rctx)
+        else:
+            found, best_t, (fid,) = traverse_closest(
+                box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
+                ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
+                act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx,
+                res_ctx=rctx)
         if DEBUG_COUNTERS:
             t_ref[:] = best_t      # walk iterations (per-packet)
             fid_ref[:] = fid       # leaf enqueues (per-packet)
@@ -1388,8 +1765,9 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     ]
     extra_in = []
     if mxu:
-        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
-                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((n_slots,))]
         extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
     if res:
         scratch += [pltpu.VMEM((2 * RES_COLS, res_width(rpl)),
@@ -1422,12 +1800,13 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
 
 
 @partial(jax.jit,
-         static_argnames=("n_nodes", "interpret", "rpl", "batch"))
+         static_argnames=("n_nodes", "interpret", "rpl", "batch",
+                          "wave"))
 def packet_any_hit(node_box, node_meta, rows_hbm,
                    o, d, maxt, active, n_nodes: int,
                    interpret: bool = False,
                    rpl: int = RPL, batch: int = BATCH,
-                   mxu_rows=None):
+                   mxu_rows=None, wave: bool = None):
     """Standalone any-hit query -> occluded (N,) bool (scene.cpp:203)."""
     n = o.shape[0]
     n_pad = -(-n // R_TILE) * R_TILE
@@ -1437,6 +1816,10 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
                             memory_space=pltpu.VMEM)
     maxt_t = jnp.broadcast_to(jnp.asarray(maxt, jnp.float32), (n,))
     mxu = mxu_rows is not None
+    if wave is None:
+        wave = USE_WAVE and mxu
+    wave = wave and mxu
+    n_slots = 2 * N_LEAF_MAX if wave else QUEUE
 
     def kernel(box_ref, meta_ref, rows_ref, *args):
         if mxu:
@@ -1447,10 +1830,16 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
         mctx = None
         if mxu:
             mctx = (mxu_ref, args[11], args[12])
-        occ_ref[:] = traverse_any(
-            box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
-            ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
-            act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx)
+        if wave:
+            occ_ref[:] = traverse_any_wave(
+                box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
+                ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
+                act[:] > 0.5, rpl=rpl, mxu_ctx=mctx)
+        else:
+            occ_ref[:] = traverse_any(
+                box_ref, meta_ref, rows_ref, qbuf, sems, n_nodes,
+                ox[:], oy[:], oz[:], dx[:], dy[:], dz[:], mt[:],
+                act[:] > 0.5, rpl=rpl, batch=batch, mxu_ctx=mctx)
 
     # in MXU mode the any-hit leaf stage reads mqbuf only — the SMEM
     # leaf-row queue is dead code; shrink it so large-leaf configs
@@ -1462,8 +1851,9 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
     ]
     extra_in = []
     if mxu:
-        scratch += [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
-                    pltpu.SemaphoreType.DMA((QUEUE,))]
+        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((n_slots,))]
         extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
     occ = pl.pallas_call(
         kernel,

@@ -13,7 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# tests run on the CPU backend: keep their compile cache SEPARATE from
+# the TPU tunnel's — artifacts written via the tunnel's remote-compile
+# service carry the server's CPU feature set and SIGABRT when loaded in
+# a local CPU process (observed round 4)
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 # NOTE: the env var JAX_PLATFORMS is pinned to "axon" (the TPU tunnel) by the
