@@ -13,12 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# tests run on the CPU backend: keep their compile cache SEPARATE from
-# the TPU tunnel's — artifacts written via the tunnel's remote-compile
-# service carry the server's CPU feature set and SIGABRT when loaded in
-# a local CPU process (observed round 4)
-os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu"
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+# tests run on the CPU backend with the persistent compile cache OFF:
+# XLA:CPU AOT cache artifacts are stamped with compile-time machine
+# features (+prefer-no-scatter etc.) that do not reliably match at load
+# time, which SIGABRT/SIGSEGVs the process (observed round 4, twice).
+# The TPU-path cache (mitsuba_tpu/__init__.py) is unaffected.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 # NOTE: the env var JAX_PLATFORMS is pinned to "axon" (the TPU tunnel) by the
 # environment's sitecustomize *before* any user code runs, so it can't be
