@@ -108,6 +108,17 @@ def main():
     t_anyhit(ps, ds, jnp.full((n,), 0.35), "anyhit bounce sorted (mxu)")
     t_anyhit(p, d2, jnp.full((n,), 0.35), "anyhit bounce unsorted (mxu)")
 
+    # REAL shadow-ray shape: origins at the sorted hit points, direction
+    # toward the ceiling light, maxt = full segment length — long
+    # segments overlap far more nodes than the 0.35-maxt probe above
+    # (the in-kernel NEE any-hit is this case)
+    lt = jnp.asarray(scene.scene_center) + jnp.asarray([0.0, 0.0, 1.2])
+    sd = lt[None, :] - ps
+    sdist = jnp.sqrt(jnp.maximum(jnp.sum(sd * sd, -1), 1e-12))
+    sd = sd / sdist[:, None]
+    t_anyhit(ps, sd, sdist * (1 - 1e-3),
+             "anyhit shadow-to-light sorted")
+
     # sort step alone (key + argsort + (N,18) packed gather)
     def sort_step(st_p, st_d):
         st = (st_p[:, 0], st_p[:, 1], st_p[:, 2],

@@ -299,8 +299,24 @@ class MegakernelPathIntegrator:
         idx = jnp.arange(n, dtype=jnp.int32)
         env_nee = (_env_nee_table(scene, lane, seed, self.max_depth)
                    if env_pos >= 0 else None)
+        # depth 0: the dynamic sort key degenerates for primary rays
+        # (all origins share the camera cell, so it orders by direction
+        # octant while KEEPING the thin pixel-major strips) — a static
+        # Morton shuffle of the pixel order instead gives each packet a
+        # ~4x4-pixel tile and much tighter frusta (PERF.md round-1:
+        # ~10x between tight and loose packets).  Lane ids ride the
+        # permutation, so the image is unchanged.
+        film = scene.sensor.film
+        mperm = _morton_perm(film.width, film.height, n)
+        skip_first_sort = mperm is not None
+        if skip_first_sort:
+            mp = jnp.asarray(mperm)
+            state = tuple(x[mp] for x in state)
+            lane_c = lane_c[mp]
+            idx = idx[mp]
         for depth in range(self.max_depth):
-            if depth % max(self.sort_every, 1) == 0:
+            if (depth % max(self.sort_every, 1) == 0
+                    and not (depth == 0 and skip_first_sort)):
                 key = _bounce_sort_key(state, center, inv_r)
                 perm = _sort_perm(key, n, self.fast_sort)
                 # ONE contiguous row gather instead of 18 independent
