@@ -281,6 +281,33 @@ def test_octree_guiding_distribution():
     assert abs(mean[0] - 0.8) < 0.15 and abs(mean[1] - 0.2) < 0.15
 
 
+def test_octree_guided_integration_unbiased():
+    """Guided MC through OcSpaceDistr reproduces a known integral
+    (round-4 addition after the depth-3 tail investigation: the
+    component itself is unbiased; heavy INTEGRAND tails, not the
+    octree, are what starve guided boundary estimates)."""
+    from mitsuba_tpu.core import rng
+    from mitsuba_tpu.models.integrators.guiding import OcSpaceDistr
+
+    def g(p):
+        a = jnp.exp(-80.0 * jnp.sum((p - 0.2) ** 2, -1))
+        return 3.0 * a + p[:, 0]
+
+    rng_np = np.random.default_rng(0)
+    truth = float(jnp.mean(g(jnp.asarray(
+        rng_np.random((500_000, 3), np.float32)))))
+    pts_w = jnp.asarray(rng_np.random((32768, 3), np.float32))
+    oc = OcSpaceDistr.create_from_samples(pts_w, g(pts_w))
+    lane = jnp.arange(1 << 18, dtype=jnp.int32)
+    s = jnp.uint32(5)
+    u1 = rng.sample_1d(s, lane, jnp.int32(11))
+    u3 = jnp.stack([rng.sample_1d(s, lane, jnp.int32(12 + k))
+                    for k in range(3)], -1)
+    q, pdf = oc.sample(u1, u3)
+    est = float(jnp.mean(g(q) / jnp.maximum(pdf, 1e-12)))
+    assert abs(est - truth) < 0.01 * max(truth, 1e-3), (est, truth)
+
+
 @pytest.mark.slow
 def test_octree_guided_shadow_gradient():
     """Octree-guided indirect boundary sampling agrees with uniform and
