@@ -310,10 +310,16 @@ class MegakernelPathIntegrator:
         mperm = _morton_perm(film.width, film.height, n)
         skip_first_sort = mperm is not None
         if skip_first_sort:
+            # ONE packed row gather, not 18 independent ones (TPU
+            # gathers pay per-row DMA setup — PERF.md round-2 lesson)
             mp = jnp.asarray(mperm)
-            state = tuple(x[mp] for x in state)
-            lane_c = lane_c[mp]
-            idx = idx[mp]
+            bc = jax.lax.bitcast_convert_type
+            packed = jnp.stack(
+                state + (bc(lane_c, jnp.float32),
+                         bc(idx, jnp.float32)), axis=1)[mp]
+            state = tuple(packed[:, i] for i in range(16))
+            lane_c = bc(packed[:, 16], jnp.int32)
+            idx = bc(packed[:, 17], jnp.int32)
         for depth in range(self.max_depth):
             if (depth % max(self.sort_every, 1) == 0
                     and not (depth == 0 and skip_first_sort)):
