@@ -945,16 +945,17 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
                                                build_packet_bvh)
 
             # MXU leaf stage (round 3): one dot_general tests a whole
-            # leaf per sublane group, so large leaves are cheap and the
-            # serial node walk shrinks.  rpl=32 (128-tri leaves) is the
-            # round-4 sweet spot — the one-hot resolve made leaf size
-            # nearly free, so fewer walk iterations win (PERF.md).
-            # Larger rpl only when the node table would overflow SMEM:
-            # rpl=64 (256-tri leaves) carries ~1.2M triangles, rpl=128
-            # (512-tri leaves) ~2.4M — the MXU leaf stage keeps big
-            # leaves cheap, so capacity costs a modest constant factor
-            # rather than a fallback cliff (round-3 verdict missing #3).
-            for rpl in (32, 64, 128):
+            # leaf per sublane group.  rpl=16 (64-tri leaves) is the
+            # round-4 sweet spot UNDER THE WAVE WALK (PERF.md sweep:
+            # 8 -> 0.842, 16 -> 0.900, 32 -> 0.880, 64 -> 0.737 Mray/s
+            # full path @ 82k tris) — waves retire several node visits
+            # per sync, so the walk no longer dominates and smaller
+            # leaves cut the leaf-stage matmul volume.  Larger rpl only
+            # when the node table would overflow SMEM: rpl=64 carries
+            # ~1.2M triangles, rpl=128 (512-tri leaves) ~2.4M — leaf
+            # capacity costs a modest constant factor rather than a
+            # fallback cliff (round-3 verdict missing #3).
+            for rpl in (16, 32, 64, 128):
                 if 2.2 * len(faces_np) / (PACK * rpl) > MAX_NODES:
                     continue   # predicted overflow: skip the build
                 pa = build_packet_bvh(verts_np, faces_np, rpl=rpl,
