@@ -20,6 +20,18 @@ from mitsuba_tpu.ops.pallas.traverse import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _fresh_jax_caches():
+    """Clear JAX's in-process caches before each test in this file —
+    the XLA:CPU compiler segfaults compiling the largest interpret-mode
+    megakernels late in a full-suite run (reproducible after ~300 prior
+    tests, never standalone; observed three times round 4).  The
+    reference suite flushes JIT caches between tests for the same class
+    of reason (src/conftest.py:45-63 clean_up)."""
+    jax.clear_caches()
+    yield
+
+
 def _random_soup(F, seed=0):
     rng = np.random.default_rng(seed)
     c = rng.random((F, 3), np.float32) * 2 - 1
