@@ -178,6 +178,16 @@ class MegakernelPathIntegrator:
         if not brute and not megakernel_bvh_applicable(scene):
             if self.strict:
                 raise ValueError("scene outside megakernel plugin subset")
+            # surface the ~order-of-magnitude cliff instead of silently
+            # eating it (round-3 verdict weak #4) — the common trigger
+            # is a non-independent sampler, whose stream the in-kernel
+            # RNG cannot replay (README "megakernel subset")
+            from ...utils.logging import Info, log
+
+            log(Info,
+                "megapath: scene outside the megakernel plugin subset "
+                "— falling back to the wavefront PathIntegrator "
+                "(~10-50x slower; set strict=True to raise instead)")
             return PathIntegrator(
                 max_depth=self.max_depth, rr_depth=self.rr_depth
             ).sample(scene, ray, lane, seed, active)
