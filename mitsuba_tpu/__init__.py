@@ -35,8 +35,9 @@ if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     # (tests/conftest.py uses /tmp/jax_cache_cpu).
     import jax as _jax
 
-    if "cpu" not in (_jax.config.jax_platforms or
-                     _os.environ.get("JAX_PLATFORMS", "")):
+    _plats = (_jax.config.jax_platforms or
+              _os.environ.get("JAX_PLATFORMS", ""))
+    if any(p in _plats for p in ("tpu", "axon")):
         _jax.config.update("jax_compilation_cache_dir",
                            _os.environ["JAX_COMPILATION_CACHE_DIR"])
         _jax.config.update(

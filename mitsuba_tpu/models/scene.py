@@ -971,7 +971,7 @@ def make_scene(meshes, bsdfs, emitters, sensor, use_bvh=None,
 
                 log(Warn,
                     "scene has %d triangles — packet-BVH node table "
-                    "would exceed the SMEM budget even at 256-triangle "
+                    "would exceed the SMEM budget even at 512-triangle "
                     "leaves; falling back to the pure-JAX traversal "
                     "(much slower)", len(faces_np))
 

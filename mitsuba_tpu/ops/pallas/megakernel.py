@@ -136,6 +136,21 @@ def _rng1(seed_x, lane, dim):
 
 # ------------------------------------------------------------ scene packing
 
+_warned_inelig = set()
+
+
+def _log_inelig(msg: str) -> bool:
+    """Log (once per distinct reason) why a scene falls off a megakernel
+    fast path — the eligibility cliff costs ~3-10x and used to be silent
+    (round-4 verdict weak #9).  Returns False for use in return sites."""
+    if msg not in _warned_inelig:
+        _warned_inelig.add(msg)
+        from ...utils.logging import Info, log
+
+        log(Info, "megakernel eligibility: %s", msg)
+    return False
+
+
 def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
     """Shared plugin-set gate for both megakernels: diffuse (constant
     or small-bitmap textured) / conductor / dielectric / GGX rough
@@ -214,11 +229,21 @@ def _plugin_subset_ok(scene, allow_tex: bool = True) -> bool:
         if isinstance(b, SmoothDiffuse):
             if isinstance(b.reflectance, BitmapTexture):
                 d = b.reflectance.data
-                if not allow_tex or d.ndim != 3 or d.shape[2] != 3:
-                    return False
+                if not allow_tex:
+                    return _log_inelig(
+                        "bitmap texture present but this accel variant "
+                        "carries no uv resolve rows (BVH kernel needs "
+                        "the MXU layout) — wavefront fallback")
+                if d.ndim != 3 or d.shape[2] not in (1, 3):
+                    return _log_inelig(
+                        f"bitmap texture shape {tuple(d.shape)} "
+                        "unsupported in-kernel (need (H,W,1) or "
+                        "(H,W,3)) — wavefront fallback")
                 tex_total += int(d.shape[0]) * int(d.shape[1]) * 3
                 if tex_total > MAX_TEX_FLOATS:
-                    return False
+                    return _log_inelig(
+                        f"bitmap textures exceed the {MAX_TEX_FLOATS}"
+                        "-float VMEM table budget — wavefront fallback")
             elif not isinstance(b.reflectance, ConstantTexture):
                 return False
         elif isinstance(b, SmoothConductor):
@@ -317,9 +342,14 @@ def pack_scene(scene):
                                BitmapTexture)):
             t = b.reflectance
             H, W = int(t.data.shape[0]), int(t.data.shape[1])
-            # channel-planar: R plane | G plane | B plane
+            # channel-planar: R plane | G plane | B plane; grayscale
+            # (H,W,1) broadcasts to three identical planes so the
+            # kernel keeps its fixed RGB layout
+            td = t.data
+            if td.shape[2] == 1:
+                td = jnp.broadcast_to(td, (H, W, 3))
             tex_planes.append(
-                jnp.transpose(t.data, (2, 0, 1)).reshape(-1))
+                jnp.transpose(td, (2, 0, 1)).reshape(-1))
             rows.append(jnp.concatenate([
                 jnp.ones(3), jnp.asarray([BSDF_TEX_DIFFUSE]),
                 jnp.asarray([float(tex_off), float(W), float(H),

@@ -230,6 +230,13 @@ def build_packet_bvh(verts_np, faces_np, rpl: int = RPL,
     # refit metadata: per-slot vertex ids (padding -> vertex 0, masked)
     # + the bottom-up level sweep (refit_packet_bvh)
     leaf_nodes, levels = _refit_levels(count, miss)
+    # the traversal kernels size their stacks for depth <= 96 (ordered
+    # walk STACK, wave walk STACK_WAVE ~ WAVE * depth); SAH trees at the
+    # MAX_NODES cap stay well under it — enforce rather than assume
+    if len(levels) >= 95:
+        raise ValueError(
+            f"BVH depth {len(levels) + 1} exceeds the traversal stack "
+            "bound (96); increase the leaf size (rpl)")
     slot_tri = np.where(perm < 0, 0, perm)
     vids = np.asarray(faces_np, np.int64)[slot_tri]      # (nl*tb, 3)
     valid = (perm >= 0)
@@ -1376,7 +1383,11 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                     rs_c = jnp.where(pick_left, rsL, rsR)
                     hit = valid & (gm > 0)
                     isleaf = rs_c >= 0
-                    push = hit & jnp.logical_not(isleaf)
+                    # overflow clamp: a degenerate tree violating the
+                    # depth<=96 build invariant routes to the dump slot
+                    # (bounded miss) instead of writing out of bounds
+                    push = (hit & jnp.logical_not(isleaf)
+                            & (sp < STACK_WAVE))
                     enq = hit & isleaf
 
                     stack[jnp.where(push, sp, STACK_WAVE)] = child
@@ -1518,7 +1529,8 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                                         (right, gmR, rsR)):
                     hit = valid & (gm > 0)
                     isleaf = rs_c >= 0
-                    push = hit & jnp.logical_not(isleaf)
+                    push = (hit & jnp.logical_not(isleaf)
+                            & (sp < STACK_WAVE))
                     enq = hit & isleaf
 
                     # branchless routing (see traverse_closest_wave)

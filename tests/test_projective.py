@@ -489,7 +489,7 @@ def _two_bounce_shadow_scene(bx=0.0):
     "+0.13).  The depth-2 connection correctly vanishes on the delta "
     "mirror vertex (ad2 = 0 exactly).  Needs the reference's clamped/"
     "guided boundary sampling before the depth-3 FD bar can be met.",
-    strict=False)
+    strict=True)
 def test_depth3_shadow_boundary_matches_fd():
     """Indirect visibility boundary observed through TWO extra bounces
     (round 4: arbitrary-depth camera prefixes, ref
