@@ -64,17 +64,71 @@ def cpu_probe():
                       "cpu_spread": (times[-1] - times[0]) / dt}))
 
 
-def measure_cpu_baseline():
+def _big_scene(width, height, subdiv=6):
+    """Cornell box + subdivided icosphere (~82k tris) — the PERF.md
+    large-scene workload (examples/bench_bvh.py)."""
+    import numpy as np
+
+    from mitsuba_tpu.core import transform as tf
+    from mitsuba_tpu.models.scene import make_scene
+    from mitsuba_tpu.models.shapes import Mesh, sphere_mesh
+    from mitsuba_tpu.utils.scenes import cornell_box
+
+    base = cornell_box(width=width, height=height)
+    v, f, n, uv = sphere_mesh(
+        subdiv, np.asarray(tf.compose(tf.translate([0.3, 0.2, 0.2]),
+                                      tf.scale(0.35))))
+    ball = Mesh.make(v, f, normals=n, uvs=uv, bsdf_index=0, id="ball")
+    meshes = list(base.meshes) + [ball]
+    return make_scene(meshes, list(base.bsdfs), list(base.emitters),
+                      base.sensor)
+
+
+def cpu_probe_large():
+    """82k-triangle interior on the host CPU (XLA-CPU wavefront path
+    over the pure-JAX BVH) — the at-scale anchor the round-4 verdict
+    asked for (missing #2): vs_baseline existed only for the Cornell
+    box, exactly where 'beats the reference platform' was least in
+    doubt.  Reduced film; rays/s is size-independent to first order."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.models.integrators.common import _render_pass
+    from mitsuba_tpu.models.integrators.path import PathIntegrator
+
+    width = height = 32
+    spp = 4
+    scene = _big_scene(width, height)
+    integrator = PathIntegrator(max_depth=6, rr_depth=5)
+
+    @jax.jit
+    def one_pass(seed):
+        return _render_pass(scene, integrator, seed, spp, spp, 0)
+
+    one_pass(jnp.uint32(0)).block_until_ready()
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        one_pass(jnp.uint32(r)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    print(json.dumps({"cpu_rays_per_s": width * height * spp / dt,
+                      "cpu_spread": (times[-1] - times[0]) / dt}))
+
+
+def measure_cpu_baseline(flag="--cpu-probe", reps=2):
     """Run the CPU probe in TWO subprocesses (round-4 bench rigor: a
     single-run anchor made vs_baseline +-15% noise); returns the mean
     of the two medians, or 0.0."""
     vals = []
-    for _ in range(2):
+    for _ in range(reps):
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--cpu-probe"],
-                capture_output=True, text=True, timeout=900,
+                [sys.executable, os.path.abspath(__file__), flag],
+                capture_output=True, text=True, timeout=1800,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             for line in out.stdout.splitlines():
@@ -137,7 +191,40 @@ def main():
     rays = width * height * spp
     rays_per_s = rays / dt
 
-    cpu, cpu_spread = measure_cpu_baseline()
+    # ---- at-scale measurement (82k-triangle interior, packet-BVH
+    # sorted per-bounce pipeline) + its own CPU anchor ----
+    large = {}
+    try:
+        width_l = height_l = 256
+        spp_l = 16
+        scene_l = _big_scene(width_l, height_l)
+        integrator_l = MegakernelPathIntegrator(max_depth=6, rr_depth=5)
+
+        @jax.jit
+        def one_pass_l(seed):
+            return _render_pass(scene_l, integrator_l, seed, spp_l,
+                                spp_l, 0)
+
+        one_pass_l(jnp.uint32(0)).block_until_ready()
+        times_l = []
+        for r in range(5):
+            t0 = time.perf_counter()
+            one_pass_l(jnp.uint32(r)).block_until_ready()
+            times_l.append(time.perf_counter() - t0)
+        times_l.sort()
+        dt_l = times_l[len(times_l) // 2]
+        rays_l = width_l * height_l * spp_l / dt_l
+        cpu_l, cpu_l_spread = measure_cpu_baseline("--cpu-probe-large")
+        large = {
+            "value_large": rays_l,
+            "tris_large": sum(int(m.faces.shape[0])
+                              for m in scene_l.meshes),
+            "vs_baseline_large": (rays_l / cpu_l) if cpu_l > 0 else 0.0,
+            "cpu_anchor_spread_large": cpu_l_spread,
+        }
+    except Exception as e:           # the headline must still print
+        large = {"value_large": 0.0, "large_error": repr(e)[:200]}
+
     print(json.dumps({
         "metric": "rays/s/chip (Cornell box, path spp=64, max_depth=6)",
         "value": rays_per_s,
@@ -150,11 +237,16 @@ def main():
         # reference renderer unbuildable here — see BASELINE.md
         "vs_baseline": (rays_per_s / cpu) if cpu > 0 else 0.0,
         "cpu_anchor_spread": cpu_spread,
+        # same protocol at scene scale: 82k-tri interior, full path,
+        # TPU packet-BVH pipeline vs XLA-CPU wavefront on this host
+        **large,
     }))
 
 
 if __name__ == "__main__":
-    if "--cpu-probe" in sys.argv:
+    if "--cpu-probe-large" in sys.argv:
+        cpu_probe_large()
+    elif "--cpu-probe" in sys.argv:
         cpu_probe()
     else:
         main()

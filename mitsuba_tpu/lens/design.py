@@ -301,7 +301,7 @@ class DesignProblem:
 
     def optimize(self, fixed_efl=None, verbose=False, lr_overrides=None,
                  callback=None, train_keys=None, checkpoint_path=None,
-                 checkpoint_every=10):
+                 checkpoint_every=10, split_jits=None):
         """Adam loop (design_problem.py:495-586).  ``fixed_efl``: hold the
         effective focal length by solving the rear surface per step
         (ConstrainedEFLProblem, :656).  ``lr_overrides``: per-parameter
@@ -315,7 +315,16 @@ class DesignProblem:
         ``checkpoint_path``: resumable optimization via
         utils.elastic.CheckpointedLoop — a killed run continues from
         the last saved (params, opt state, step); seeds derive from the
-        step index so the resumed trajectory is identical."""
+        step index so the resumed trajectory is identical.
+        ``split_jits``: compile ONE value_and_grad per sensor and
+        accumulate gradients host-side instead of jitting the summed
+        loss — mathematically identical (the loss is a mean of
+        per-sensor terms and grad distributes over the sum), but each
+        compile request is ~1/num_sensors the graph, which keeps
+        many-surface problems under remote-compile duration caps
+        (PERF.md round-4: the 22-surface Nikon grad graph as one jit
+        exceeded the tunnel's cap four times).  Default: on when there
+        is more than one sensor."""
         p = self.params()
         if fixed_efl is not None:
             p.pop("lens0_c", None)
@@ -329,7 +338,7 @@ class DesignProblem:
                       if k not in train_keys}
             p = {k: p[k] for k in train_keys}
 
-        def loss_fn(p, seed):
+        def full_params(p):
             p = {**frozen, **p}
             if fixed_efl is not None:
                 ls = self.apply_params(p)
@@ -337,9 +346,39 @@ class DesignProblem:
                 p = dict(p)
                 p["lens0_c"] = rear["c"]
                 p["lens0_z0"] = rear["z0"]
-            return self.loss(p, seed)
+            return p
 
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        def loss_fn(p, seed):
+            return self.loss(full_params(p), seed)
+
+        n_sens = len(self.sensors)
+        if split_jits is None:
+            split_jits = n_sens > 1
+        if split_jits:
+            def loss_si(p, seed, si):
+                pf = full_params(p)
+                scene, _ = self.scene_for(pf, si)
+                img = render(scene, seed=seed, spp=self.spp)
+                return self.loss_scale * rms_loss(img) / n_sens
+
+            grad_fns = [
+                jax.jit(jax.value_and_grad(
+                    lambda p, seed, si=si: loss_si(p, seed, si)))
+                for si in range(n_sens)
+            ]
+
+            def grad_fn(p, seed):
+                val, g = None, None
+                for fn in grad_fns:
+                    v, gi = fn(p, seed)
+                    if g is None:
+                        val, g = v, gi
+                    else:
+                        val = val + v
+                        g = jax.tree_util.tree_map(jnp.add, g, gi)
+                return val, g
+        else:
+            grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         opt = Adam(lr=self.lr)
         if lr_overrides:
             opt.set_learning_rate(lr_overrides)

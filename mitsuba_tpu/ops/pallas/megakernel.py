@@ -1899,8 +1899,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          res_rows=None):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
-    from .traverse import (BATCH, N_LEAF_MAX, PACK, QUEUE, RES_COLS,
-                           RPL, USE_WAVE, mxu_width,
+    from .traverse import (BATCH, PACK, QUEUE, RES_COLS,
+                           RPL, USE_WAVE, mxu_scratch_shapes,
                            res_width)
 
     rpl = RPL if rpl is None else rpl
@@ -1943,10 +1943,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     extra_in = []
     extra_args = []
     if mxu:
-        n_slots = 2 * N_LEAF_MAX if USE_WAVE else QUEUE
-        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
-                               jnp.float32),
-                    pltpu.SemaphoreType.DMA((n_slots,))]
+        scratch += mxu_scratch_shapes(rpl, USE_WAVE)
         extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
         extra_args += [mxu_rows]
     if res:
@@ -2173,8 +2170,8 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     """One sorted-pipeline bounce over flat (N,) state arrays.  ``state``
     is the 16-tuple of (N,) float arrays matching _bounce_step (act as
     f32 0/1); ``env_nee_d`` is this depth's (N, 8) envmap NEE slice."""
-    from .traverse import (BATCH, N_LEAF_MAX, PACK, QUEUE, RES_COLS,
-                           RPL, USE_WAVE, mxu_width,
+    from .traverse import (BATCH, PACK, QUEUE, RES_COLS,
+                           RPL, USE_WAVE, mxu_scratch_shapes,
                            res_width)
 
     rpl = RPL if rpl is None else rpl
@@ -2231,10 +2228,7 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     extra_in = []
     extra_args = []
     if mxu:
-        n_slots = 2 * N_LEAF_MAX if USE_WAVE else QUEUE
-        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
-                               jnp.float32),
-                    pltpu.SemaphoreType.DMA((n_slots,))]
+        scratch += mxu_scratch_shapes(rpl, USE_WAVE)
         extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
         extra_args += [mxu_rows]
     if res:

@@ -509,12 +509,63 @@ QUEUE = 4      # leaf DMA queue depth (ring)
 # pop up to WAVE stack entries per iteration, slab-test all their
 # children and issue ALL per-node group-mask reduces back to back, so
 # ONE sync retires up to WAVE node visits.  Hit leaf children enqueue
-# into a double-buffered leaf table at discovery (they never occupy a
-# wave slot); the previous wave's leaf DMAs are processed while this
-# wave's reduces are in flight, which both hides the DMA latency and
-# gives the reduces time to land before their scalar decode.
-WAVE = 8           # stack pops per wave
-N_LEAF_MAX = 16    # leaf discoveries per wave (2 children x WAVE)
+# into a leaf-batch ARENA at discovery (they never occupy a wave
+# slot); full batches of K leaves are intersected with ONE MXU call
+# set per active group while the next wave's reduces are in flight,
+# which both hides the DMA latency and gives the reduces time to land
+# before their scalar decode.
+import os as _os
+
+WAVE = int(_os.environ.get("MITSUBA_TPU_WAVE", "8"))
+# stack pops per wave; the 2-bit hit encode is exact to 4^WAVE - 1,
+# so WAVE <= 12 (2^24 - 1, the f32 integer limit).  Round-5 hardware
+# sweep (PERF.md): WAVE=12 measured ~6% SLOWER than 8 on sorted bounce
+# closest-hit — beyond ~8 the extra empty-slot slab work outweighs the
+# sync amortization — so the round-4 default stands.
+assert WAVE <= 12
+# ---- leaf-batch arena (round 5) ----
+# The round-4 leaf stage issued one 6-matmul set per (leaf, active
+# group); at ~1.5 us per enqueue the stage was CALL-count bound, not
+# MAC bound (PERF.md round-4 decomposition: ~50 of 109 ms closest-hit).
+# Discovered leaves now accumulate in an ARENA-slot ring whose VMEM
+# blocks are column-stacked — (ARENA/K, 8, K*W) — so K leaves are
+# tested by ONE bf16x3 call set per group: ~K x fewer MXU calls for
+# K x more (nearly free) MACs.  K scales down with leaf size so the
+# batched key space K*TL stays <= 512 slots (9 low mantissa bits of t
+# spent on the slot id) and the matmul outputs stay ~1 MB.
+ARENA = 32         # leaf arena slots; >= leaf_batch(rpl) - 1 + 2*WAVE
+
+
+def leaf_batch(rpl: int) -> int:
+    """Leaves per batched MXU call set (power of two).  The batch runs
+    on the UNION of the per-leaf group masks, so larger K trades
+    per-call overhead against wasted streamed output rows on (leaf,
+    group) pairs a per-leaf stage would skip.  Round-5 hardware sweep
+    (PERF.md): K=1 101.9 ms, K=2 109.9, K=8 398.5 per 1M sorted bounce
+    rays — the MXU leaf stage is output-streaming bound, not call
+    bound, so batching LOSES and the per-leaf default stands.
+    MITSUBA_TPU_LEAF_BATCH overrides for A/B sweeps."""
+    import os
+
+    env = os.environ.get("MITSUBA_TPU_LEAF_BATCH")
+    cap = int(env) if env else 1
+    return max(1, min(cap, 512 // (PACK * rpl)))
+
+
+def mxu_scratch_shapes(rpl: int, wave: bool):
+    """Scratch (leaf-block VMEM buffer + DMA semaphores) for the MXU
+    leaf stage, shared by every kernel that embeds the traversal: the
+    wave walk uses the column-stacked arena layout, the ordered walk a
+    QUEUE-deep row-stacked ring."""
+    if wave:
+        K = leaf_batch(rpl)
+        return [pltpu.VMEM((ARENA // K, 8, K * mxu_width(rpl)),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((ARENA,))]
+    return [pltpu.VMEM((QUEUE * 8, mxu_width(rpl)), jnp.float32),
+            pltpu.SemaphoreType.DMA((QUEUE,))]
+
+
 # default: wave traversal on whenever the MXU leaf stage is active
 USE_WAVE = True
 
@@ -707,6 +758,184 @@ def _make_mxu_any(mxu_ctx, rpl, feats, maxt, shape):
         return occ
 
     return mxu_dma, process_any
+
+
+def _make_mxu_dma_arena(mxu_hbm, mqbuf, msems, rpl, K):
+    """Leaf-block DMA into the column-stacked arena: slot s lands in
+    batch b = s // K at lane columns [(s % K) * W, (s % K + 1) * W), so
+    a whole K-leaf batch is one contiguous (8, K*W) VMEM block the
+    batched leaf stage can feed to the MXU in a single call set."""
+    rpl_sh = int(np.log2(rpl))
+    k_sh = int(np.log2(K))
+    W = mxu_width(rpl)
+
+    def mxu_dma(row_start, slot):
+        mrow = pl.multiple_of((row_start >> rpl_sh) * 8, 8)
+        b = slot >> k_sh
+        j = slot - (b << k_sh)
+        return pltpu.make_async_copy(
+            mxu_hbm.at[pl.ds(mrow, 8)],
+            mqbuf.at[b, :, pl.ds(j * W, W)], msems.at[slot])
+
+    return mxu_dma
+
+
+def _arena_batch_common(mqbuf, mxu_dma, lrow, lgm, rpl, K, head, nvalid):
+    """Shared head of a batched leaf-stage step: wait the batch's DMA
+    semaphores, OR the per-leaf group masks, read the (8, K*W) block
+    and its bf16 split, and fetch the per-leaf row_start scalars."""
+    A = ARENA
+    k_sh = int(np.log2(K))
+    base = head & (A - 1)            # K-aligned (head advances by K)
+
+    def wbody(i, gm_u):
+        slot = base + i
+        mxu_dma(lrow[slot], slot).wait()
+        return gm_u | lgm[slot]
+
+    gm_u = jax.lax.fori_loop(0, nvalid, wbody, jnp.int32(0))
+    block = mqbuf[base >> k_sh]      # (8, K*W)
+    bh, bl = _bsplit(block)
+    rows_f = [lrow[base + k].astype(jnp.float32) for k in range(K)]
+    return gm_u, bh, bl, rows_f
+
+
+def _make_mxu_closest_arena(mxu_ctx, rpl, K, feats, act, shape):
+    """Batched closest-hit leaf stage (round 5): ONE bf16x3 matmul set
+    per (K-leaf batch, active group) instead of per (leaf, group).  The
+    winner key packs (t bits | batch slot k*TL + j) and one min-reduce
+    selects across the whole batch; the winning leaf's row_start is
+    recovered with K cheap vector selects.  Leaves whose group-mask bit
+    is 0 for a group are tested anyway — harmless (a triangle hit
+    implies its leaf bbox was hit; extra tests cannot create winners) —
+    because the batch runs on the UNION mask."""
+    mxu_hbm, mqbuf, msems = mxu_ctx
+    TL = PACK * rpl
+    W = mxu_width(rpl)
+    JM = TL - 1
+    BIGKEY = jnp.int32(0x7F000000)
+    # per-leaf slot iota: key truncation stays log2(TL) bits (identical
+    # to the per-leaf stage); the cross-leaf winner is selected by a
+    # separate vector argmin so batching costs t NO extra precision
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (K, TL, LANES), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, LANES), 0)
+    k_valid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+    subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    ray_oh, ray_ol, ray_dh, ray_dl = feats
+    mxu_dma = _make_mxu_dma_arena(mxu_hbm, mqbuf, msems, rpl, K)
+
+    def process_batch(head, nvalid, lrow, lgm,
+                      found, best_t, best_row, best_j):
+        gm_u, bh, bl, rows_f = _arena_batch_common(
+            mqbuf, mxu_dma, lrow, lgm, rpl, K, head, nvalid)
+        if DEBUG_NOLEAF:
+            return found, best_t, best_row, best_j
+        vmask = k_valid < nvalid
+
+        def group(s, carry):
+            def run(c):
+                f, bt, br, bj = c
+                out_o = _mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
+                out_d = _mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
+                oo = out_o.reshape(K, W, LANES)
+                od = out_d.reshape(K, W, LANES)
+                num, u0, v0 = (oo[:, 0:TL], oo[:, TL:2 * TL],
+                               oo[:, 2 * TL:3 * TL])
+                den, ud, vd = (od[:, 0:TL], od[:, TL:2 * TL],
+                               od[:, 2 * TL:3 * TL])
+                okd = jnp.abs(den) > DET_EPS
+                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
+                                         approx=False)
+                u = u0 + t * ud
+                v = v0 + t * vd
+                bt_s = bt[s:s + 1, :][None]          # (1, 1, 128)
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t < bt_s) & vmask)
+                key = jnp.where(
+                    hit,
+                    (pltpu.bitcast(t, jnp.int32) & jnp.int32(~JM))
+                    | j_iota,
+                    BIGKEY)
+                key1 = jnp.min(key, axis=1)          # (K, 128)
+                kmin = jnp.min(key1, axis=0, keepdims=True)  # (1, 128)
+                # first leaf in enqueue order wins key ties — matches
+                # the sequential per-leaf stage's strict-< update
+                kidx = jnp.min(jnp.where(key1 == kmin, k_iota, K),
+                               axis=0, keepdims=True)
+                t_leaf = pltpu.bitcast(kmin & jnp.int32(~JM),
+                                       jnp.float32)
+                j_leaf = (kmin & JM).astype(jnp.float32)
+                rowv = jnp.zeros_like(t_leaf)
+                for k in range(K):
+                    rowv = jnp.where(kidx == k, rows_f[k], rowv)
+                imp = (subsel == s) & (kmin < BIGKEY) & act
+                bt = jnp.where(imp, jnp.broadcast_to(t_leaf, shape), bt)
+                bj = jnp.where(imp, jnp.broadcast_to(j_leaf, shape), bj)
+                br = jnp.where(imp, jnp.broadcast_to(rowv, shape), br)
+                f = jnp.maximum(f, imp.astype(jnp.float32))
+                return f, bt, br, bj
+
+            return jax.lax.cond(((gm_u >> s) & 1) != 0, run,
+                                lambda c: c, carry)
+
+        carry = (found, best_t, best_row, best_j)
+        for s in range(SUB):
+            carry = group(s, carry)
+        return carry
+
+    return mxu_dma, process_batch
+
+
+def _make_mxu_any_arena(mxu_ctx, rpl, K, feats, maxt, shape):
+    """Batched any-hit leaf stage: one bf16x3 call set per (K-leaf
+    batch, active group), any-hit accumulation into occ."""
+    mxu_hbm, mqbuf, msems = mxu_ctx
+    TL = PACK * rpl
+    W = mxu_width(rpl)
+    k_valid = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+    subsel = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 0)
+    ray_oh, ray_ol, ray_dh, ray_dl = feats
+    mxu_dma = _make_mxu_dma_arena(mxu_hbm, mqbuf, msems, rpl, K)
+
+    def process_batch(head, nvalid, lrow, lgm, occ):
+        gm_u, bh, bl, _ = _arena_batch_common(
+            mqbuf, mxu_dma, lrow, lgm, rpl, K, head, nvalid)
+        if DEBUG_NOLEAF:
+            return occ
+        vmask = k_valid < nvalid
+
+        def group(s, occ):
+            def run(occ):
+                out_o = _mm3(bh[0:4], bl[0:4], ray_oh[s], ray_ol[s])
+                out_d = _mm3(bh[4:8], bl[4:8], ray_dh[s], ray_dl[s])
+                oo = out_o.reshape(K, W, LANES)
+                od = out_d.reshape(K, W, LANES)
+                num, u0, v0 = (oo[:, 0:TL], oo[:, TL:2 * TL],
+                               oo[:, 2 * TL:3 * TL])
+                den, ud, vd = (od[:, 0:TL], od[:, TL:2 * TL],
+                               od[:, 2 * TL:3 * TL])
+                okd = jnp.abs(den) > DET_EPS
+                t = -num * pl.reciprocal(jnp.where(okd, den, 1.0),
+                                         approx=False)
+                u = u0 + t * ud
+                v = v0 + t * vd
+                mt_s = maxt[s:s + 1, :][None]
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t <= mt_s) & vmask)
+                anyh = jnp.max(jnp.max(hit.astype(jnp.float32), axis=0),
+                               axis=0, keepdims=True)    # (1, 128)
+                return jnp.where(subsel == s,
+                                 jnp.maximum(occ, jnp.broadcast_to(
+                                     anyh, shape)), occ)
+
+            return jax.lax.cond(((gm_u >> s) & 1) != 0, run,
+                                lambda o: o, occ)
+
+        for s in range(SUB):
+            occ = group(s, occ)
+        return occ
+
+    return mxu_dma, process_batch
 
 
 def _inv_dir(dx, dy, dz):
@@ -1242,8 +1471,8 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
     Front-to-back ordering is approximate (visits within a wave cannot
     cull each other), so a few extra nodes are visited vs the strict
     ordered walk, but each costs 1/WAVE-th of a sync.  Requires the
-    MXU leaf stage; mqbuf must provide 2*N_LEAF_MAX slots
-    (see packet_closest_hit / megakernel_bounce_bvh scratch sizing).
+    MXU leaf stage; mqbuf must use the arena layout
+    (mxu_scratch_shapes(rpl, wave=True)).
     Returns (found, best_t, attrs) like traverse_closest.
     """
     assert mxu_ctx is not None, "wave traversal requires the MXU leaf stage"
@@ -1253,8 +1482,12 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
     w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
         jnp.int32, (SUB, 1), 0).astype(jnp.float32)
     feats = _ray_features_bf16(ox, oy, oz, dx, dy, dz)
-    mxu_dma, process_mxu = _make_mxu_closest(
-        mxu_ctx, rpl, feats, act, shape)
+    K = leaf_batch(rpl)
+    # batches processed per wave: enough to keep the arena backlog
+    # bounded (<= K-1 after processing, + 2*WAVE discoveries <= ARENA)
+    NPROC = 1 + (2 * WAVE - 1) // K
+    mxu_dma, process_batch = _make_mxu_closest_arena(
+        mxu_ctx, rpl, K, feats, act, shape)
 
     # packet-majority near-child signs (one reduce per axis, once per
     # traversal) — exact for octant-sorted packets, a heuristic (never
@@ -1282,10 +1515,10 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                 jnp.full(shape, -1.0))
 
         def cond(s):
-            return (s[0] > 0) | (s[2] > 0)
+            return (s[0] > 0) | (s[2] > s[1])
 
         def body(s):
-            (sp, p, c, n_it, n_enq,
+            (sp, head, tail, n_it, n_enq,
              found, best_t, best_row, best_j) = s
 
             # ---- pop up to WAVE interior nodes (top of stack first)
@@ -1333,15 +1566,30 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                 infos.append((valid, left, right, axis, flip,
                               rsL, rsR, anyL, anyR))
 
-            # ---- phase 2: process the previous wave's leaf blocks
-            # (their DMAs started last wave; the hit-bits reduce above
-            # also lands under this work)
-            def pslot(i, carry):
-                slot = p * N_LEAF_MAX + i
-                return process_mxu(lrow[slot], lgm[slot], slot, *carry)
+            # ---- phase 2: intersect ready K-leaf batches while this
+            # wave's reduces land (their DMAs started >= one wave ago).
+            # Full batches ride ONE fori_loop (at K=1 this is exactly
+            # the round-4 per-leaf loop); a partial batch runs only
+            # when the node stack is empty, to keep the drain moving.
+            nb = (tail - head) // K
+
+            def bstep(i, c):
+                return process_batch(head + i * K, jnp.int32(K),
+                                     lrow, lgm, *c)
 
             found, best_t, best_row, best_j = jax.lax.fori_loop(
-                0, c, pslot, (found, best_t, best_row, best_j))
+                0, nb, bstep, (found, best_t, best_row, best_j))
+            head = head + nb * K
+            rem = tail - head
+            do = (npop == 0) & (rem > 0)
+
+            def do_p(c, nv=rem, hd=head):
+                return process_batch(hd, nv, lrow, lgm, *c)
+
+            found, best_t, best_row, best_j = jax.lax.cond(
+                do, do_p, lambda c: c,
+                (found, best_t, best_row, best_j))
+            head = head + jnp.where(do, rem, 0)
 
             # ---- phase 3: read hit bits, push interiors near-on-top,
             # enqueue leaves into the other buffer half (branchless
@@ -1351,7 +1599,6 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
             # is a leaf.
             hb = jnp.sum(hitbits).astype(jnp.int32)
             n_new = jnp.int32(0)
-            pb = (1 - p) * N_LEAF_MAX
             for k in reversed(range(WAVE)):
                 (valid, left, right, axis, flip, rsL, rsR,
                  anyL, anyR) = infos[k]
@@ -1392,17 +1639,19 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
 
                     stack[jnp.where(push, sp, STACK_WAVE)] = child
                     sp = sp + push.astype(jnp.int32)
-                    lslot = jnp.where(enq, pb + n_new, 2 * N_LEAF_MAX)
+                    lslot = jnp.where(enq, (tail + n_new) & (ARENA - 1),
+                                      ARENA)
                     lrow[lslot] = rs_c
                     lgm[lslot] = gm
                     n_new = n_new + enq.astype(jnp.int32)
 
             def dstart(i, _):
-                mxu_dma(lrow[pb + i], pb + i).start()
+                slot = (tail + i) & (ARENA - 1)
+                mxu_dma(lrow[slot], slot).start()
                 return 0
 
             jax.lax.fori_loop(0, n_new, dstart, 0)
-            return (sp, 1 - p, n_new, n_it + 1, n_enq + n_new,
+            return (sp, head, tail + n_new, n_it + 1, n_enq + n_new,
                     found, best_t, best_row, best_j)
 
         out = jax.lax.while_loop(cond, body, init)
@@ -1414,8 +1663,8 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
     found, best_t, best_row, best_j = pl.run_scoped(
         walk,
         pltpu.SMEM((STACK_WAVE + 1,), jnp.int32),   # +1: dump slot
-        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32),
-        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32))
+        pltpu.SMEM((ARENA + 1,), jnp.int32),
+        pltpu.SMEM((ARENA + 1,), jnp.int32))
 
     if DEBUG_COUNTERS:
         return found, best_t, tuple(best_j for _ in resolve_cols)
@@ -1432,9 +1681,11 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
     """Wave-parallel packet any-hit (shadow) traversal — the
     traverse_closest_wave scheme without ordering concerns: pop up to
     WAVE nodes, one weighted group-mask reduce each, leaves into the
-    double-buffered table, occluded lanes drop out of the live mask so
-    later slab tests shrink.  Requires the MXU leaf stage.  Returns an
-    f32 0/1 occluded tile."""
+    K-batch arena, occluded lanes drop out of the live mask so later
+    slab tests shrink; once EVERY active lane is occluded the walk
+    drains and exits early (rtcOccluded semantics — a boolean query
+    has nothing left to refine).  Requires the MXU leaf stage.
+    Returns an f32 0/1 occluded tile."""
     assert mxu_ctx is not None, "wave traversal requires the MXU leaf stage"
     shape = ox.shape
     ix, iy, iz = _inv_dir(dx, dy, dz)
@@ -1442,7 +1693,10 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
     w2 = jnp.float32(2.0) ** jax.lax.broadcasted_iota(
         jnp.int32, (SUB, 1), 0).astype(jnp.float32)
     feats = _ray_features_bf16(ox, oy, oz, dx, dy, dz)
-    mxu_dma, process_any = _make_mxu_any(mxu_ctx, rpl, feats, maxt, shape)
+    K = leaf_batch(rpl)
+    NPROC = 1 + (2 * WAVE - 1) // K
+    mxu_dma, process_batch = _make_mxu_any_arena(
+        mxu_ctx, rpl, K, feats, maxt, shape)
 
     def walk(stack, lrow, lgm):
         rs0, _, _, _ = _node_meta4(node_meta, 0)
@@ -1463,11 +1717,16 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                 jnp.where(root_leaf, 1, 0), jnp.zeros(shape))
 
         def cond(s):
-            return (s[0] > 0) | (s[2] > 0)
+            return (s[0] > 0) | (s[2] > s[1])
 
         def body(s):
-            sp, p, c, occ = s
+            sp, head, tail, occ = s
             live = actf * (1.0 - occ)
+            # all-occluded early exit: this (1,1) reduce issues with
+            # the wave's hit-bits reduce below, so its scalar read in
+            # phase 3 lands under the same latency cover
+            lv = jnp.max(jnp.max(live, axis=1, keepdims=True),
+                         axis=0, keepdims=True)
 
             npop = jnp.minimum(sp, jnp.int32(WAVE))
             nodes = []
@@ -1500,15 +1759,27 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                 hitbits = hitbits + (hL + 2.0 * hR) * float(4 ** k)
                 infos.append((valid, left, right, rsL, rsR, anyL, anyR))
 
-            def pslot(i, occ):
-                slot = p * N_LEAF_MAX + i
-                return process_any(lrow[slot], lgm[slot], slot, occ)
+            # phase 2: batched leaf intersection (see closest walk)
+            nb = (tail - head) // K
 
-            occ = jax.lax.fori_loop(0, c, pslot, occ)
+            def bstep(i, o):
+                return process_batch(head + i * K, jnp.int32(K),
+                                     lrow, lgm, o)
+
+            occ = jax.lax.fori_loop(0, nb, bstep, occ)
+            head = head + nb * K
+            rem = tail - head
+            do = (npop == 0) & (rem > 0)
+
+            def do_p(o, nv=rem, hd=head):
+                return process_batch(hd, nv, lrow, lgm, o)
+
+            occ = jax.lax.cond(do, do_p, lambda o: o, occ)
+            head = head + jnp.where(do, rem, 0)
 
             hb = jnp.sum(hitbits).astype(jnp.int32)
+            alldead = jnp.sum(lv) == 0.0
             n_new = jnp.int32(0)
-            pb = (1 - p) * N_LEAF_MAX
             for k in range(WAVE):
                 valid, left, right, rsL, rsR, anyL, anyR = infos[k]
                 hitL = ((hb >> (2 * k)) & 1) != 0
@@ -1536,25 +1807,42 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                     # branchless routing (see traverse_closest_wave)
                     stack[jnp.where(push, sp, STACK_WAVE)] = child
                     sp = sp + push.astype(jnp.int32)
-                    lslot = jnp.where(enq, pb + n_new, 2 * N_LEAF_MAX)
+                    lslot = jnp.where(enq, (tail + n_new) & (ARENA - 1),
+                                      ARENA)
                     lrow[lslot] = rs_c
                     lgm[lslot] = gm
                     n_new = n_new + enq.astype(jnp.int32)
 
             def dstart(i, _):
-                mxu_dma(lrow[pb + i], pb + i).start()
+                slot = (tail + i) & (ARENA - 1)
+                mxu_dma(lrow[slot], slot).start()
                 return 0
 
             jax.lax.fori_loop(0, n_new, dstart, 0)
-            return sp, 1 - p, n_new, occ
+            tail = tail + n_new
+
+            # every active lane occluded: abandon the node stack and
+            # drain the pending leaf DMAs (their results are moot, but
+            # the semaphores must be consumed before the kernel ends)
+            def drain(_i, hd):
+                slot = hd & (ARENA - 1)
+                mxu_dma(lrow[slot], slot).wait()
+                return hd + 1
+
+            head = jax.lax.cond(
+                alldead,
+                lambda h: jax.lax.fori_loop(0, tail - h, drain, h),
+                lambda h: h, head)
+            sp = jnp.where(alldead, 0, sp)
+            return sp, head, tail, occ
 
         return jax.lax.while_loop(cond, body, init)[3]
 
     occ = pl.run_scoped(
         walk,
         pltpu.SMEM((STACK_WAVE + 1,), jnp.int32),   # +1: dump slot
-        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32),
-        pltpu.SMEM((2 * N_LEAF_MAX + 1,), jnp.int32))
+        pltpu.SMEM((ARENA + 1,), jnp.int32),
+        pltpu.SMEM((ARENA + 1,), jnp.int32))
     return occ * actf
 
 
@@ -1730,7 +2018,6 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     if wave is None:
         wave = USE_WAVE and mxu
     wave = wave and mxu
-    n_slots = 2 * N_LEAF_MAX if wave else QUEUE
 
     def kernel(box_ref, meta_ref, rows_ref, *args):
         if mxu:
@@ -1777,9 +2064,7 @@ def packet_closest_hit(node_box, node_meta, rows_hbm,
     ]
     extra_in = []
     if mxu:
-        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
-                               jnp.float32),
-                    pltpu.SemaphoreType.DMA((n_slots,))]
+        scratch += mxu_scratch_shapes(rpl, wave)
         extra_in += [pl.BlockSpec(memory_space=pl.ANY)]
     if res:
         scratch += [pltpu.VMEM((2 * RES_COLS, res_width(rpl)),
@@ -1831,7 +2116,6 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
     if wave is None:
         wave = USE_WAVE and mxu
     wave = wave and mxu
-    n_slots = 2 * N_LEAF_MAX if wave else QUEUE
 
     def kernel(box_ref, meta_ref, rows_ref, *args):
         if mxu:
@@ -1863,9 +2147,7 @@ def packet_any_hit(node_box, node_meta, rows_hbm,
     ]
     extra_in = []
     if mxu:
-        scratch += [pltpu.VMEM((n_slots * 8, mxu_width(rpl)),
-                               jnp.float32),
-                    pltpu.SemaphoreType.DMA((n_slots,))]
+        scratch += mxu_scratch_shapes(rpl, wave)
         extra_in = [pl.BlockSpec(memory_space=pl.ANY)]
     occ = pl.pallas_call(
         kernel,

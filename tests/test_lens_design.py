@@ -89,6 +89,47 @@ def test_design_gradient_matches_fd():
     assert abs(ad - fd) < 0.1 * abs(fd) + 1e-3, (ad, fd)
 
 
+def test_split_jits_matches_fused_gradient():
+    """Per-sensor split jits (round 5: the remote-compile-cap
+    workaround for the 22-surface Nikon problem) accumulate to exactly
+    the fused multi-sensor gradient: the loss is a mean of per-sensor
+    terms, so grad distributes over the sum."""
+    ls = _singlet(z0=20.0)
+    dp = DesignProblem(ls, resolution=(16, 16), spp=32, iters=1,
+                       num_sources=2, max_field_angle=3.0,
+                       sensor_fov=10.0)
+    dp.build()
+    p = dp.params()
+    val_fused, g_fused = jax.value_and_grad(dp.loss)(p, 0)
+
+    # replicate the split accumulation optimize() uses
+    from mitsuba_tpu.lens.losses import rms_loss
+    from mitsuba_tpu.models.integrators import render
+
+    n = len(dp.sensors)
+
+    def loss_si(p, si):
+        scene, _ = dp.scene_for(p, si)
+        img = render(scene, seed=0, spp=dp.spp)
+        return dp.loss_scale * rms_loss(img) / n
+
+    val_s, g_s = None, None
+    for si in range(n):
+        v, gi = jax.value_and_grad(
+            lambda p, si=si: loss_si(p, si))(p)
+        if g_s is None:
+            val_s, g_s = v, gi
+        else:
+            val_s = val_s + v
+            g_s = jax.tree_util.tree_map(jnp.add, g_s, gi)
+
+    assert abs(float(val_s) - float(val_fused)) < 1e-4 * max(
+        1.0, abs(float(val_fused)))
+    for k in g_fused:
+        a, b = np.asarray(g_fused[k]), np.asarray(g_s[k])
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-6), (k, a, b)
+
+
 @pytest.mark.slow
 def test_defocus_recovery():
     """Start 2mm defocused; optimizing z0 must shrink the RMS spot."""
