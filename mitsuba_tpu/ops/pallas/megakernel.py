@@ -811,6 +811,19 @@ def _trace_loop(closest, anyhit, lc, n_lights, btypes, max_depth, rr_depth,
     return state[6], state[7], state[8]
 
 
+# ---- per-bounce ablation flags (round 5, VERDICT #4) ----
+# Split the ~38 ms/bounce shading+state slab (PERF.md round-4
+# decomposition) into measurable pieces.  Profiling affordances ONLY:
+# images are wrong while set, and because module flags are not part of
+# the jit cache key, call jax.clear_caches() (or use a fresh process)
+# after changing them — examples/profile_slab.py does this.
+DEBUG_SKIP_NEE = False        # light sampling + shadow trace + contrib
+DEBUG_SKIP_NEE_TRACE = False  # keep the NEE math, stub the shadow trace
+DEBUG_SKIP_SAMPLING = False   # BSDF sampling / next-ray state update
+DEBUG_SKIP_EMITHIT = False    # emitter-hit MIS accumulation
+
+
+
 def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
                  rr_depth, lane, seed_x, env_ctx, state):
     """ONE path-tracing bounce over a ray tile: closest-hit, env/emitter
@@ -954,19 +967,20 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         flip = jnp.zeros_like(act)
     front = cos_wi > 0.0
 
-    # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
-    dist2 = t * t
-    pdf_hit = jnp.where(
-        cos_geo > 1e-6,
-        PdfA * dist2 / jnp.maximum(cos_geo, 1e-6), 0.0)
-    if has_env:
-        pdf_hit = pdf_hit * em(16)   # area selection pmf
-    m_h = jnp.where(prev_delta > 0.5, 1.0,
-                    _mis(prev_pdf, pdf_hit))
-    wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
-    Lr = Lr + Br * Er * wgt
-    Lg = Lg + Bg * Eg * wgt
-    Lb = Lb + Bb * Eb * wgt
+    if not DEBUG_SKIP_EMITHIT:
+        # ---- MIS'd radiance of directly-hit emitters (path.py:82) ----
+        dist2 = t * t
+        pdf_hit = jnp.where(
+            cos_geo > 1e-6,
+            PdfA * dist2 / jnp.maximum(cos_geo, 1e-6), 0.0)
+        if has_env:
+            pdf_hit = pdf_hit * em(16)   # area selection pmf
+        m_h = jnp.where(prev_delta > 0.5, 1.0,
+                        _mis(prev_pdf, pdf_hit))
+        wgt = jnp.where(valid & front & (IsL > 0.5), m_h, 0.0)
+        Lr = Lr + Br * Er * wgt
+        Lg = Lg + Bg * Eg * wgt
+        Lb = Lb + Bb * Eb * wgt
 
     if multi:
         two_sided = is_diel | is_rdiel if has_rdiel else is_diel
@@ -990,551 +1004,562 @@ def _bounce_step(closest, anyhit, lc, n_lights, btypes, depth, max_depth,
         wiz = cos_wi
         alpha = jnp.maximum(PdfA, 1e-4)   # col 16 (rough faces)
 
-    # ---- NEE toward the area light (path.py:92-105) ----
-    u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
-    ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
-    z = jnp.zeros_like(u_sel)
-    if has_env:
-        # uniform emitter selection with sample reuse
-        # (DiscreteDistribution.sample_reuse_pmf)
-        if n_em == 2:
-            second = u_sel > 0.5
-            pick_env = second if env_pos == 1 else ~second
-            lo_sel = jnp.where(second, 0.5, 0.0)
-            u_face = jnp.clip((u_sel - lo_sel) / 0.5,
-                              0.0, 1.0 - 2.0 ** -24)
+    if not DEBUG_SKIP_NEE:
+        # ---- NEE toward the area light (path.py:92-105) ----
+        u_sel = _rng1(seed_x, lane, dbase + SLOT_EM_SELECT)
+        ue1, ue2 = _rng2(seed_x, lane, dbase + SLOT_EM_POS)
+        z = jnp.zeros_like(u_sel)
+        if has_env:
+            # uniform emitter selection with sample reuse
+            # (DiscreteDistribution.sample_reuse_pmf)
+            if n_em == 2:
+                second = u_sel > 0.5
+                pick_env = second if env_pos == 1 else ~second
+                lo_sel = jnp.where(second, 0.5, 0.0)
+                u_face = jnp.clip((u_sel - lo_sel) / 0.5,
+                                  0.0, 1.0 - 2.0 ** -24)
+            else:
+                pick_env = jnp.ones_like(u_sel, bool)
+                u_face = jnp.clip(u_sel, 0.0, 1.0 - 2.0 ** -24)
         else:
-            pick_env = jnp.ones_like(u_sel, bool)
-            u_face = jnp.clip(u_sel, 0.0, 1.0 - 2.0 ** -24)
-    else:
-        u_face = u_sel
-    idx = z
-    for j in range(n_lights):
-        idx = idx + (lc(j, 12) < u_face).astype(jnp.float32)
-    sel = [z] * LIGHT_COLS
-    for j in range(n_lights):
-        m = (idx == j).astype(jnp.float32)
-        for k in list(range(12)) + list(range(13, LIGHT_COLS)):
-            sel[k] = sel[k] + m * lc(j, k)
-    (lp0x, lp0y, lp0z, le1x, le1y, le1z, le2x, le2y, le2z,
-     lnx, lny, lnz) = sel[:12]
-    lpdfA = sel[13]
-    Ler, Leg, Leb = sel[14], sel[15], sel[16]
-    # warp.square_to_uniform_triangle
-    stri = jnp.sqrt(jnp.maximum(1.0 - ue1, 0.0))
-    b0 = 1.0 - stri
-    b1 = stri * ue2
-    lpx = lp0x + le1x * b0 + le2x * b1
-    lpy = lp0y + le1y * b0 + le2y * b1
-    lpz = lp0z + le1z * b0 + le2z * b1
-    sdx = lpx - px
-    sdy = lpy - py
-    sdz = lpz - pz
-    sdist2 = jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-12)
-    sdist = jnp.sqrt(sdist2)
-    sdx, sdy, sdz = sdx / sdist, sdy / sdist, sdz / sdist
-    cos_l = -(sdx * lnx + sdy * lny + sdz * lnz)
-    pdf_nee = jnp.where(
-        cos_l > 1e-6,
-        lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
-    maxt_s = sdist * (1.0 - 1e-3)
-    # per-lane NEE sample: (direction, effective pdf incl.
-    # selection, emitter weight W = Le/pdf/sel, shadow maxt)
-    if has_env:
-        sel_area = em(16)
-        e_pdf = en(depth, 3)
-        sdx = jnp.where(pick_env, en(depth, 0), sdx)
-        sdy = jnp.where(pick_env, en(depth, 1), sdy)
-        sdz = jnp.where(pick_env, en(depth, 2), sdz)
-        maxt_s = jnp.where(pick_env, en(depth, 7), maxt_s)
-        pdf_eff = jnp.where(pick_env, e_pdf, pdf_nee * sel_area)
-        inv_pa = 1.0 / (jnp.maximum(pdf_nee, 1e-20) * sel_area)
-        Wr_nee = jnp.where(pick_env, en(depth, 4), Ler * inv_pa)
-        Wg_nee = jnp.where(pick_env, en(depth, 5), Leg * inv_pa)
-        Wb_nee = jnp.where(pick_env, en(depth, 6), Leb * inv_pa)
-    else:
-        pdf_eff = pdf_nee
-        inv_pa = 1.0 / jnp.maximum(pdf_nee, 1e-20)
-        Wr_nee = Ler * inv_pa
-        Wg_nee = Leg * inv_pa
-        Wb_nee = Leb * inv_pa
-    cos_s = sdx * shx + sdy * shy + sdz * shz
-    if has_ts:
-        cos_s = jnp.where(flip, -cos_s, cos_s)   # flipped-frame wo.z
-    # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
-    # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
-    # drawn regardless so the dimension layout matches the
-    # wavefront path
-    ok_nee = act_next & (pdf_eff > 0.0)
-    if multi:
-        # diffuse/rough-conductor/plastic need the light on the
-        # front side; rough dielectric is two-sided (its eval
-        # handles the reflection/transmission configuration itself)
-        nee_lobe = is_diff
+            u_face = u_sel
+        idx = z
+        for j in range(n_lights):
+            idx = idx + (lc(j, 12) < u_face).astype(jnp.float32)
+        sel = [z] * LIGHT_COLS
+        for j in range(n_lights):
+            m = (idx == j).astype(jnp.float32)
+            for k in list(range(12)) + list(range(13, LIGHT_COLS)):
+                sel[k] = sel[k] + m * lc(j, k)
+        (lp0x, lp0y, lp0z, le1x, le1y, le1z, le2x, le2y, le2z,
+         lnx, lny, lnz) = sel[:12]
+        lpdfA = sel[13]
+        Ler, Leg, Leb = sel[14], sel[15], sel[16]
+        # warp.square_to_uniform_triangle
+        stri = jnp.sqrt(jnp.maximum(1.0 - ue1, 0.0))
+        b0 = 1.0 - stri
+        b1 = stri * ue2
+        lpx = lp0x + le1x * b0 + le2x * b1
+        lpy = lp0y + le1y * b0 + le2y * b1
+        lpz = lp0z + le1z * b0 + le2z * b1
+        sdx = lpx - px
+        sdy = lpy - py
+        sdz = lpz - pz
+        sdist2 = jnp.maximum(sdx * sdx + sdy * sdy + sdz * sdz, 1e-12)
+        sdist = jnp.sqrt(sdist2)
+        sdx, sdy, sdz = sdx / sdist, sdy / sdist, sdz / sdist
+        cos_l = -(sdx * lnx + sdy * lny + sdz * lnz)
+        pdf_nee = jnp.where(
+            cos_l > 1e-6,
+            lpdfA * sdist2 / jnp.maximum(cos_l, 1e-6), 0.0)
+        maxt_s = sdist * (1.0 - 1e-3)
+        # per-lane NEE sample: (direction, effective pdf incl.
+        # selection, emitter weight W = Le/pdf/sel, shadow maxt)
+        if has_env:
+            sel_area = em(16)
+            e_pdf = en(depth, 3)
+            sdx = jnp.where(pick_env, en(depth, 0), sdx)
+            sdy = jnp.where(pick_env, en(depth, 1), sdy)
+            sdz = jnp.where(pick_env, en(depth, 2), sdz)
+            maxt_s = jnp.where(pick_env, en(depth, 7), maxt_s)
+            pdf_eff = jnp.where(pick_env, e_pdf, pdf_nee * sel_area)
+            inv_pa = 1.0 / (jnp.maximum(pdf_nee, 1e-20) * sel_area)
+            Wr_nee = jnp.where(pick_env, en(depth, 4), Ler * inv_pa)
+            Wg_nee = jnp.where(pick_env, en(depth, 5), Leg * inv_pa)
+            Wb_nee = jnp.where(pick_env, en(depth, 6), Leb * inv_pa)
+        else:
+            pdf_eff = pdf_nee
+            inv_pa = 1.0 / jnp.maximum(pdf_nee, 1e-20)
+            Wr_nee = Ler * inv_pa
+            Wg_nee = Leg * inv_pa
+            Wb_nee = Leb * inv_pa
+        cos_s = sdx * shx + sdy * shy + sdz * shz
+        if has_ts:
+            cos_s = jnp.where(flip, -cos_s, cos_s)   # flipped-frame wo.z
+        # NEE pays off on smooth-eval lobes (diffuse + GGX); delta
+        # BSDFs eval to 0 (path.py:99 bsdf_eval_pdf); samples are
+        # drawn regardless so the dimension layout matches the
+        # wavefront path
+        ok_nee = act_next & (pdf_eff > 0.0)
+        if multi:
+            # diffuse/rough-conductor/plastic need the light on the
+            # front side; rough dielectric is two-sided (its eval
+            # handles the reflection/transmission configuration itself)
+            nee_lobe = is_diff
+            if has_rcond:
+                nee_lobe = nee_lobe | is_rcond
+            if has_pl:
+                nee_lobe = nee_lobe | is_pl
+            if has_rpl:
+                nee_lobe = nee_lobe | is_rpl
+            front_ok = nee_lobe & front & (cos_s > 0.0)
+            if has_rdiel:
+                ok_nee = ok_nee & (front_ok | is_rdiel)
+            else:
+                ok_nee = ok_nee & front_ok
+        else:
+            ok_nee = ok_nee & (cos_s > 0.0)
+        # shadow-ray offset side follows the GEOMETRIC normal
+        # (spawn_ray_to uses si.n)
+        sgn_s = jnp.where(
+            sdx * ngx + sdy * ngy + sdz * ngz >= 0.0, 1.0, -1.0)
+        if DEBUG_SKIP_NEE_TRACE:
+            occ = jnp.zeros_like(ok_nee)
+        else:
+            occ = anyhit(
+                px + sgn_s * off * ngx, py + sgn_s * off * ngy,
+                pz + sgn_s * off * ngz,
+                sdx, sdy, sdz, maxt_s, ok_nee)
+        ok_nee = ok_nee & ~occ
+        # per-lobe f (RGB, premultiplied by cos) + pdf for MIS
+        f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
+        fr_nee = Rr * (INV_PI * cos_s)
+        fg_nee = Rg * (INV_PI * cos_s)
+        fb_nee = Rb * (INV_PI * cos_s)
         if has_rcond:
-            nee_lobe = nee_lobe | is_rcond
-        if has_pl:
-            nee_lobe = nee_lobe | is_pl
-        if has_rpl:
-            nee_lobe = nee_lobe | is_rpl
-        front_ok = nee_lobe & front & (cos_s > 0.0)
-        if has_rdiel:
-            ok_nee = ok_nee & (front_ok | is_rdiel)
-        else:
-            ok_nee = ok_nee & front_ok
-    else:
-        ok_nee = ok_nee & (cos_s > 0.0)
-    # shadow-ray offset side follows the GEOMETRIC normal
-    # (spawn_ray_to uses si.n)
-    sgn_s = jnp.where(
-        sdx * ngx + sdy * ngy + sdz * ngz >= 0.0, 1.0, -1.0)
-    occ = anyhit(
-        px + sgn_s * off * ngx, py + sgn_s * off * ngy,
-        pz + sgn_s * off * ngz,
-        sdx, sdy, sdz, maxt_s, ok_nee)
-    ok_nee = ok_nee & ~occ
-    # per-lobe f (RGB, premultiplied by cos) + pdf for MIS
-    f_pdf = INV_PI * jnp.maximum(cos_s, 0.0)
-    fr_nee = Rr * (INV_PI * cos_s)
-    fg_nee = Rg * (INV_PI * cos_s)
-    fb_nee = Rb * (INV_PI * cos_s)
-    if has_rcond:
-        # RoughConductor.eval mirror: half vector of (wi, wo_nee)
-        wox = sdx * sx + sdy * sy + sdz * sz
-        woy = sdx * tx + sdy * ty + sdz * tz
-        woz = cos_s
-        hmx, hmy, hmz = wix + wox, wiy + woy, wiz + woz
-        hnorm = jnp.sqrt(jnp.maximum(
-            hmx * hmx + hmy * hmy + hmz * hmz, 1e-20))
-        hmx, hmy, hmz = hmx / hnorm, hmy / hnorm, hmz / hnorm
-        d_ggx = _ggx_d(hmx, hmy, hmz, alpha)
-        g2 = (_ggx_g1(wix, wiy, wiz, hmx, hmy, hmz, alpha)
-              * _ggx_g1(wox, woy, woz, hmx, hmy, hmz, alpha))
-        cos_im = wix * hmx + wiy * hmy + wiz * hmz
-        scal = d_ggx * g2 / jnp.maximum(4.0 * wiz, 1e-20)
-        fr_r = _fr_cond(cos_im, C0, C3) * scal
-        fg_r = _fr_cond(cos_im, C1, C4) * scal
-        fb_r = _fr_cond(cos_im, C2, C5) * scal
-        pdf_r_nee = _vndf_pdf(wix, wiy, wiz, hmx, hmy, hmz,
-                              alpha) / jnp.maximum(
-            4.0 * jnp.abs(wox * hmx + woy * hmy + woz * hmz),
-            1e-20)
-        fr_nee = jnp.where(is_rcond, fr_r, fr_nee)
-        fg_nee = jnp.where(is_rcond, fg_r, fg_nee)
-        fb_nee = jnp.where(is_rcond, fb_r, fb_nee)
-        f_pdf = jnp.where(is_rcond, pdf_r_nee, f_pdf)
-    if has_rdiel:
-        # RoughDielectric._eval_pdf_impl mirror (two-sided)
-        wox = sdx * sx + sdy * sy + sdz * sz
-        woy = sdx * tx + sdy * ty + sdz * tz
-        woz = cos_s
-        eta_d = jnp.maximum(C0, 1e-3)
-        refl_cfg = wiz * woz > 0.0
-        eta_path = jnp.where(wiz > 0.0, eta_d, 1.0 / eta_d)
-        qx = jnp.where(refl_cfg, wix + wox, wix + wox * eta_path)
-        qy = jnp.where(refl_cfg, wiy + woy, wiy + woy * eta_path)
-        qz = jnp.where(refl_cfg, wiz + woz, wiz + woz * eta_path)
-        n2 = qx * qx + qy * qy + qz * qz
-        qinv = jnp.where(n2 > 1e-20,
-                         1.0 / jnp.sqrt(jnp.maximum(n2, 1e-20)),
-                         0.0)
-        qx, qy, qz = qx * qinv, qy * qinv, qz * qinv
-        sg_m = jnp.where(qz >= 0.0, 1.0, -1.0)
-        qx, qy, qz = qx * sg_m, qy * sg_m, qz * sg_m
-        sg_o = jnp.where(wiz >= 0.0, 1.0, -1.0)
-        mox, moy, moz = qx * sg_o, qy * sg_o, qz * sg_o
-        cim = wix * mox + wiy * moy + wiz * moz
-        com = wox * mox + woy * moy + woz * moz
-        fD, _, eta_it, eta_ti = _fr_diel(cim, eta_d)
-        sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
-        sgn_o = jnp.where(woz >= 0.0, 1.0, -1.0)
-        d_g = _ggx_d(qx, qy, qz, alpha)
-        g2d = (_ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                       qx, qy, qz, alpha)
-               * _ggx_g1(wox * sgn_o, woy * sgn_o, woz * sgn_o,
-                         qx, qy, qz, alpha))
-        val_rr = fD * d_g * g2d / jnp.maximum(
-            4.0 * jnp.abs(wiz), 1e-20)
-        den = cim + eta_it * com
-        val_tt = ((1.0 - fD) * d_g * g2d
-                  * jnp.abs(cim * com) * (eta_it * eta_it)
-                  / jnp.maximum(jnp.abs(wiz) * den * den, 1e-20)
-                  ) * (eta_ti * eta_ti)
-        val_d = jnp.where(refl_cfg, val_rr, jnp.abs(val_tt))
-        pdm = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                        qx, qy, qz, alpha)
-        jr = 1.0 / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
-        jt = jnp.abs(com) * (eta_it * eta_it) / jnp.maximum(
-            den * den, 1e-20)
-        pdf_d = pdm * jnp.where(refl_cfg, fD * jr,
-                                (1.0 - fD) * jt)
-        ok_d = ((jnp.abs(wiz) > 1e-6) & (n2 > 1e-20)
-                & (refl_cfg | (cim * com < 0.0)))
-        val_d = jnp.where(ok_d, val_d, 0.0)
-        pdf_d = jnp.where(ok_d, pdf_d, 0.0)
-        fr_nee = jnp.where(is_rdiel, val_d, fr_nee)
-        fg_nee = jnp.where(is_rdiel, val_d, fg_nee)
-        fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
-        f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
-        ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
-    if has_pl or has_rpl:
-        # plastic.cpp / roughplastic.cpp eval+pdf: dielectric coat
-        # over diffuse with internal-scattering correction
-        eta_p = jnp.maximum(C0, 1.0 + 1e-4)
-        fdr_p = C1
-        F_ip, _, _, _ = _fr_diel(cos_wi, eta_p)
-        F_op, _, _, _ = _fr_diel(cos_s, eta_p)
-        inv_eta2 = 1.0 / (eta_p * eta_p)
-        fac_p = (INV_PI * jnp.maximum(cos_s, 0.0)
-                 * (1.0 - F_ip) * (1.0 - F_op) * inv_eta2)
-        nl = C2 > 0.5
-        den_pr = 1.0 - jnp.where(nl, Rr * fdr_p, fdr_p)
-        den_pg = 1.0 - jnp.where(nl, Rg * fdr_p, fdr_p)
-        den_pb = 1.0 - jnp.where(nl, Rb * fdr_p, fdr_p)
-        dif_pr = Rr / jnp.maximum(den_pr, 1e-6) * fac_p
-        dif_pg = Rg / jnp.maximum(den_pg, 1e-6) * fac_p
-        dif_pb = Rb / jnp.maximum(den_pb, 1e-6) * fac_p
-        cos_pdf_s = INV_PI * jnp.maximum(cos_s, 0.0)
-        if has_pl:
-            fr_nee = jnp.where(is_pl, dif_pr, fr_nee)
-            fg_nee = jnp.where(is_pl, dif_pg, fg_nee)
-            fb_nee = jnp.where(is_pl, dif_pb, fb_nee)
-            f_pdf = jnp.where(is_pl, cos_pdf_s * (1.0 - F_ip),
-                              f_pdf)
-        if has_rpl:
+            # RoughConductor.eval mirror: half vector of (wi, wo_nee)
             wox = sdx * sx + sdy * sy + sdz * sz
             woy = sdx * tx + sdy * ty + sdz * tz
             woz = cos_s
-            hpx, hpy, hpz = wix + wox, wiy + woy, wiz + woz
-            hn = jnp.sqrt(jnp.maximum(
-                hpx * hpx + hpy * hpy + hpz * hpz, 1e-20))
-            hpx, hpy, hpz = hpx / hn, hpy / hn, hpz / hn
-            cim_p = wix * hpx + wiy * hpy + wiz * hpz
-            F_mp, _, _, _ = _fr_diel(cim_p, eta_p)
-            d_p = _ggx_d(hpx, hpy, hpz, alpha)
-            g2_p = (_ggx_g1(wix, wiy, wiz, hpx, hpy, hpz, alpha)
-                    * _ggx_g1(wox, woy, woz, hpx, hpy, hpz, alpha))
-            spec_p = F_mp * d_p * g2_p / jnp.maximum(
-                4.0 * wiz, 1e-20)
-            jac_p = 1.0 / jnp.maximum(
-                4.0 * jnp.abs(wox * hpx + woy * hpy + woz * hpz),
+            hmx, hmy, hmz = wix + wox, wiy + woy, wiz + woz
+            hnorm = jnp.sqrt(jnp.maximum(
+                hmx * hmx + hmy * hmy + hmz * hmz, 1e-20))
+            hmx, hmy, hmz = hmx / hnorm, hmy / hnorm, hmz / hnorm
+            d_ggx = _ggx_d(hmx, hmy, hmz, alpha)
+            g2 = (_ggx_g1(wix, wiy, wiz, hmx, hmy, hmz, alpha)
+                  * _ggx_g1(wox, woy, woz, hmx, hmy, hmz, alpha))
+            cos_im = wix * hmx + wiy * hmy + wiz * hmz
+            scal = d_ggx * g2 / jnp.maximum(4.0 * wiz, 1e-20)
+            fr_r = _fr_cond(cos_im, C0, C3) * scal
+            fg_r = _fr_cond(cos_im, C1, C4) * scal
+            fb_r = _fr_cond(cos_im, C2, C5) * scal
+            pdf_r_nee = _vndf_pdf(wix, wiy, wiz, hmx, hmy, hmz,
+                                  alpha) / jnp.maximum(
+                4.0 * jnp.abs(wox * hmx + woy * hmy + woz * hmz),
                 1e-20)
-            pdf_rpl = (F_ip * _vndf_pdf(wix, wiy, wiz, hpx, hpy,
-                                        hpz, alpha) * jac_p
-                       + (1.0 - F_ip) * cos_pdf_s)
-            fr_nee = jnp.where(is_rpl, dif_pr + spec_p, fr_nee)
-            fg_nee = jnp.where(is_rpl, dif_pg + spec_p, fg_nee)
-            fb_nee = jnp.where(is_rpl, dif_pb + spec_p, fb_nee)
-            f_pdf = jnp.where(is_rpl, pdf_rpl, f_pdf)
-    wnee = jnp.where(ok_nee, _mis(pdf_eff, f_pdf), 0.0)
-    # the f/W terms carry inf/NaN on miss lanes (t = inf); the
-    # where must wrap the product, not just the weight
-    Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee * Wr_nee, 0.0)
-    Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee * Wg_nee, 0.0)
-    Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee * Wb_nee, 0.0)
-
-    # ---- BSDF sampling (diffuse / conductor / dielectric) ----
-    if multi:
-        u_lobe = _rng1(seed_x, lane, dbase + SLOT_BSDF_LOBE)
-    ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
-
-    # diffuse: cosine hemisphere (SmoothDiffuse.sample); twosided
-    # back hits emit into the flipped hemisphere (wo.z sign flip)
-    dxl, dyl = _concentric_disk(ub1, ub2)
-    dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
-    dzl_w = jnp.where(flip, -dzl, dzl) if has_ts else dzl
-    ddx = sx * dxl + tx * dyl + shx * dzl_w
-    ddy = sy * dxl + ty * dyl + shy * dzl_w
-    ddz = sz * dxl + tz * dyl + shz * dzl_w
-    pdf_diff = INV_PI * dzl
-
-    if multi:
-        # mirror direction (conductor + dielectric-reflect)
-        # signed cosine: the plane reflection (and the twosided
-        # wrapper's back-face mirror) both reduce to this world form
-        rx = dx + 2.0 * cos_wi_sgn * shx
-        ry = dy + 2.0 * cos_wi_sgn * shy
-        rz = dz + 2.0 * cos_wi_sgn * shz
-
-        # conductor Fresnel per channel (core/fresnel.py)
-        Fc_r = _fr_cond(cos_wi, C0, C3)
-        Fc_g = _fr_cond(cos_wi, C1, C4)
-        Fc_b = _fr_cond(cos_wi, C2, C5)
-
-        # dielectric Fresnel with signed cosine (fresnel_dielectric)
-        eta_rel = jnp.maximum(C0, 1e-3)
-        outside = cos_wi >= 0.0
-        eta_it = jnp.where(outside, eta_rel, 1.0 / eta_rel)
-        eta_ti = jnp.where(outside, 1.0 / eta_rel, eta_rel)
-        cti = jnp.abs(cos_wi)
-        sin2_t = eta_ti * eta_ti * jnp.maximum(1.0 - cti * cti, 0.0)
-        tir = sin2_t >= 1.0
-        ctt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-        frs = (cti - eta_it * ctt) / jnp.maximum(
-            cti + eta_it * ctt, 1e-20)
-        frp = (eta_it * cti - ctt) / jnp.maximum(
-            eta_it * cti + ctt, 1e-20)
-        Fd = 0.5 * (frs * frs + frp * frp)
-        Fd = jnp.where(tir, 1.0, Fd)
-        Fd = jnp.where(jnp.abs(eta_rel - 1.0) < 1e-6, 0.0, Fd)
-        cos_t = jnp.where(tir, 0.0,
-                          -jnp.sign(cos_wi) * ctt)
-        # refracted world direction (fresnel.py refract, world form)
-        tfac = eta_ti * cos_wi + cos_t
-        wtx = eta_ti * dx + tfac * shx
-        wty = eta_ti * dy + tfac * shy
-        wtz = eta_ti * dz + tfac * shz
-        pick_refl = u_lobe <= Fd
-        pdf_diel = jnp.where(pick_refl, Fd, 1.0 - Fd)
-        w_diel = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
-        eta_mult = jnp.where(pick_refl, 1.0, eta_it)
-        gdx = jnp.where(pick_refl, rx, wtx)
-        gdy = jnp.where(pick_refl, ry, wty)
-        gdz = jnp.where(pick_refl, rz, wtz)
-
-    if has_rcond:
-        # GGX rough conductor (RoughConductor.sample mirror:
-        # VNDF half-vector, weight = F * G2/G1)
-        mgx, mgy, mgz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
-                                     alpha)
-        cim = wix * mgx + wiy * mgy + wiz * mgz
-        rlx = 2.0 * cim * mgx - wix
-        rly = 2.0 * cim * mgy - wiy
-        rlz = 2.0 * cim * mgz - wiz
-        pdf_m = _vndf_pdf(wix, wiy, wiz, mgx, mgy, mgz, alpha)
-        com = rlx * mgx + rly * mgy + rlz * mgz
-        pdf_rc = pdf_m / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
-        g1w = _ggx_g1(wix, wiy, wiz, mgx, mgy, mgz, alpha)
-        g1o = _ggx_g1(rlx, rly, rlz, mgx, mgy, mgz, alpha)
-        wgt_g = jnp.where(g1w > 0.0,
-                          g1w * g1o / jnp.maximum(g1w, 1e-20),
-                          0.0)
-        Frc_r = _fr_cond(cim, C0, C3) * wgt_g
-        Frc_g = _fr_cond(cim, C1, C4) * wgt_g
-        Frc_b = _fr_cond(cim, C2, C5) * wgt_g
-        ok_rc = (wiz > 0.0) & (rlz > 0.0)
-        pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
-        # local -> world (z flipped back on twosided back hits)
-        rlz_w = jnp.where(flip, -rlz, rlz) if has_ts else rlz
-        rcx = sx * rlx + tx * rly + shx * rlz_w
-        rcy = sy * rlx + ty * rly + shy * rlz_w
-        rcz = sz * rlx + tz * rly + shz * rlz_w
-    else:
-        rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
-            jnp.zeros_like(ox)
-
-    if has_rdiel:
-        # GGX rough dielectric (RoughDielectric.sample mirror)
-        eta_d = jnp.maximum(C0, 1e-3)
-        sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
-        mdx, mdy, mdz = _vndf_sample(
-            wix * sgn_i, wiy * sgn_i, wiz * sgn_i, ub1, ub2,
-            alpha)
-        modx, mody, modz = mdx * sgn_i, mdy * sgn_i, mdz * sgn_i
-        cim = wix * modx + wiy * mody + wiz * modz
-        fD, cost_d, eta_it, eta_ti = _fr_diel(cim, eta_d)
-        pick_d = u_lobe <= fD
-        # reflect / refract about the micronormal
-        wrx = 2.0 * cim * modx - wix
-        wry = 2.0 * cim * mody - wiy
-        wrz = 2.0 * cim * modz - wiz
-        tfac2 = cim * eta_ti + cost_d
-        wtx2 = modx * tfac2 - wix * eta_ti
-        wty2 = mody * tfac2 - wiy * eta_ti
-        wtz2 = modz * tfac2 - wiz * eta_ti
-        wdx = jnp.where(pick_d, wrx, wtx2)
-        wdy = jnp.where(pick_d, wry, wty2)
-        wdz = jnp.where(pick_d, wrz, wtz2)
-        g1i = _ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                      mdx, mdy, mdz, alpha)
-        sgn_od = jnp.where(wdz >= 0.0, 1.0, -1.0)
-        g2o = g1i * _ggx_g1(wdx * sgn_od, wdy * sgn_od,
-                            wdz * sgn_od, mdx, mdy, mdz, alpha)
-        w_rd = jnp.where(g1i > 0.0,
-                         g2o / jnp.maximum(g1i, 1e-20), 0.0)
-        w_rd = jnp.where(pick_d, w_rd, w_rd * (eta_ti * eta_ti))
-        pdm_d = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
-                          mdx, mdy, mdz, alpha)
-        com_d = wdx * modx + wdy * mody + wdz * modz
-        jr_d = 1.0 / jnp.maximum(4.0 * jnp.abs(com_d), 1e-20)
-        den_d = cim + eta_it * com_d
-        jt_d = jnp.abs(com_d) * (eta_it * eta_it) / jnp.maximum(
-            den_d * den_d, 1e-20)
-        pdf_rd = pdm_d * jnp.where(pick_d, fD * jr_d,
-                                   (1.0 - fD) * jt_d)
-        same_sd = wdz * wiz > 0.0
-        valid_d = jnp.where(pick_d, same_sd,
-                            ~same_sd & (cost_d != 0.0))
-        pdf_rd = jnp.where(valid_d, pdf_rd, 0.0)
-        eta_rd = jnp.where(pick_d, 1.0, eta_it)
-        # local -> world
-        tdx = sx * wdx + tx * wdy + shx * wdz
-        tdy = sy * wdx + ty * wdy + shy * wdz
-        tdz = sz * wdx + tz * wdy + shz * wdz
-    else:
-        tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
-        eta_rd = jnp.ones_like(ox)
-
-    if has_pl or has_rpl:
-        # plastic.cpp / roughplastic.cpp sample: Fresnel lobe choice
-        # between the coat reflection and the diffuse base
-        eta_p2 = jnp.maximum(C0, 1.0 + 1e-4)
-        fdr_s = C1
-        nl_s = C2 > 0.5
-        F_is, _, _, _ = _fr_diel(cos_wi, eta_p2)
-        pick_sp = u_lobe < F_is
-        inv_eta2s = 1.0 / (eta_p2 * eta_p2)
-        den_sr = 1.0 - jnp.where(nl_s, Rr * fdr_s, fdr_s)
-        den_sg = 1.0 - jnp.where(nl_s, Rg * fdr_s, fdr_s)
-        den_sb = 1.0 - jnp.where(nl_s, Rb * fdr_s, fdr_s)
-    if has_pl:
-        # smooth coat: mirror direction (shading normal)
-        F_od, _, _, _ = _fr_diel(dzl, eta_p2)
-        wdf = inv_eta2s * (1.0 - F_od)
-        plx = jnp.where(pick_sp, dx + 2.0 * cos_wi_sgn * shx, ddx)
-        ply = jnp.where(pick_sp, dy + 2.0 * cos_wi_sgn * shy, ddy)
-        plz = jnp.where(pick_sp, dz + 2.0 * cos_wi_sgn * shz, ddz)
-        wPl_r = jnp.where(pick_sp, 1.0,
-                          Rr / jnp.maximum(den_sr, 1e-6) * wdf)
-        wPl_g = jnp.where(pick_sp, 1.0,
-                          Rg / jnp.maximum(den_sg, 1e-6) * wdf)
-        wPl_b = jnp.where(pick_sp, 1.0,
-                          Rb / jnp.maximum(den_sb, 1e-6) * wdf)
-        pdf_pl_f = jnp.where(pick_sp, F_is,
-                             pdf_diff * (1.0 - F_is))
-    else:
-        plx = ply = plz = pdf_pl_f = jnp.zeros_like(ox)
-        wPl_r = wPl_g = wPl_b = jnp.zeros_like(ox)
-    if not (has_pl or has_rpl):
-        pick_sp = jnp.zeros_like(act)
-    if has_rpl:
-        # GGX coat: VNDF reflect or cosine diffuse, then weight =
-        # full eval / mixture pdf (roughplastic.cpp sample)
-        mpx, mpy, mpz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
-                                     alpha)
-        cimp = wix * mpx + wiy * mpy + wiz * mpz
-        splx = 2.0 * cimp * mpx - wix
-        sply = 2.0 * cimp * mpy - wiy
-        splz = 2.0 * cimp * mpz - wiz
-        wolx = jnp.where(pick_sp, splx, dxl)
-        woly = jnp.where(pick_sp, sply, dyl)
-        wolz = jnp.where(pick_sp, splz, dzl)
-        # eval+pdf at the sampled direction
-        hqx, hqy, hqz = wix + wolx, wiy + woly, wiz + wolz
-        hqn = jnp.sqrt(jnp.maximum(
-            hqx * hqx + hqy * hqy + hqz * hqz, 1e-20))
-        hqx, hqy, hqz = hqx / hqn, hqy / hqn, hqz / hqn
-        cimq = wix * hqx + wiy * hqy + wiz * hqz
-        F_mq, _, _, _ = _fr_diel(cimq, eta_p2)
-        d_q = _ggx_d(hqx, hqy, hqz, alpha)
-        g2_q = (_ggx_g1(wix, wiy, wiz, hqx, hqy, hqz, alpha)
-                * _ggx_g1(wolx, woly, wolz, hqx, hqy, hqz, alpha))
-        spec_q = F_mq * d_q * g2_q / jnp.maximum(4.0 * wiz, 1e-20)
-        F_oq, _, _, _ = _fr_diel(wolz, eta_p2)
-        fac_q = (INV_PI * jnp.maximum(wolz, 0.0)
-                 * (1.0 - F_is) * (1.0 - F_oq) * inv_eta2s)
-        jac_q = 1.0 / jnp.maximum(
-            4.0 * jnp.abs(wolx * hqx + woly * hqy + wolz * hqz),
-            1e-20)
-        pdf_q = (F_is * _vndf_pdf(wix, wiy, wiz, hqx, hqy, hqz,
-                                  alpha) * jac_q
-                 + (1.0 - F_is) * INV_PI * jnp.maximum(wolz, 0.0))
-        ok_q = (wiz > 0.0) & (wolz > 0.0) & (pdf_q > 1e-20)
-        inv_pdf_q = jnp.where(ok_q, 1.0 / jnp.maximum(pdf_q, 1e-20),
-                              0.0)
-        wRp_r = (Rr / jnp.maximum(den_sr, 1e-6) * fac_q + spec_q) \
-            * inv_pdf_q
-        wRp_g = (Rg / jnp.maximum(den_sg, 1e-6) * fac_q + spec_q) \
-            * inv_pdf_q
-        wRp_b = (Rb / jnp.maximum(den_sb, 1e-6) * fac_q + spec_q) \
-            * inv_pdf_q
-        pdf_rpl_f = jnp.where(ok_q, pdf_q, 0.0)
-        wolz_w = jnp.where(flip, -wolz, wolz) if has_ts else wolz
-        rpx = sx * wolx + tx * woly + shx * wolz_w
-        rpy = sy * wolx + ty * woly + shy * wolz_w
-        rpz = sz * wolx + tz * woly + shz * wolz_w
-    else:
-        rpx = rpy = rpz = pdf_rpl_f = jnp.zeros_like(ox)
-        wRp_r = wRp_g = wRp_b = jnp.zeros_like(ox)
-
-    # combine by surface type
-    if multi:
-        ndx = jnp.where(is_diff, ddx, jnp.where(
-            is_cond, rx, jnp.where(is_diel, gdx, jnp.where(
-                is_rcond, rcx, jnp.where(is_rdiel, tdx, jnp.where(
-                    is_pl, plx, rpx))))))
-        ndy = jnp.where(is_diff, ddy, jnp.where(
-            is_cond, ry, jnp.where(is_diel, gdy, jnp.where(
-                is_rcond, rcy, jnp.where(is_rdiel, tdy, jnp.where(
-                    is_pl, ply, rpy))))))
-        ndz = jnp.where(is_diff, ddz, jnp.where(
-            is_cond, rz, jnp.where(is_diel, gdz, jnp.where(
-                is_rcond, rcz, jnp.where(is_rdiel, tdz, jnp.where(
-                    is_pl, plz, rpz))))))
-        wR = jnp.where(is_diff, Rr, jnp.where(
-            is_cond, Fc_r, jnp.where(is_diel, w_diel, jnp.where(
-                is_rcond, Frc_r, jnp.where(is_rdiel, w_rd, jnp.where(
-                    is_pl, wPl_r, wRp_r))))))
-        wG = jnp.where(is_diff, Rg, jnp.where(
-            is_cond, Fc_g, jnp.where(is_diel, w_diel, jnp.where(
-                is_rcond, Frc_g, jnp.where(is_rdiel, w_rd, jnp.where(
-                    is_pl, wPl_g, wRp_g))))))
-        wB = jnp.where(is_diff, Rb, jnp.where(
-            is_cond, Fc_b, jnp.where(is_diel, w_diel, jnp.where(
-                is_rcond, Frc_b, jnp.where(is_rdiel, w_rd, jnp.where(
-                    is_pl, wPl_b, wRp_b))))))
-        pdf_fwd = jnp.where(is_diff, pdf_diff, jnp.where(
-            is_cond, 1.0, jnp.where(is_diel, pdf_diel, jnp.where(
-                is_rcond, pdf_rc, jnp.where(is_rdiel, pdf_rd,
-                                            jnp.where(is_pl, pdf_pl_f,
-                                                      pdf_rpl_f))))))
-    else:
-        ndx, ndy, ndz = ddx, ddy, ddz
-        wR, wG, wB = Rr, Rg, Rb
-        pdf_fwd = pdf_diff
-    Br = jnp.where(act_next, Br * wR, Br)
-    Bg = jnp.where(act_next, Bg * wG, Bg)
-    Bb = jnp.where(act_next, Bb * wB, Bb)
-    if multi:
-        eta_acc = jnp.where(act_next & is_diel,
-                            eta_acc * eta_mult, eta_acc)
+            fr_nee = jnp.where(is_rcond, fr_r, fr_nee)
+            fg_nee = jnp.where(is_rcond, fg_r, fg_nee)
+            fb_nee = jnp.where(is_rcond, fb_r, fb_nee)
+            f_pdf = jnp.where(is_rcond, pdf_r_nee, f_pdf)
         if has_rdiel:
-            eta_acc = jnp.where(act_next & is_rdiel,
-                                eta_acc * eta_rd, eta_acc)
-    bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
-    act_next = act_next & (pdf_fwd > 0.0) & (bmax > 0.0)
-    sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
-                      1.0, -1.0)
-    ox = px + sgn_b * off * ngx
-    oy = py + sgn_b * off * ngy
-    oz = pz + sgn_b * off * ngz
-    dx, dy, dz = ndx, ndy, ndz
-    prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
-    if multi:
-        smooth_lobe = is_diff
-        if has_rcond:
-            smooth_lobe = smooth_lobe | is_rcond
-        if has_rpl:
-            smooth_lobe = smooth_lobe | is_rpl
-        if has_pl:
-            # plastic: delta only when the coat reflection was picked
-            smooth_lobe = smooth_lobe | (is_pl & ~pick_sp)
-        prev_delta = jnp.where(act_next,
-                               jnp.where(smooth_lobe, 0.0, 1.0),
-                               prev_delta)
-    else:
-        prev_delta = jnp.where(act_next, 0.0, prev_delta)
+            # RoughDielectric._eval_pdf_impl mirror (two-sided)
+            wox = sdx * sx + sdy * sy + sdz * sz
+            woy = sdx * tx + sdy * ty + sdz * tz
+            woz = cos_s
+            eta_d = jnp.maximum(C0, 1e-3)
+            refl_cfg = wiz * woz > 0.0
+            eta_path = jnp.where(wiz > 0.0, eta_d, 1.0 / eta_d)
+            qx = jnp.where(refl_cfg, wix + wox, wix + wox * eta_path)
+            qy = jnp.where(refl_cfg, wiy + woy, wiy + woy * eta_path)
+            qz = jnp.where(refl_cfg, wiz + woz, wiz + woz * eta_path)
+            n2 = qx * qx + qy * qy + qz * qz
+            qinv = jnp.where(n2 > 1e-20,
+                             1.0 / jnp.sqrt(jnp.maximum(n2, 1e-20)),
+                             0.0)
+            qx, qy, qz = qx * qinv, qy * qinv, qz * qinv
+            sg_m = jnp.where(qz >= 0.0, 1.0, -1.0)
+            qx, qy, qz = qx * sg_m, qy * sg_m, qz * sg_m
+            sg_o = jnp.where(wiz >= 0.0, 1.0, -1.0)
+            mox, moy, moz = qx * sg_o, qy * sg_o, qz * sg_o
+            cim = wix * mox + wiy * moy + wiz * moz
+            com = wox * mox + woy * moy + woz * moz
+            fD, _, eta_it, eta_ti = _fr_diel(cim, eta_d)
+            sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
+            sgn_o = jnp.where(woz >= 0.0, 1.0, -1.0)
+            d_g = _ggx_d(qx, qy, qz, alpha)
+            g2d = (_ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                           qx, qy, qz, alpha)
+                   * _ggx_g1(wox * sgn_o, woy * sgn_o, woz * sgn_o,
+                             qx, qy, qz, alpha))
+            val_rr = fD * d_g * g2d / jnp.maximum(
+                4.0 * jnp.abs(wiz), 1e-20)
+            den = cim + eta_it * com
+            val_tt = ((1.0 - fD) * d_g * g2d
+                      * jnp.abs(cim * com) * (eta_it * eta_it)
+                      / jnp.maximum(jnp.abs(wiz) * den * den, 1e-20)
+                      ) * (eta_ti * eta_ti)
+            val_d = jnp.where(refl_cfg, val_rr, jnp.abs(val_tt))
+            pdm = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                            qx, qy, qz, alpha)
+            jr = 1.0 / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
+            jt = jnp.abs(com) * (eta_it * eta_it) / jnp.maximum(
+                den * den, 1e-20)
+            pdf_d = pdm * jnp.where(refl_cfg, fD * jr,
+                                    (1.0 - fD) * jt)
+            ok_d = ((jnp.abs(wiz) > 1e-6) & (n2 > 1e-20)
+                    & (refl_cfg | (cim * com < 0.0)))
+            val_d = jnp.where(ok_d, val_d, 0.0)
+            pdf_d = jnp.where(ok_d, pdf_d, 0.0)
+            fr_nee = jnp.where(is_rdiel, val_d, fr_nee)
+            fg_nee = jnp.where(is_rdiel, val_d, fg_nee)
+            fb_nee = jnp.where(is_rdiel, val_d, fb_nee)
+            f_pdf = jnp.where(is_rdiel, pdf_d, f_pdf)
+            ok_nee = ok_nee & (~is_rdiel | (val_d > 0.0))
+        if has_pl or has_rpl:
+            # plastic.cpp / roughplastic.cpp eval+pdf: dielectric coat
+            # over diffuse with internal-scattering correction
+            eta_p = jnp.maximum(C0, 1.0 + 1e-4)
+            fdr_p = C1
+            F_ip, _, _, _ = _fr_diel(cos_wi, eta_p)
+            F_op, _, _, _ = _fr_diel(cos_s, eta_p)
+            inv_eta2 = 1.0 / (eta_p * eta_p)
+            fac_p = (INV_PI * jnp.maximum(cos_s, 0.0)
+                     * (1.0 - F_ip) * (1.0 - F_op) * inv_eta2)
+            nl = C2 > 0.5
+            den_pr = 1.0 - jnp.where(nl, Rr * fdr_p, fdr_p)
+            den_pg = 1.0 - jnp.where(nl, Rg * fdr_p, fdr_p)
+            den_pb = 1.0 - jnp.where(nl, Rb * fdr_p, fdr_p)
+            dif_pr = Rr / jnp.maximum(den_pr, 1e-6) * fac_p
+            dif_pg = Rg / jnp.maximum(den_pg, 1e-6) * fac_p
+            dif_pb = Rb / jnp.maximum(den_pb, 1e-6) * fac_p
+            cos_pdf_s = INV_PI * jnp.maximum(cos_s, 0.0)
+            if has_pl:
+                fr_nee = jnp.where(is_pl, dif_pr, fr_nee)
+                fg_nee = jnp.where(is_pl, dif_pg, fg_nee)
+                fb_nee = jnp.where(is_pl, dif_pb, fb_nee)
+                f_pdf = jnp.where(is_pl, cos_pdf_s * (1.0 - F_ip),
+                                  f_pdf)
+            if has_rpl:
+                wox = sdx * sx + sdy * sy + sdz * sz
+                woy = sdx * tx + sdy * ty + sdz * tz
+                woz = cos_s
+                hpx, hpy, hpz = wix + wox, wiy + woy, wiz + woz
+                hn = jnp.sqrt(jnp.maximum(
+                    hpx * hpx + hpy * hpy + hpz * hpz, 1e-20))
+                hpx, hpy, hpz = hpx / hn, hpy / hn, hpz / hn
+                cim_p = wix * hpx + wiy * hpy + wiz * hpz
+                F_mp, _, _, _ = _fr_diel(cim_p, eta_p)
+                d_p = _ggx_d(hpx, hpy, hpz, alpha)
+                g2_p = (_ggx_g1(wix, wiy, wiz, hpx, hpy, hpz, alpha)
+                        * _ggx_g1(wox, woy, woz, hpx, hpy, hpz, alpha))
+                spec_p = F_mp * d_p * g2_p / jnp.maximum(
+                    4.0 * wiz, 1e-20)
+                jac_p = 1.0 / jnp.maximum(
+                    4.0 * jnp.abs(wox * hpx + woy * hpy + woz * hpz),
+                    1e-20)
+                pdf_rpl = (F_ip * _vndf_pdf(wix, wiy, wiz, hpx, hpy,
+                                            hpz, alpha) * jac_p
+                           + (1.0 - F_ip) * cos_pdf_s)
+                fr_nee = jnp.where(is_rpl, dif_pr + spec_p, fr_nee)
+                fg_nee = jnp.where(is_rpl, dif_pg + spec_p, fg_nee)
+                fb_nee = jnp.where(is_rpl, dif_pb + spec_p, fb_nee)
+                f_pdf = jnp.where(is_rpl, pdf_rpl, f_pdf)
+        wnee = jnp.where(ok_nee, _mis(pdf_eff, f_pdf), 0.0)
+        # the f/W terms carry inf/NaN on miss lanes (t = inf); the
+        # where must wrap the product, not just the weight
+        Lr = Lr + Br * jnp.where(ok_nee, fr_nee * wnee * Wr_nee, 0.0)
+        Lg = Lg + Bg * jnp.where(ok_nee, fg_nee * wnee * Wg_nee, 0.0)
+        Lb = Lb + Bb * jnp.where(ok_nee, fb_nee * wnee * Wb_nee, 0.0)
 
-    # ---- russian roulette (path.py:117-128; eta^2 factor) ----
-    if depth + 1 >= rr_depth:
-        rr_p = jnp.minimum(bmax * eta_acc * eta_acc, 0.95)
-        u_rr = _rng1(seed_x, lane, dbase + SLOT_RR)
-        survive = u_rr < rr_p
-        inv_p = 1.0 / jnp.maximum(rr_p, 1e-8)
-        Br = jnp.where(act_next, Br * inv_p, Br)
-        Bg = jnp.where(act_next, Bg * inv_p, Bg)
-        Bb = jnp.where(act_next, Bb * inv_p, Bb)
-        act_next = act_next & survive
+    if not DEBUG_SKIP_SAMPLING:
+        # ---- BSDF sampling (diffuse / conductor / dielectric) ----
+        if multi:
+            u_lobe = _rng1(seed_x, lane, dbase + SLOT_BSDF_LOBE)
+        ub1, ub2 = _rng2(seed_x, lane, dbase + SLOT_BSDF_DIR)
+
+        # diffuse: cosine hemisphere (SmoothDiffuse.sample); twosided
+        # back hits emit into the flipped hemisphere (wo.z sign flip)
+        dxl, dyl = _concentric_disk(ub1, ub2)
+        dzl = jnp.sqrt(jnp.maximum(1.0 - (dxl * dxl + dyl * dyl), 0.0))
+        dzl_w = jnp.where(flip, -dzl, dzl) if has_ts else dzl
+        ddx = sx * dxl + tx * dyl + shx * dzl_w
+        ddy = sy * dxl + ty * dyl + shy * dzl_w
+        ddz = sz * dxl + tz * dyl + shz * dzl_w
+        pdf_diff = INV_PI * dzl
+
+        if multi:
+            # mirror direction (conductor + dielectric-reflect)
+            # signed cosine: the plane reflection (and the twosided
+            # wrapper's back-face mirror) both reduce to this world form
+            rx = dx + 2.0 * cos_wi_sgn * shx
+            ry = dy + 2.0 * cos_wi_sgn * shy
+            rz = dz + 2.0 * cos_wi_sgn * shz
+
+            # conductor Fresnel per channel (core/fresnel.py)
+            Fc_r = _fr_cond(cos_wi, C0, C3)
+            Fc_g = _fr_cond(cos_wi, C1, C4)
+            Fc_b = _fr_cond(cos_wi, C2, C5)
+
+            # dielectric Fresnel with signed cosine (fresnel_dielectric)
+            eta_rel = jnp.maximum(C0, 1e-3)
+            outside = cos_wi >= 0.0
+            eta_it = jnp.where(outside, eta_rel, 1.0 / eta_rel)
+            eta_ti = jnp.where(outside, 1.0 / eta_rel, eta_rel)
+            cti = jnp.abs(cos_wi)
+            sin2_t = eta_ti * eta_ti * jnp.maximum(1.0 - cti * cti, 0.0)
+            tir = sin2_t >= 1.0
+            ctt = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+            frs = (cti - eta_it * ctt) / jnp.maximum(
+                cti + eta_it * ctt, 1e-20)
+            frp = (eta_it * cti - ctt) / jnp.maximum(
+                eta_it * cti + ctt, 1e-20)
+            Fd = 0.5 * (frs * frs + frp * frp)
+            Fd = jnp.where(tir, 1.0, Fd)
+            Fd = jnp.where(jnp.abs(eta_rel - 1.0) < 1e-6, 0.0, Fd)
+            cos_t = jnp.where(tir, 0.0,
+                              -jnp.sign(cos_wi) * ctt)
+            # refracted world direction (fresnel.py refract, world form)
+            tfac = eta_ti * cos_wi + cos_t
+            wtx = eta_ti * dx + tfac * shx
+            wty = eta_ti * dy + tfac * shy
+            wtz = eta_ti * dz + tfac * shz
+            pick_refl = u_lobe <= Fd
+            pdf_diel = jnp.where(pick_refl, Fd, 1.0 - Fd)
+            w_diel = jnp.where(pick_refl, 1.0, eta_ti * eta_ti)
+            eta_mult = jnp.where(pick_refl, 1.0, eta_it)
+            gdx = jnp.where(pick_refl, rx, wtx)
+            gdy = jnp.where(pick_refl, ry, wty)
+            gdz = jnp.where(pick_refl, rz, wtz)
+
+        if has_rcond:
+            # GGX rough conductor (RoughConductor.sample mirror:
+            # VNDF half-vector, weight = F * G2/G1)
+            mgx, mgy, mgz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
+                                         alpha)
+            cim = wix * mgx + wiy * mgy + wiz * mgz
+            rlx = 2.0 * cim * mgx - wix
+            rly = 2.0 * cim * mgy - wiy
+            rlz = 2.0 * cim * mgz - wiz
+            pdf_m = _vndf_pdf(wix, wiy, wiz, mgx, mgy, mgz, alpha)
+            com = rlx * mgx + rly * mgy + rlz * mgz
+            pdf_rc = pdf_m / jnp.maximum(4.0 * jnp.abs(com), 1e-20)
+            g1w = _ggx_g1(wix, wiy, wiz, mgx, mgy, mgz, alpha)
+            g1o = _ggx_g1(rlx, rly, rlz, mgx, mgy, mgz, alpha)
+            wgt_g = jnp.where(g1w > 0.0,
+                              g1w * g1o / jnp.maximum(g1w, 1e-20),
+                              0.0)
+            Frc_r = _fr_cond(cim, C0, C3) * wgt_g
+            Frc_g = _fr_cond(cim, C1, C4) * wgt_g
+            Frc_b = _fr_cond(cim, C2, C5) * wgt_g
+            ok_rc = (wiz > 0.0) & (rlz > 0.0)
+            pdf_rc = jnp.where(ok_rc, pdf_rc, 0.0)
+            # local -> world (z flipped back on twosided back hits)
+            rlz_w = jnp.where(flip, -rlz, rlz) if has_ts else rlz
+            rcx = sx * rlx + tx * rly + shx * rlz_w
+            rcy = sy * rlx + ty * rly + shy * rlz_w
+            rcz = sz * rlx + tz * rly + shz * rlz_w
+        else:
+            rcx = rcy = rcz = pdf_rc = Frc_r = Frc_g = Frc_b = \
+                jnp.zeros_like(ox)
+
+        if has_rdiel:
+            # GGX rough dielectric (RoughDielectric.sample mirror)
+            eta_d = jnp.maximum(C0, 1e-3)
+            sgn_i = jnp.where(wiz >= 0.0, 1.0, -1.0)
+            mdx, mdy, mdz = _vndf_sample(
+                wix * sgn_i, wiy * sgn_i, wiz * sgn_i, ub1, ub2,
+                alpha)
+            modx, mody, modz = mdx * sgn_i, mdy * sgn_i, mdz * sgn_i
+            cim = wix * modx + wiy * mody + wiz * modz
+            fD, cost_d, eta_it, eta_ti = _fr_diel(cim, eta_d)
+            pick_d = u_lobe <= fD
+            # reflect / refract about the micronormal
+            wrx = 2.0 * cim * modx - wix
+            wry = 2.0 * cim * mody - wiy
+            wrz = 2.0 * cim * modz - wiz
+            tfac2 = cim * eta_ti + cost_d
+            wtx2 = modx * tfac2 - wix * eta_ti
+            wty2 = mody * tfac2 - wiy * eta_ti
+            wtz2 = modz * tfac2 - wiz * eta_ti
+            wdx = jnp.where(pick_d, wrx, wtx2)
+            wdy = jnp.where(pick_d, wry, wty2)
+            wdz = jnp.where(pick_d, wrz, wtz2)
+            g1i = _ggx_g1(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                          mdx, mdy, mdz, alpha)
+            sgn_od = jnp.where(wdz >= 0.0, 1.0, -1.0)
+            g2o = g1i * _ggx_g1(wdx * sgn_od, wdy * sgn_od,
+                                wdz * sgn_od, mdx, mdy, mdz, alpha)
+            w_rd = jnp.where(g1i > 0.0,
+                             g2o / jnp.maximum(g1i, 1e-20), 0.0)
+            w_rd = jnp.where(pick_d, w_rd, w_rd * (eta_ti * eta_ti))
+            pdm_d = _vndf_pdf(wix * sgn_i, wiy * sgn_i, wiz * sgn_i,
+                              mdx, mdy, mdz, alpha)
+            com_d = wdx * modx + wdy * mody + wdz * modz
+            jr_d = 1.0 / jnp.maximum(4.0 * jnp.abs(com_d), 1e-20)
+            den_d = cim + eta_it * com_d
+            jt_d = jnp.abs(com_d) * (eta_it * eta_it) / jnp.maximum(
+                den_d * den_d, 1e-20)
+            pdf_rd = pdm_d * jnp.where(pick_d, fD * jr_d,
+                                       (1.0 - fD) * jt_d)
+            same_sd = wdz * wiz > 0.0
+            valid_d = jnp.where(pick_d, same_sd,
+                                ~same_sd & (cost_d != 0.0))
+            pdf_rd = jnp.where(valid_d, pdf_rd, 0.0)
+            eta_rd = jnp.where(pick_d, 1.0, eta_it)
+            # local -> world
+            tdx = sx * wdx + tx * wdy + shx * wdz
+            tdy = sy * wdx + ty * wdy + shy * wdz
+            tdz = sz * wdx + tz * wdy + shz * wdz
+        else:
+            tdx = tdy = tdz = pdf_rd = w_rd = jnp.zeros_like(ox)
+            eta_rd = jnp.ones_like(ox)
+
+        if has_pl or has_rpl:
+            # plastic.cpp / roughplastic.cpp sample: Fresnel lobe choice
+            # between the coat reflection and the diffuse base
+            eta_p2 = jnp.maximum(C0, 1.0 + 1e-4)
+            fdr_s = C1
+            nl_s = C2 > 0.5
+            F_is, _, _, _ = _fr_diel(cos_wi, eta_p2)
+            pick_sp = u_lobe < F_is
+            inv_eta2s = 1.0 / (eta_p2 * eta_p2)
+            den_sr = 1.0 - jnp.where(nl_s, Rr * fdr_s, fdr_s)
+            den_sg = 1.0 - jnp.where(nl_s, Rg * fdr_s, fdr_s)
+            den_sb = 1.0 - jnp.where(nl_s, Rb * fdr_s, fdr_s)
+        if has_pl:
+            # smooth coat: mirror direction (shading normal)
+            F_od, _, _, _ = _fr_diel(dzl, eta_p2)
+            wdf = inv_eta2s * (1.0 - F_od)
+            plx = jnp.where(pick_sp, dx + 2.0 * cos_wi_sgn * shx, ddx)
+            ply = jnp.where(pick_sp, dy + 2.0 * cos_wi_sgn * shy, ddy)
+            plz = jnp.where(pick_sp, dz + 2.0 * cos_wi_sgn * shz, ddz)
+            wPl_r = jnp.where(pick_sp, 1.0,
+                              Rr / jnp.maximum(den_sr, 1e-6) * wdf)
+            wPl_g = jnp.where(pick_sp, 1.0,
+                              Rg / jnp.maximum(den_sg, 1e-6) * wdf)
+            wPl_b = jnp.where(pick_sp, 1.0,
+                              Rb / jnp.maximum(den_sb, 1e-6) * wdf)
+            pdf_pl_f = jnp.where(pick_sp, F_is,
+                                 pdf_diff * (1.0 - F_is))
+        else:
+            plx = ply = plz = pdf_pl_f = jnp.zeros_like(ox)
+            wPl_r = wPl_g = wPl_b = jnp.zeros_like(ox)
+        if not (has_pl or has_rpl):
+            pick_sp = jnp.zeros_like(act)
+        if has_rpl:
+            # GGX coat: VNDF reflect or cosine diffuse, then weight =
+            # full eval / mixture pdf (roughplastic.cpp sample)
+            mpx, mpy, mpz = _vndf_sample(wix, wiy, wiz, ub1, ub2,
+                                         alpha)
+            cimp = wix * mpx + wiy * mpy + wiz * mpz
+            splx = 2.0 * cimp * mpx - wix
+            sply = 2.0 * cimp * mpy - wiy
+            splz = 2.0 * cimp * mpz - wiz
+            wolx = jnp.where(pick_sp, splx, dxl)
+            woly = jnp.where(pick_sp, sply, dyl)
+            wolz = jnp.where(pick_sp, splz, dzl)
+            # eval+pdf at the sampled direction
+            hqx, hqy, hqz = wix + wolx, wiy + woly, wiz + wolz
+            hqn = jnp.sqrt(jnp.maximum(
+                hqx * hqx + hqy * hqy + hqz * hqz, 1e-20))
+            hqx, hqy, hqz = hqx / hqn, hqy / hqn, hqz / hqn
+            cimq = wix * hqx + wiy * hqy + wiz * hqz
+            F_mq, _, _, _ = _fr_diel(cimq, eta_p2)
+            d_q = _ggx_d(hqx, hqy, hqz, alpha)
+            g2_q = (_ggx_g1(wix, wiy, wiz, hqx, hqy, hqz, alpha)
+                    * _ggx_g1(wolx, woly, wolz, hqx, hqy, hqz, alpha))
+            spec_q = F_mq * d_q * g2_q / jnp.maximum(4.0 * wiz, 1e-20)
+            F_oq, _, _, _ = _fr_diel(wolz, eta_p2)
+            fac_q = (INV_PI * jnp.maximum(wolz, 0.0)
+                     * (1.0 - F_is) * (1.0 - F_oq) * inv_eta2s)
+            jac_q = 1.0 / jnp.maximum(
+                4.0 * jnp.abs(wolx * hqx + woly * hqy + wolz * hqz),
+                1e-20)
+            pdf_q = (F_is * _vndf_pdf(wix, wiy, wiz, hqx, hqy, hqz,
+                                      alpha) * jac_q
+                     + (1.0 - F_is) * INV_PI * jnp.maximum(wolz, 0.0))
+            ok_q = (wiz > 0.0) & (wolz > 0.0) & (pdf_q > 1e-20)
+            inv_pdf_q = jnp.where(ok_q, 1.0 / jnp.maximum(pdf_q, 1e-20),
+                                  0.0)
+            wRp_r = (Rr / jnp.maximum(den_sr, 1e-6) * fac_q + spec_q) \
+                * inv_pdf_q
+            wRp_g = (Rg / jnp.maximum(den_sg, 1e-6) * fac_q + spec_q) \
+                * inv_pdf_q
+            wRp_b = (Rb / jnp.maximum(den_sb, 1e-6) * fac_q + spec_q) \
+                * inv_pdf_q
+            pdf_rpl_f = jnp.where(ok_q, pdf_q, 0.0)
+            wolz_w = jnp.where(flip, -wolz, wolz) if has_ts else wolz
+            rpx = sx * wolx + tx * woly + shx * wolz_w
+            rpy = sy * wolx + ty * woly + shy * wolz_w
+            rpz = sz * wolx + tz * woly + shz * wolz_w
+        else:
+            rpx = rpy = rpz = pdf_rpl_f = jnp.zeros_like(ox)
+            wRp_r = wRp_g = wRp_b = jnp.zeros_like(ox)
+
+        # combine by surface type
+        if multi:
+            ndx = jnp.where(is_diff, ddx, jnp.where(
+                is_cond, rx, jnp.where(is_diel, gdx, jnp.where(
+                    is_rcond, rcx, jnp.where(is_rdiel, tdx, jnp.where(
+                        is_pl, plx, rpx))))))
+            ndy = jnp.where(is_diff, ddy, jnp.where(
+                is_cond, ry, jnp.where(is_diel, gdy, jnp.where(
+                    is_rcond, rcy, jnp.where(is_rdiel, tdy, jnp.where(
+                        is_pl, ply, rpy))))))
+            ndz = jnp.where(is_diff, ddz, jnp.where(
+                is_cond, rz, jnp.where(is_diel, gdz, jnp.where(
+                    is_rcond, rcz, jnp.where(is_rdiel, tdz, jnp.where(
+                        is_pl, plz, rpz))))))
+            wR = jnp.where(is_diff, Rr, jnp.where(
+                is_cond, Fc_r, jnp.where(is_diel, w_diel, jnp.where(
+                    is_rcond, Frc_r, jnp.where(is_rdiel, w_rd, jnp.where(
+                        is_pl, wPl_r, wRp_r))))))
+            wG = jnp.where(is_diff, Rg, jnp.where(
+                is_cond, Fc_g, jnp.where(is_diel, w_diel, jnp.where(
+                    is_rcond, Frc_g, jnp.where(is_rdiel, w_rd, jnp.where(
+                        is_pl, wPl_g, wRp_g))))))
+            wB = jnp.where(is_diff, Rb, jnp.where(
+                is_cond, Fc_b, jnp.where(is_diel, w_diel, jnp.where(
+                    is_rcond, Frc_b, jnp.where(is_rdiel, w_rd, jnp.where(
+                        is_pl, wPl_b, wRp_b))))))
+            pdf_fwd = jnp.where(is_diff, pdf_diff, jnp.where(
+                is_cond, 1.0, jnp.where(is_diel, pdf_diel, jnp.where(
+                    is_rcond, pdf_rc, jnp.where(is_rdiel, pdf_rd,
+                                                jnp.where(is_pl, pdf_pl_f,
+                                                          pdf_rpl_f))))))
+        else:
+            ndx, ndy, ndz = ddx, ddy, ddz
+            wR, wG, wB = Rr, Rg, Rb
+            pdf_fwd = pdf_diff
+        Br = jnp.where(act_next, Br * wR, Br)
+        Bg = jnp.where(act_next, Bg * wG, Bg)
+        Bb = jnp.where(act_next, Bb * wB, Bb)
+        if multi:
+            eta_acc = jnp.where(act_next & is_diel,
+                                eta_acc * eta_mult, eta_acc)
+            if has_rdiel:
+                eta_acc = jnp.where(act_next & is_rdiel,
+                                    eta_acc * eta_rd, eta_acc)
+        bmax = jnp.maximum(Br, jnp.maximum(Bg, Bb))
+        act_next = act_next & (pdf_fwd > 0.0) & (bmax > 0.0)
+        sgn_b = jnp.where(ndx * ngx + ndy * ngy + ndz * ngz >= 0.0,
+                          1.0, -1.0)
+        ox = px + sgn_b * off * ngx
+        oy = py + sgn_b * off * ngy
+        oz = pz + sgn_b * off * ngz
+        dx, dy, dz = ndx, ndy, ndz
+        prev_pdf = jnp.where(act_next, pdf_fwd, prev_pdf)
+        if multi:
+            smooth_lobe = is_diff
+            if has_rcond:
+                smooth_lobe = smooth_lobe | is_rcond
+            if has_rpl:
+                smooth_lobe = smooth_lobe | is_rpl
+            if has_pl:
+                # plastic: delta only when the coat reflection was picked
+                smooth_lobe = smooth_lobe | (is_pl & ~pick_sp)
+            prev_delta = jnp.where(act_next,
+                                   jnp.where(smooth_lobe, 0.0, 1.0),
+                                   prev_delta)
+        else:
+            prev_delta = jnp.where(act_next, 0.0, prev_delta)
+
+        # ---- russian roulette (path.py:117-128; eta^2 factor) ----
+        if depth + 1 >= rr_depth:
+            rr_p = jnp.minimum(bmax * eta_acc * eta_acc, 0.95)
+            u_rr = _rng1(seed_x, lane, dbase + SLOT_RR)
+            survive = u_rr < rr_p
+            inv_p = 1.0 / jnp.maximum(rr_p, 1e-8)
+            Br = jnp.where(act_next, Br * inv_p, Br)
+            Bg = jnp.where(act_next, Bg * inv_p, Bg)
+            Bb = jnp.where(act_next, Bb * inv_p, Bb)
+            act_next = act_next & survive
+    else:
+        # ablation: rays continue with stale direction/throughput; only
+        # the hit-point advance remains so state stores stay realistic
+        ox = px + off * ngx
+        oy = py + off * ngy
+        oz = pz + off * ngz
     return (ox, oy, oz, dx, dy, dz, Lr, Lg, Lb, Br, Bg, Bb, eta_acc,
             prev_pdf, prev_delta, act_next)
 
