@@ -450,7 +450,7 @@ def indirect_boundary_grads(scene, edges: EdgeTable, grad_image, seed,
 
 def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
                    n_samples, eps_frac, oc=None, collect=False,
-                   indirect_depth=1, points=None):
+                   indirect_depth=1, points=None, diag_tangent=None):
     """One boundary-sampling pass; ``oc`` importance-samples the
     (u_edge, t, u_light) cube; ``points`` (N, 3) evaluates the
     integrand at explicit cube points instead (projection-seeded
@@ -653,6 +653,18 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
         py2 = jnp.clip((u_px[:, 1] * h_px).astype(jnp.int32), 0,
                        h_px - 1)
         delta2 = grad_image[py2, px2]
+        # connection guards (round 5): the x_j <-> x_B connection is a
+        # BDPT-style join with two log-divergent tails — (a) viewers
+        # grazing the receiver plane blow up the attached re-projection
+        # (view_on_plane's sview ~ 1/cos), (b) near-zero connection
+        # radius blows up the 1/r^2 kernel.  Both configurations carry
+        # ~zero true transport (the same cosines appear in f_b / the
+        # offset geometry), so culling them trades O(tau) bias for
+        # finite variance — the reference's clamp-the-tail treatment
+        # (common.py clamp_mass_thres / scale_mass) applied at the
+        # estimator's actual singularity.
+        graze_tau = 2e-2
+        r_min = 1e-3 * float(scene_det.scene_radius)
         for j in range(2, indirect_depth + 1):
             d_2b = x_b - si_j.p
             r2b = jnp.sqrt(jnp.maximum(jnp.sum(d_2b * d_2b, -1), 1e-20))
@@ -664,7 +676,9 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
             sh2 = Ray.make(si_j.p + sg2 * off2 * si_j.n, d_2b,
                            maxt=r2b * (1.0 - 2e-3))
             occ2 = scene_det.ray_test(sh2, ok_walk, ctx_det)
-            ok2 = ok_walk & ~occ2
+            cos_view = jnp.abs(jnp.sum(d_2b * n_recv, -1))
+            ok2 = (ok_walk & ~occ2 & (cos_view > graze_tau)
+                   & (r2b > r_min))
             # f at x_j: wi = from the previous prefix vertex, wo =
             # toward x_B (includes the x_j-side connection cosine)
             f_2, _ = scene_det.bsdf_eval_pdf(
@@ -709,7 +723,7 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
     fr = faces[prim_r]
     mesh_recv = si_r.prim_index < faces.shape[0]
 
-    def S(fl):
+    def S_terms(fl):
         sc = rebuild(fl)
         v_att, *_ = sc.geometry()
         xe_att = (v_att[edges.v0[idx_d]] * (1.0 - t_e[:, None])
@@ -752,13 +766,21 @@ def _indirect_pass(scene, edges: EdgeTable, grad_image, seed,
             return viewer + sview[:, None] * dv
 
         xb1 = view_on_plane(xb_att, cam_p)
-        out = jnp.sum(coeff * jnp.sum(m_hat * xb1, -1))
+        terms = [coeff * jnp.sum(m_hat * xb1, -1)]
         for coeff_j, viewer_j in extras:
             xbj = view_on_plane(xb_att, viewer_j)
-            out = out + jnp.sum(coeff_j * jnp.sum(m_hat * xbj, -1))
-        return out
+            terms.append(coeff_j * jnp.sum(m_hat * xbj, -1))
+        return jnp.stack(terms, axis=-1)        # (N, 1 + len(extras))
+
+    def S(fl):
+        return jnp.sum(S_terms(fl))
 
     grads = jax.grad(S)(floats)
+    if diag_tangent is not None:
+        # per-sample directional derivative along a caller tangent —
+        # tail diagnostics (round 5): which samples carry the gradient
+        _, dt = jax.jvp(S_terms, (floats,), (diag_tangent,))
+        return grads, jnp.stack([u_e, t_e, u_lf], axis=-1), dt
     if collect:
         pts = jnp.stack([u_e, t_e, u_lf], axis=-1)
         mass = jnp.abs(coeff)
