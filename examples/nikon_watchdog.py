@@ -1,0 +1,74 @@
+"""Stall-watchdog driver for the Nikon exp2 convergence run.
+
+The axon tunnel's remote services occasionally wedge a device call
+indefinitely (PERF.md round-4/5 failure modes: worker crash, HTTP 500,
+dropped response body, and round-5's silent 20-minute stall at iter 7
+with the whole host idle).  DesignProblem.optimize checkpoints every 10
+iters (utils/elastic.CheckpointedLoop), so the cheap cure is an
+external watchdog: kill the run when its log stops moving and restart
+it — it resumes from the last checkpoint with warm compile caches.
+
+Run: python examples/nikon_watchdog.py [--iters 140 --spp 256 --res 40]
+"""
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=140)
+    ap.add_argument("--spp", type=int, default=256)
+    ap.add_argument("--res", type=int, default=40)
+    ap.add_argument("--log", default="/tmp/nikon_watchdog.log")
+    ap.add_argument("--stall-secs", type=int, default=900,
+                    help="kill the run if the log is silent this long")
+    ap.add_argument("--max-attempts", type=int, default=12)
+    args = ap.parse_args()
+
+    cmd = [sys.executable, os.path.join(HERE, "nikon_asph_recovery.py"),
+           "--iters", str(args.iters), "--spp", str(args.spp),
+           "--res", str(args.res)]
+    for attempt in range(1, args.max_attempts + 1):
+        with open(args.log, "a") as lf:
+            lf.write(f"\n==== attempt {attempt}: {' '.join(cmd)}\n")
+            lf.flush()
+            # new process group so the kill reaches python's children
+            proc = subprocess.Popen(cmd, stdout=lf, stderr=lf,
+                                    start_new_session=True)
+        last_size = -1
+        last_move = time.time()
+        while True:
+            time.sleep(30)
+            rc = proc.poll()
+            if rc is not None:
+                break
+            size = os.path.getsize(args.log)
+            if size != last_size:
+                last_size = size
+                last_move = time.time()
+            elif time.time() - last_move > args.stall_secs:
+                with open(args.log, "a") as lf:
+                    lf.write(f"==== watchdog: stalled "
+                             f"{args.stall_secs}s, killing pg "
+                             f"{proc.pid}\n")
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                rc = "stalled"
+                break
+        if rc == 0:
+            with open(args.log, "a") as lf:
+                lf.write("==== watchdog: run completed\n")
+            return 0
+        # else: restart; CheckpointedLoop resumes from the last save
+    print("watchdog: attempts exhausted", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,23 +126,36 @@ class _StaticObj:
 def _refit_levels(count, miss):
     """Host-side refit metadata from a DFS-ordered miss-link tree:
     (leaf_node_ids, levels) where levels is deepest-first
-    [(nodes, lefts, rights), ...] for the bottom-up box sweep."""
+    [(nodes, lefts, rights), ...] for the bottom-up box sweep.
+
+    Fully vectorized (round 5): the old per-node Python loop cost ~40 s
+    at 1.31M triangles / 630k nodes (the bulk of the misattributed
+    "51 s SAH build" in PERF.md round 4).  In DFS order node i's
+    subtree occupies [i, end(i)) with end(i) = miss[i] (or M at the
+    rightmost spine), so depth[j] = #open intervals covering j minus
+    one = j - #{ends <= j} — one bincount + cumsum."""
+    count = np.asarray(count)
+    miss = np.asarray(miss)
     M = len(count)
-    depth = np.zeros(M, np.int32)
-    inner = []
-    for i in range(M):
-        if count[i] == 0:
-            left = i + 1
-            right = int(miss[left]) if left < M else i
-            depth[left] = depth[right] = depth[i] + 1
-            inner.append((i, left, right))
-    by_depth = {}
-    for i, l, r in inner:
-        by_depth.setdefault(int(depth[i]), []).append((i, l, r))
-    levels = []
-    for d in sorted(by_depth, reverse=True):
-        arr = np.asarray(by_depth[d], np.int32)
-        levels.append((arr[:, 0], arr[:, 1], arr[:, 2]))
+    idx = np.arange(M, dtype=np.int64)
+    end = np.where(miss >= 0, miss, M).astype(np.int64)
+    closes = np.bincount(np.minimum(end, M), minlength=M + 1)
+    depth = (idx - np.cumsum(closes)[:M]).astype(np.int32)
+
+    inner = np.nonzero(count == 0)[0].astype(np.int32)
+    lefts = np.minimum(inner + 1, M - 1)
+    rights = np.where(inner + 1 < M, miss[np.minimum(inner + 1, M - 1)],
+                      inner).astype(np.int32)
+    order = np.argsort(-depth[inner], kind="stable")
+    inner, lefts, rights = inner[order], lefts[order], rights[order]
+    ds = depth[inner] if len(inner) else np.zeros(0, np.int32)
+    cuts = np.nonzero(np.diff(ds))[0] + 1 if len(ds) else []
+    levels = [
+        (inner[a:b], lefts[a:b], rights[a:b])
+        for a, b in zip(np.concatenate([[0], cuts]).astype(np.int64),
+                        np.concatenate([cuts, [len(ds)]]).astype(
+                            np.int64))
+    ] if len(ds) else []
     leaf_nodes = np.nonzero(count > 0)[0].astype(np.int32)
     return leaf_nodes, levels
 

@@ -350,193 +350,134 @@ def test_octree_guided_shadow_gradient():
     assert abs(a_oct - fd) < 0.35 * abs(fd) + 0.05, (a_oct, fd)
     assert abs(a_uni - a_oct) < 0.35 * abs(fd) + 0.05, (a_uni, a_oct)
 
+def _probe_panel_scene(bx=0.0, mirror=False):
+    """Round-5 redesign of the indirect-boundary FD scenes.
 
-def _wall_shadow_scene(bx=0.0):
-    """The shadowed floor is OUT of frame: the camera sees only a
-    vertical wall lit by the floor's bounce light, so d(image)/d(blocker)
-    exists ONLY through the depth-2 indirect visibility boundary."""
-    floor = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([0, 0, 0]), tf.scale(2.0)), np.float32)),
-        bsdf_index=0, id="floor")
-    blocker = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([bx, 0.0, 1.0]), tf.scale(0.12)),
-        np.float32)), bsdf_index=0, id="blocker")
-    light = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([0, 0, 2.0]), tf.rotate([1, 0, 0], 180),
-                   tf.scale(0.1)), np.float32)),
-        bsdf_index=0, emitter_index=0, id="light")
-    wall = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([0.9, 0, 0.45]), tf.rotate([0, 1, 0], -90),
-                   tf.scale(0.45)), np.float32)),
-        bsdf_index=0, id="wall")
+    The round-4 scenes measured d(image x-gradient)/d(blocker) of a
+    wall lit by floor bounce — re-measured in round 5 with 48
+    common-random-number FD seeds, their "signals" were statistically
+    ZERO (depth-2: -0.10 +- 0.17; mirrored depth-3: +0.05 +- 0.13;
+    the recorded FD = -0.72 was a 3-seed noise draw), so both tests
+    compared noise to noise.  This scene has a verified strong signal
+    (FD SNR ~200-500 at test budgets): a small white probe PANEL
+    stands at the shadow's penumbra, lit PURELY by floor bounce (the
+    light sits in the panel's plane, so direct light is exactly
+    grazing), and the camera fills its frame with the panel — so
+    d(panel brightness)/d(blocker x) flows ONLY through the indirect
+    visibility boundary on the floor.  ``mirror=True`` interposes a
+    small conductor mirror so the panel is seen via a specular relay:
+    the bidirectional connection at the delta vertex is exactly zero
+    and the whole gradient sits at indirect_depth=3.
+
+    Measured anchors (CPU, 8 CRN seeds x 512 spp / 4 AD seeds x 65536):
+      direct:  FD -253.0 +- 0.5   ad2 -245.7 +- 6.1   ad1 = 0
+      mirror:  FD  -73.4 +- 0.4   ad3  -70.8 +- 2.5   ad2 = 0
+    """
+    meshes = [
+        Mesh.make(*rectangle(np.asarray(tf.compose(
+            tf.translate([0, 0, 0]), tf.scale(2.0)), np.float32)),
+            bsdf_index=0, id="floor"),
+        Mesh.make(*rectangle(np.asarray(tf.compose(
+            tf.translate([bx, 0.0, 0.75]), tf.scale(0.2)), np.float32)),
+            bsdf_index=0, id="blocker"),
+        Mesh.make(*rectangle(np.asarray(tf.compose(
+            tf.translate([0.6, 0, 1.5]), tf.rotate([1, 0, 0], 180),
+            tf.scale(0.1)), np.float32)),
+            bsdf_index=0, emitter_index=0, id="light"),
+        # probe panel facing -x over the shadowed floor region
+        Mesh.make(*rectangle(np.asarray(tf.compose(
+            tf.translate([0.45, 0, 0.3]), tf.rotate([0, 1, 0], -90),
+            tf.scale(0.2)), np.float32)),
+            bsdf_index=0, id="panel"),
+    ]
+    bsdfs = [SmoothDiffuse(reflectance=ConstantTexture(jnp.full(3, 0.8)))]
+    if mirror:
+        meshes.append(Mesh.make(*rectangle(np.asarray(tf.compose(
+            tf.translate([-0.1, 0.25, 0.3]), tf.rotate([0, 1, 0], 90),
+            tf.scale(0.08)), np.float32)), bsdf_index=1, id="mirror"))
+        bsdfs.append(SmoothConductor(eta=jnp.full(3, 0.05),
+                                     k=jnp.full(3, 4.0)))
+        cam_to = tf.look_at([0.18, 0.25, 0.3], [-0.1, 0.25, 0.3],
+                            [0, 0, 1])
+    else:
+        cam_to = tf.look_at([-0.68, 0, 0.3], [0.45, 0, 0.3], [0, 0, 1])
     em = AreaEmitter(radiance=ConstantTexture(jnp.full((3,), 240.0)))
-    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), 0.8)))
     cam = PerspectiveCamera(
-        to_world=jnp.asarray(tf.look_at([-0.35, 0, 0.45], [0.9, 0, 0.45],
-                                        [0, 0, 1])),
-        fov=30.0,
+        to_world=jnp.asarray(cam_to), fov=18.0,
         film=Film(width=24, height=24,
-                  rfilter=ReconstructionFilter.box()),
-    )
-    return make_scene([floor, blocker, light, wall], [white], [em], cam,
-                      use_bvh=False)
+                  rfilter=ReconstructionFilter.box()))
+    return make_scene(meshes, bsdfs, [em], cam, use_bvh=False)
+
+
+def _fd_crn(mk_scene, depth, h=0.05, seeds=4, spp=512):
+    """Common-random-number finite difference with an error bar."""
+    from mitsuba_tpu.models.integrators.common import render
+    from mitsuba_tpu.models.integrators.path import PathIntegrator
+
+    sp = mk_scene(h)
+    sm = mk_scene(-h)
+    fds = []
+    for sd in range(seeds):
+        lp = float(jnp.sum(render(sp, PathIntegrator(max_depth=depth),
+                                  seed=sd, spp=spp)))
+        lm = float(jnp.sum(render(sm, PathIntegrator(max_depth=depth),
+                                  seed=sd, spp=spp)))
+        fds.append((lp - lm) / (2 * h))
+    return (float(np.mean(fds)),
+            float(np.std(fds) / max(np.sqrt(len(fds)), 1.0)))
+
+
+def _boundary_ad(scene, depth, seeds, n_samples=65536):
+    from mitsuba_tpu.models.integrators.projective import (
+        _float_partition, indirect_boundary_grads)
+
+    W1 = jnp.ones((24, 24, 3), jnp.float32)
+    edges = build_silhouette_edges(scene)
+    _, _, cot = _float_partition(scene)
+    vals = []
+    for sd in seeds:
+        g = indirect_boundary_grads(scene, edges, W1, jnp.uint32(sd),
+                                    n_samples=n_samples,
+                                    indirect_depth=depth)
+        vals.append(float(jnp.sum(cot(g).meshes[1].vertices[:, 0])))
+    return float(np.mean(vals))
 
 
 @pytest.mark.slow
 def test_depth2_shadow_boundary_matches_fd():
     """Indirect visibility boundary observed through one extra bounce
-    (indirect_depth=2, bidirectional x_2 connection): AD matches FD on
-    a scene whose shadow is only indirectly visible; the depth-1
+    (indirect_depth=2, bidirectional x_2 connection, ref
+    ad/projective.py:228-373): AD matches a CRN finite difference on a
+    scene whose shadow is only indirectly visible; the depth-1
     estimator misses the gradient entirely."""
-    from mitsuba_tpu.models.integrators.common import render
-    from mitsuba_tpu.models.integrators.path import PathIntegrator
-    from mitsuba_tpu.models.integrators.projective import (
-        _float_partition, indirect_boundary_grads)
+    fd, fd_err = _fd_crn(lambda b: _probe_panel_scene(b), depth=3)
+    assert abs(fd) > 50.0, (fd, fd_err)        # strong verified signal
+    assert fd_err < 0.05 * abs(fd), (fd, fd_err)
 
-    yy, xx = np.mgrid[0:24, 0:24]
-    W = jnp.asarray(((xx / 23.0) - 0.5)[..., None]
-                    * np.ones((24, 24, 3)), jnp.float32)
-
-    h = 0.04
-
-    def loss(bx):
-        s = _wall_shadow_scene(bx)
-        return float(jnp.sum(
-            render(s, PathIntegrator(max_depth=3), seed=0, spp=256) * W))
-
-    fd = (loss(h) - loss(-h)) / (2 * h)
-    assert abs(fd) > 0.3, fd      # the indirect shadow effect exists
-
-    scene = _wall_shadow_scene()
-    edges = build_silhouette_edges(scene)
-    _, _, cot = _float_partition(scene)
-
-    def ad(depth, seeds):
-        vals = []
-        for sd in seeds:
-            g = indirect_boundary_grads(
-                scene, edges, W, jnp.uint32(sd), n_samples=65536,
-                indirect_depth=depth)
-            gs = cot(g)
-            vals.append(float(jnp.sum(gs.meshes[1].vertices[:, 0])))
-        return float(np.mean(vals))
-
-    ad2 = ad(2, (0, 1, 2, 3))
-    ad1 = ad(1, (0, 1))
-    assert np.isfinite(ad2)
-    assert abs(ad2 - fd) < 0.5 * abs(fd), (ad2, fd)
-    assert abs(ad1) < 0.25 * abs(fd), (ad1, fd)
-
-
-def _two_bounce_shadow_scene(bx=0.0):
-    """The depth-2 scene (_wall_shadow_scene: shadowed floor indirectly
-    visible via the wall) viewed THROUGH a small mirror, so the
-    receiver of the shadow boundary is TWO bounces from the camera
-    (camera -> mirror -> wall -> floor + NEE).  The specular prefix
-    bounce preserves the shadow signal undiminished (a diffuse relay
-    bounce blurs it below FD noise), and the delta vertex contributes
-    exactly zero to the depth-2 bidirectional connection — so depth 3
-    carries the whole gradient."""
-    floor = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([0, 0, 0]), tf.scale(2.0)), np.float32)),
-        bsdf_index=0, id="floor")
-    blocker = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([bx, 0.0, 1.0]), tf.scale(0.12)),
-        np.float32)), bsdf_index=0, id="blocker")
-    light = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([0, 0, 2.0]), tf.rotate([1, 0, 0], 180),
-                   tf.scale(0.1)), np.float32)),
-        bsdf_index=0, emitter_index=0, id="light")
-    # the wall covers the WHOLE mirrored frustum (half-diagonal
-    # 1.4*tan(15 deg)*sqrt(2) ~ 0.53): rays leaking past its edges
-    # would land on the floor — the same plane as the boundary point —
-    # and the near-singular same-plane connections (1/r^2 with r -> 0)
-    # make the depth-3 estimator heavy-tailed
-    wall = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([0.9, 0, 0.45]), tf.rotate([0, 1, 0], -90),
-                   tf.scale(0.65)), np.float32)),
-        bsdf_index=0, id="wall")
-    # small mirror where the depth-2 camera stood, facing +x; the real
-    # camera looks -x into it from just in front, so the virtual camera
-    # (-0.5, 0, 0.45) sees the wall exactly like the depth-2 test
-    mirror = Mesh.make(*rectangle(np.asarray(
-        tf.compose(tf.translate([-0.35, 0, 0.45]),
-                   tf.rotate([0, 1, 0], 90),
-                   tf.scale(0.1)), np.float32)),
-        bsdf_index=1, id="mirror")
-    em = AreaEmitter(radiance=ConstantTexture(jnp.full((3,), 240.0)))
-    white = SmoothDiffuse(reflectance=ConstantTexture(jnp.full((3,), 0.8)))
-    silver = SmoothConductor(eta=jnp.full((3,), 0.05),
-                             k=jnp.full((3,), 4.0))
-    cam = PerspectiveCamera(
-        to_world=jnp.asarray(tf.look_at([-0.2, 0, 0.45],
-                                        [-0.35, 0, 0.45], [0, 0, 1])),
-        fov=30.0,
-        film=Film(width=24, height=24,
-                  rfilter=ReconstructionFilter.box()),
-    )
-    return make_scene([floor, blocker, light, wall, mirror],
-                      [white, silver], [em], cam, use_bvh=False)
+    scene = _probe_panel_scene()
+    ad2 = _boundary_ad(scene, 2, (0, 1, 2, 3))
+    ad1 = _boundary_ad(scene, 1, (0, 1))
+    assert abs(ad2 - fd) < 0.12 * abs(fd), (ad2, fd)
+    assert abs(ad1) < 0.05 * abs(fd), (ad1, fd)
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="round-4 finding: the depth-3 boundary estimator is too "
-    "heavy-tailed to converge at test budgets — on this mirrored-relay "
-    "scene FD = -0.72 while unguided AD@1Mx6 seeds gives -0.21+-0.13 "
-    "and octree guiding is no help (its warm-up cannot see the rare "
-    "tail events, giving stable-looking but tail-starved estimates: "
-    "+0.13).  The depth-2 connection correctly vanishes on the delta "
-    "mirror vertex (ad2 = 0 exactly).  Needs the reference's clamped/"
-    "guided boundary sampling before the depth-3 FD bar can be met.",
-    strict=True)
 def test_depth3_shadow_boundary_matches_fd():
     """Indirect visibility boundary observed through TWO extra bounces
-    (round 4: arbitrary-depth camera prefixes, ref
-    ad/projective.py:228-373): AD at indirect_depth=3 matches FD on a
-    scene whose shadow is two bounces from the camera; depth<=2 misses
-    most of the gradient."""
-    from mitsuba_tpu.models.integrators.common import render
-    from mitsuba_tpu.models.integrators.path import PathIntegrator
-    from mitsuba_tpu.models.integrators.projective import (
-        _float_partition, indirect_boundary_grads)
+    — a specular relay (round 4: arbitrary-depth camera prefixes; the
+    delta mirror vertex contributes exactly zero to the depth-2
+    connection, so depth 3 carries the whole gradient).  Round 5: the
+    previous xfail was a test-design artifact (FD noise), not an
+    estimator failure — on this verified-signal scene AD matches FD.
+    """
+    fd, fd_err = _fd_crn(lambda b: _probe_panel_scene(b, mirror=True),
+                         depth=4)
+    assert abs(fd) > 20.0, (fd, fd_err)
+    assert fd_err < 0.08 * abs(fd), (fd, fd_err)
 
-    # x-gradient weight over the mirrored image of the wall
-    yy, xx = np.mgrid[0:24, 0:24]
-    W = jnp.asarray(((xx / 23.0) - 0.5)[..., None]
-                    * np.ones((24, 24, 3)), jnp.float32)
-
-    h = 0.04
-
-    def loss(bx):
-        s = _two_bounce_shadow_scene(bx)
-        vals = [jnp.sum(render(s, PathIntegrator(max_depth=4),
-                               seed=sd, spp=256) * W)
-                for sd in range(3)]
-        return float(jnp.mean(jnp.asarray(vals)))
-
-    fd = (loss(h) - loss(-h)) / (2 * h)
-
-    scene = _two_bounce_shadow_scene()
-    edges = build_silhouette_edges(scene)
-    _, _, cot = _float_partition(scene)
-
-    def ad(depth, seeds):
-        vals = []
-        for sd in seeds:
-            g = indirect_boundary_grads(
-                scene, edges, W, jnp.uint32(sd), n_samples=65536,
-                indirect_depth=depth)
-            gs = cot(g)
-            vals.append(float(jnp.sum(gs.meshes[1].vertices[:, 0])))
-        return float(np.mean(vals))
-
-    ad3 = ad(3, (0, 1, 2, 3))
-    ad2 = ad(2, (0, 1))
+    scene = _probe_panel_scene(mirror=True)
+    ad3 = _boundary_ad(scene, 3, (0, 1, 2, 3, 4, 5))
+    ad2 = _boundary_ad(scene, 2, (0, 1))
     assert np.isfinite(ad3)
-    # the specular relay preserves the depth-2 scene's shadow signal
-    assert abs(fd) > 0.1, fd
-    # depth-3 recovers the FD signal; the depth-2 connection lands on
-    # the delta mirror vertex and contributes ~nothing
-    assert abs(ad3 - fd) < 0.5 * abs(fd), (ad3, fd)
-    assert abs(ad2) < 0.25 * abs(fd), (ad2, fd)
+    assert abs(ad3 - fd) < 0.15 * abs(fd), (ad3, fd)
+    assert abs(ad2) < 0.05 * abs(fd), (ad2, fd)
