@@ -212,11 +212,11 @@ def _group_query(g, ctx_g, o_obj, d_obj, maxt, act, closest):
                 ctx_g["node_box"], acc.node_meta, ctx_g["rows"],
                 o_obj, d_obj, maxt, act, n_nodes=acc.n_nodes,
                 rpl=acc.rpl, batch=acc.batch,
-                mxu_rows=ctx_g["mxu_rows"])
+                mxu_rows=ctx_g["mxu_rows"], box16=acc.box16)
         return packet_any_hit(
             ctx_g["node_box"], acc.node_meta, ctx_g["rows"],
             o_obj, d_obj, maxt, act, n_nodes=acc.n_nodes,
-            rpl=acc.rpl, batch=acc.batch, mxu_rows=ctx_g["mxu_rows"])
+            rpl=acc.rpl, batch=acc.batch, mxu_rows=ctx_g["mxu_rows"], box16=acc.box16)
     from ..core.records import Ray
     from ..ops.intersect import intersect_brute
 

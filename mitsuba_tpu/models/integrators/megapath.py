@@ -279,6 +279,7 @@ class MegakernelPathIntegrator:
                 n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
                 interpret=interpret, rpl=acc.rpl, batch=acc.batch,
                 smooth=smooth, mxu_rows=mxu_rows, res_rows=res_rows,
+                box16=acc.box16,
             )
             return jnp.take(L, inv, axis=0)
         return megakernel_trace_bvh(
@@ -287,6 +288,7 @@ class MegakernelPathIntegrator:
             max_depth=self.max_depth, rr_depth=self.rr_depth,
             n_nodes=acc.n_nodes, n_lights=n_lights, btypes=btypes,
             interpret=interpret, rpl=acc.rpl, batch=acc.batch,
+            box16=acc.box16,
             smooth=smooth, mxu_rows=mxu_rows, res_rows=res_rows,
         )
 
@@ -366,7 +368,8 @@ class MegakernelPathIntegrator:
                     interpret=interpret, rpl=acc.rpl, batch=acc.batch,
                     smooth=smooth, mxu_rows=mxu_rows, res_rows=res_rows,
                     env_meta=env_meta, env_nee_d=env_nee_d,
-                    env_pos=env_pos, tex=tex)
+                    env_pos=env_pos, tex=tex,
+                    box16=acc.box16)
 
             # compaction, coarse level: once RR/escapes kill the whole
             # wavefront, skip the remaining launches entirely

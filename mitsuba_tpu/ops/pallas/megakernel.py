@@ -1663,7 +1663,8 @@ def _mk_kernel(max_depth, rr_depth, n_faces, n_lights, btypes,
 
 
 def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
-                   rpl, batch, smooth=False, mxu=False, res=False):
+                   rpl, batch, smooth=False, mxu=False, res=False,
+                   box16=False):
     """BVH-packet megakernel: same fused path loop, but ray queries run
     the SMEM-node / HBM-leaf packet traversal (ops/pallas/traverse.py) —
     lifts the MAX_FACES cap to the SMEM node budget (~300k triangles).
@@ -1717,7 +1718,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                     ox, oy, oz, dx, dy, dz,
                     jnp.full(shape, jnp.inf), act_b,
                     resolve_cols=res_cols, rpl=rpl,
-                    mxu_ctx=mctx, res_ctx=rctx)
+                    mxu_ctx=mctx, res_ctx=rctx, box16=box16)
             else:
                 found, t, attrs = traverse_closest(
                     node_box_ref, node_meta_ref, rows_ref,
@@ -1725,7 +1726,7 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                     ox, oy, oz, dx, dy, dz,
                     jnp.full(shape, jnp.inf), act_b,
                     resolve_cols=res_cols, rpl=rpl, batch=batch,
-                    mxu_ctx=mctx, res_ctx=rctx)
+                    mxu_ctx=mctx, res_ctx=rctx, box16=box16)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -1770,12 +1771,14 @@ def _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights, btypes,
                     node_box_ref, node_meta_ref, rows_ref,
                     qbuf, sems, n_nodes,
                     ox, oy, oz, dx, dy, dz, maxt, act_b,
-                    rpl=rpl, mxu_ctx=mctx) > 0.5
+                    rpl=rpl, mxu_ctx=mctx,
+                    box16=box16) > 0.5
             return traverse_any(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz, maxt, act_b,
-                rpl=rpl, batch=batch, mxu_ctx=mctx) > 0.5
+                rpl=rpl, batch=batch, mxu_ctx=mctx,
+                box16=box16) > 0.5
 
         lc = lambda j, k: light_ref[j, k]
         Lr, Lg, Lb = _trace_loop(
@@ -1913,7 +1916,7 @@ def pack_scene_bvh(scene, layout):
 @partial(jax.jit,
          static_argnames=("max_depth", "rr_depth", "n_nodes", "n_lights",
                           "btypes", "interpret", "rpl", "batch",
-                          "smooth"))
+                          "smooth", "box16"))
 def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          lane, o, d, active, seed,
                          max_depth: int, rr_depth: int, n_nodes: int,
@@ -1921,7 +1924,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                          interpret: bool = False,
                          rpl: int = None, batch: int = None,
                          smooth: bool = False, mxu_rows=None,
-                         res_rows=None):
+                         res_rows=None, box16: bool = False):
     """Path-tracing megakernel with packet-BVH ray queries; same sample
     streams / image as megakernel_trace, unbounded by MAX_FACES."""
     from .traverse import (BATCH, PACK, QUEUE, RES_COLS,
@@ -1955,7 +1958,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
                             memory_space=pltpu.VMEM)
     kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
                             btypes, rpl, batch, smooth, mxu=mxu,
-                            res=res)
+                            res=res, box16=box16)
     # with BOTH the MXU leaf stage and the one-hot resolve active the
     # SMEM leaf-row queue is dead code — shrink it so large-leaf
     # configs (rpl=64 for multi-million-triangle scenes) fit the SMEM
@@ -2000,7 +2003,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
 
 def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                           btypes, rpl, batch, smooth, env_pos,
-                          mxu=False, res=False):
+                          mxu=False, res=False,
+                          box16=False):
     """ONE bounce of the BVH megakernel with full state I/O — the
     building block of the sorted per-bounce pipeline: between launches
     the caller re-sorts rays by (direction octant, position cell) so
@@ -2082,7 +2086,7 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                     ox, oy, oz, dx, dy, dz,
                     jnp.full(shape, jnp.inf), act_b,
                     resolve_cols=res_cols, rpl=rpl,
-                    mxu_ctx=mctx, res_ctx=rctx)
+                    mxu_ctx=mctx, res_ctx=rctx, box16=box16)
             else:
                 found, t, attrs = traverse_closest(
                     node_box_ref, node_meta_ref, rows_ref,
@@ -2090,7 +2094,7 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                     ox, oy, oz, dx, dy, dz,
                     jnp.full(shape, jnp.inf), act_b,
                     resolve_cols=res_cols, rpl=rpl, batch=batch,
-                    mxu_ctx=mctx, res_ctx=rctx)
+                    mxu_ctx=mctx, res_ctx=rctx, box16=box16)
             (P0x, P0y, P0z, E1x, E1y, E1z, E2x, E2y, E2z,
              Rr, Rg, Rb, IsL, PdfA, Btype) = attrs[:15]
             k = 15
@@ -2153,12 +2157,14 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
                     node_box_ref, node_meta_ref, rows_ref,
                     qbuf, sems, n_nodes,
                     ox, oy, oz, dx, dy, dz, maxt, act_b,
-                    rpl=rpl, mxu_ctx=mctx) > 0.5
+                    rpl=rpl, mxu_ctx=mctx,
+                    box16=box16) > 0.5
             return traverse_any(
                 node_box_ref, node_meta_ref, rows_ref,
                 qbuf, sems, n_nodes,
                 ox, oy, oz, dx, dy, dz, maxt, act_b,
-                rpl=rpl, batch=batch, mxu_ctx=mctx) > 0.5
+                rpl=rpl, batch=batch, mxu_ctx=mctx,
+                box16=box16) > 0.5
 
         lc = lambda j, k: light_ref[j, k]
         env_ctx = None
@@ -2183,7 +2189,7 @@ def _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes, n_lights,
 @partial(jax.jit,
          static_argnames=("depth", "max_depth", "rr_depth", "n_nodes",
                           "n_lights", "btypes", "interpret", "rpl",
-                          "batch", "smooth", "env_pos"))
+                          "batch", "smooth", "env_pos", "box16"))
 def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
                           state, depth: int, max_depth: int,
                           rr_depth: int, n_nodes: int, n_lights: int,
@@ -2191,7 +2197,8 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
                           rpl: int = None, batch: int = None,
                           smooth: bool = False, env_meta=None,
                           env_nee_d=None, env_pos: int = -1, tex=None,
-                          mxu_rows=None, res_rows=None):
+                          mxu_rows=None, res_rows=None,
+                          box16: bool = False):
     """One sorted-pipeline bounce over flat (N,) state arrays.  ``state``
     is the 16-tuple of (N,) float arrays matching _bounce_step (act as
     f32 0/1); ``env_nee_d`` is this depth's (N, 8) envmap NEE slice."""
@@ -2236,7 +2243,7 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
         tex = jnp.zeros((1, LANES))
     kernel = _mk_bounce_kernel_bvh(depth, max_depth, rr_depth, n_nodes,
                                    n_lights, btypes, rpl, batch, smooth,
-                                   env_pos, mxu=mxu, res=res)
+                                   env_pos, mxu=mxu, res=res, box16=box16)
     # per-tile activity flags: with lanes sorted dead-last, trailing
     # tiles go fully inactive and the kernel passes them through
     tflags = (st_t[15].reshape(grid[0], -1).max(axis=-1)

@@ -191,6 +191,93 @@ def big_scene():
                       base.sensor)
 
 
+def test_box16_conservative_quantization():
+    """bf16 box packing (round 5): lo rounds toward -inf, hi toward
+    +inf, numpy (build) and jnp (refit) encoders agree bit-exactly."""
+    import jax
+
+    from mitsuba_tpu.ops.pallas.traverse import (_bf16_conservative_np,
+                                                 _pack_box16_np)
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        rng.standard_normal(3000).astype(np.float32) * 10.0,
+        np.asarray([0.0, -0.0, 1e-30, -1e-30, 3e8, -3e8], np.float32),
+    ])
+    lo_q, hi_q = _bf16_conservative_np(
+        np.stack([x, x, x], -1), np.stack([x, x, x], -1))
+    dec = lambda q: (q.astype(np.uint32) << 16).view(np.float32)
+    assert (dec(lo_q[:, 0]) <= x).all()
+    assert (dec(hi_q[:, 0]) >= x).all()
+    # within one bf16 ulp (relative 2^-7, plus denormal floor)
+    assert (np.abs(dec(lo_q[:, 0]) - x)
+            <= np.abs(x) * 2.0 ** -7 + 1e-30).all()
+    assert (np.abs(dec(hi_q[:, 0]) - x)
+            <= np.abs(x) * 2.0 ** -7 + 1e-30).all()
+
+    # jnp refit encoder emits the identical packed table
+    from mitsuba_tpu.models.shapes import sphere_mesh
+    from mitsuba_tpu.ops.pallas.traverse import (build_packet_bvh,
+                                                 refit_packet_bvh)
+
+    v, f, n, uv = sphere_mesh(2)
+    acc = build_packet_bvh(np.asarray(v), np.asarray(f), rpl=8,
+                           mxu=True, box16=True)
+    refit = refit_packet_bvh(acc, jnp.asarray(v))
+    assert np.array_equal(np.asarray(refit), np.asarray(acc.node_box))
+
+
+def test_packet_box16_matches_f32():
+    """Conservative bf16 node boxes change only which leaves are
+    VISITED, never the intersection result: closest/any-hit parity with
+    the f32-box accel on random rays."""
+    from mitsuba_tpu.models.shapes import sphere_mesh
+    from mitsuba_tpu.ops.pallas.megakernel import pack_scene_bvh
+    from mitsuba_tpu.ops.pallas.traverse import (build_packet_bvh,
+                                                 pack_leaf_rows,
+                                                 pack_mxu_rows,
+                                                 pack_resolve_rows,
+                                                 packet_closest_hit,
+                                                 packet_any_hit,
+                                                 tri_columns)
+
+    rng = np.random.default_rng(3)
+    v, f, n, uv = sphere_mesh(3)
+    vn, fn_ = np.asarray(v), np.asarray(f)
+    N = 4096
+    o = rng.standard_normal((N, 3)).astype(np.float32) * 2.0
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    act = jnp.ones((N,), bool)
+
+    out = {}
+    for b16 in (False, True):
+        acc = build_packet_bvh(vn, fn_, rpl=8, mxu=True, box16=b16)
+        cols = tri_columns(jnp.asarray(vn), jnp.asarray(fn_))
+        rows = pack_leaf_rows(cols, acc)
+        mxu_rows = pack_mxu_rows(cols, acc)
+        res_rows = pack_resolve_rows(cols, acc)
+        t, fid = packet_closest_hit(
+            acc.node_box, acc.node_meta, rows, jnp.asarray(o),
+            jnp.asarray(d), jnp.inf, act, n_nodes=acc.n_nodes,
+            rpl=acc.rpl, mxu_rows=mxu_rows, res_rows=res_rows,
+            interpret=True, box16=b16)
+        occ = packet_any_hit(
+            acc.node_box, acc.node_meta, rows, jnp.asarray(o),
+            jnp.asarray(d), 2.0, act, n_nodes=acc.n_nodes,
+            rpl=acc.rpl, mxu_rows=mxu_rows, interpret=True, box16=b16)
+        out[b16] = (np.asarray(t), np.asarray(fid), np.asarray(occ))
+
+    t0, f0, o0 = out[False]
+    t1, f1, o1 = out[True]
+    assert np.array_equal(np.isfinite(t0), np.isfinite(t1))
+    m = np.isfinite(t0)
+    assert np.allclose(t0[m], t1[m], rtol=1e-5, atol=1e-7)
+    assert np.array_equal(o0, o1)
+    # prim ids may differ on exact-tie shared edges only
+    assert (f0[m] == f1[m]).mean() > 0.995
+
+
 def test_bvh_megakernel_applicable(big_scene):
     from mitsuba_tpu.ops.pallas.megakernel import (
         megakernel_applicable, megakernel_bvh_applicable)
