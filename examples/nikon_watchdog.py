@@ -26,8 +26,9 @@ def main():
     ap.add_argument("--spp", type=int, default=256)
     ap.add_argument("--res", type=int, default=40)
     ap.add_argument("--log", default="/tmp/nikon_watchdog.log")
-    ap.add_argument("--stall-secs", type=int, default=900,
-                    help="kill the run if the log is silent this long")
+    ap.add_argument("--stall-secs", type=int, default=2400,
+                    help="kill the run if the log is silent this long "
+                         "(must exceed the longest remote compile)")
     ap.add_argument("--max-attempts", type=int, default=12)
     args = ap.parse_args()
 
