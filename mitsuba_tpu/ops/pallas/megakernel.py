@@ -49,7 +49,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8                 # sublanes per ray tile
+import os as _os
+
+SUB = int(_os.environ.get("MITSUBA_TPU_SUB", "8"))  # sublanes per tile
 LANES = 128
 R_TILE = SUB * LANES    # rays per grid step
 DET_EPS = 1e-9

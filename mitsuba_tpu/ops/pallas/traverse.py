@@ -41,7 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.pytree import pytree, static
 
-SUB = 8
+import os as _os
+
+# sublanes per ray packet: 8 (one vreg tile, 1024 rays) by default;
+# 16 shares ONE walk across 2048 rays (round-4 numpy sim: union node
+# visits per ray -27% on sorted bounce rays) at the cost of 2-vreg
+# slab tests — A/B via MITSUBA_TPU_SUB (must match megakernel.SUB,
+# which reads the same variable)
+SUB = int(_os.environ.get("MITSUBA_TPU_SUB", "8"))
 LANES = 128
 R_TILE = SUB * LANES
 DET_EPS = 1e-9            # matches megakernel._tri_test
@@ -627,8 +634,6 @@ QUEUE = 4      # leaf DMA queue depth (ring)
 # set per active group while the next wave's reduces are in flight,
 # which both hides the DMA latency and gives the reduces time to land
 # before their scalar decode.
-import os as _os
-
 WAVE = int(_os.environ.get("MITSUBA_TPU_WAVE", "8"))
 # stack pops per wave; the 2-bit hit encode is exact to 4^WAVE - 1,
 # so WAVE <= 12 (2^24 - 1, the f32 integer limit).  Round-5 hardware
@@ -1051,6 +1056,18 @@ def _make_mxu_any_arena(mxu_ctx, rpl, K, feats, maxt, shape):
     return mxu_dma, process_batch
 
 
+def _gm_encode2(aL, aR, w2):
+    """Per-child group-mask scalars from (SUB, 1) any-flags.  At
+    SUB <= 8 the 8+8 packed single-reduce encode is exact in f32
+    (< 2^16); at SUB = 16 the pack would exceed 2^24, so two reduces."""
+    if SUB <= 8:
+        b = jnp.sum((aL + 256.0 * aR) * w2).astype(jnp.int32)
+        return b & 255, (b >> 8) & 255
+    bL = jnp.sum(aL * w2).astype(jnp.int32)
+    bR = jnp.sum(aR * w2).astype(jnp.int32)
+    return bL, bR
+
+
 def _inv_dir(dx, dy, dz):
     eps = jnp.float32(1e-30)
     ix = 1.0 / jnp.where(jnp.abs(dx) > eps, dx,
@@ -1223,10 +1240,7 @@ def traverse_closest(node_box, node_meta, rows_hbm, qbuf, sems,
                 # exact in f32
                 anyL = jnp.max(hmL, axis=1, keepdims=True)
                 anyR = jnp.max(hmR, axis=1, keepdims=True)
-                bits = jnp.sum((anyL + 256.0 * anyR) * w2).astype(
-                    jnp.int32)
-                gmL = bits & 255
-                gmR = (bits >> 8) & 255
+                gmL, gmR = _gm_encode2(anyL, anyR, w2)
                 hitL = gmL > 0
                 hitR = gmR > 0
                 gm_n = jnp.where(near_is_left, gmL, gmR)
@@ -1721,13 +1735,10 @@ def traverse_closest_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                 hitR = ((hb >> (2 * k + 1)) & 1) != 0
                 need_gm = valid & (
                     (hitL & (rsL >= 0)) | (hitR & (rsR >= 0)))
-                b = jax.lax.cond(
+                gmL, gmR = jax.lax.cond(
                     need_gm,
-                    lambda aL=anyL, aR=anyR: jnp.sum(
-                        (aL + 256.0 * aR) * w2).astype(jnp.int32),
-                    lambda: jnp.int32(0))
-                gmL = b & 255
-                gmR = (b >> 8) & 255
+                    lambda aL=anyL, aR=anyR: _gm_encode2(aL, aR, w2),
+                    lambda: (jnp.int32(0), jnp.int32(0)))
                 # interior hit children push regardless of gm; gm>0 is
                 # only consulted for leaves (where it equals hit)
                 gmL = jnp.where(hitL, gmL | (rsL < 0).astype(jnp.int32),
@@ -1902,15 +1913,14 @@ def traverse_any_wave(node_box, node_meta, rows_hbm, qbuf, sems,
                 hitR = ((hb >> (2 * k + 1)) & 1) != 0
                 need_gm = valid & (
                     (hitL & (rsL >= 0)) | (hitR & (rsR >= 0)))
-                b = jax.lax.cond(
+                bL, bR = jax.lax.cond(
                     need_gm,
-                    lambda aL=anyL, aR=anyR: jnp.sum(
-                        (aL + 256.0 * aR) * w2).astype(jnp.int32),
-                    lambda: jnp.int32(0))
+                    lambda aL=anyL, aR=anyR: _gm_encode2(aL, aR, w2),
+                    lambda: (jnp.int32(0), jnp.int32(0)))
                 gmL = jnp.where(
-                    hitL, (b & 255) | (rsL < 0).astype(jnp.int32), 0)
+                    hitL, bL | (rsL < 0).astype(jnp.int32), 0)
                 gmR = jnp.where(
-                    hitR, ((b >> 8) & 255) | (rsR < 0).astype(jnp.int32),
+                    hitR, bR | (rsR < 0).astype(jnp.int32),
                     0)
                 for child, gm, rs_c in ((left, gmL, rsL),
                                         (right, gmR, rsR)):

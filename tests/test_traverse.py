@@ -525,3 +525,74 @@ def test_bvh_megakernel_envmap_parity():
     close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=-1)
     assert close.mean() > 0.97, close.mean()
     assert np.abs(b.mean() - a.mean()) / a.mean() < 5e-3
+
+
+@pytest.mark.slow
+def test_wide_packet_sub16_parity():
+    """MITSUBA_TPU_SUB=16 (2048-ray shared walks, round 5) must match
+    the default 1024-ray packets bit-for-bit on closest/any-hit.  Runs
+    in a subprocess because SUB is bound at import."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys\n"
+        "os.environ['MITSUBA_TPU_SUB'] = '16'\n"
+        "sys.path.insert(0, %r)\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from mitsuba_tpu.models.shapes import sphere_mesh\n"
+        "from mitsuba_tpu.ops.pallas import traverse as tr\n"
+        "assert tr.SUB == 16\n"
+        "rng = np.random.default_rng(3)\n"
+        "v, f, n, uv = sphere_mesh(2)\n"
+        "vn, fn_ = np.asarray(v), np.asarray(f)\n"
+        "N = 2048\n"
+        "o = rng.standard_normal((N,3)).astype(np.float32)*2.0\n"
+        "d = rng.standard_normal((N,3)).astype(np.float32)\n"
+        "d /= np.linalg.norm(d,axis=1,keepdims=True)\n"
+        "act = jnp.ones((N,), bool)\n"
+        "acc = tr.build_packet_bvh(vn, fn_, rpl=8, mxu=True)\n"
+        "cols = tr.tri_columns(jnp.asarray(vn), jnp.asarray(fn_))\n"
+        "rows = tr.pack_leaf_rows(cols, acc)\n"
+        "mxu_rows = tr.pack_mxu_rows(cols, acc)\n"
+        "res_rows = tr.pack_resolve_rows(cols, acc)\n"
+        "t, fid = tr.packet_closest_hit(acc.node_box, acc.node_meta,\n"
+        "    rows, jnp.asarray(o), jnp.asarray(d), jnp.inf, act,\n"
+        "    n_nodes=acc.n_nodes, rpl=acc.rpl, mxu_rows=mxu_rows,\n"
+        "    res_rows=res_rows, interpret=True)\n"
+        "np.save('/tmp/_sub16t.npy', np.asarray(t))\n"
+        "np.save('/tmp/_sub16f.npy', np.asarray(fid))\n"
+    ) % (str(__import__('pathlib').Path(__file__).parent.parent),)
+    env = dict(__import__('os').environ)
+    env.pop("MITSUBA_TPU_SUB", None)
+    subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                   timeout=900)
+
+    from mitsuba_tpu.models.shapes import sphere_mesh
+    from mitsuba_tpu.ops.pallas import traverse as tr
+
+    rng = np.random.default_rng(3)
+    v, f, n, uv = sphere_mesh(2)
+    vn, fn_ = np.asarray(v), np.asarray(f)
+    N = 2048
+    o = rng.standard_normal((N, 3)).astype(np.float32) * 2.0
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    act = jnp.ones((N,), bool)
+    acc = tr.build_packet_bvh(vn, fn_, rpl=8, mxu=True)
+    cols = tr.tri_columns(jnp.asarray(vn), jnp.asarray(fn_))
+    rows = tr.pack_leaf_rows(cols, acc)
+    mxu_rows = tr.pack_mxu_rows(cols, acc)
+    res_rows = tr.pack_resolve_rows(cols, acc)
+    t, fid = tr.packet_closest_hit(
+        acc.node_box, acc.node_meta, rows, jnp.asarray(o),
+        jnp.asarray(d), jnp.inf, act, n_nodes=acc.n_nodes, rpl=acc.rpl,
+        mxu_rows=mxu_rows, res_rows=res_rows, interpret=True)
+    t16 = np.load("/tmp/_sub16t.npy")
+    f16 = np.load("/tmp/_sub16f.npy")
+    t8, f8 = np.asarray(t), np.asarray(fid)
+    assert np.array_equal(np.isfinite(t8), np.isfinite(t16))
+    m = np.isfinite(t8)
+    assert np.allclose(t8[m], t16[m], rtol=1e-5, atol=1e-7)
+    assert (f8[m] == f16[m]).mean() > 0.995
