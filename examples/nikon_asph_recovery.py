@@ -141,7 +141,7 @@ def run(iters=30, spp=512, resolution=48, lr=2e-3, verbose=True):
                         "nikon_ckpt.npz")
     os.makedirs(os.path.dirname(ckpt), exist_ok=True)
     p_fit = dp.optimize(train_keys=train_keys, verbose=verbose,
-                        checkpoint_path=ckpt, checkpoint_every=10)
+                        checkpoint_path=ckpt, checkpoint_every=2)
     rms_fit = per_field_rms(dp, {**p0, **p_fit}, spp)
     if verbose:
         print("RMS recovered    :", [f"{r:.5f}" for r in rms_fit])

@@ -27,9 +27,14 @@ def main():
     ap.add_argument("--res", type=int, default=40)
     ap.add_argument("--log", default="/tmp/nikon_watchdog.log")
     ap.add_argument("--stall-secs", type=int, default=2400,
-                    help="kill the run if the log is silent this long "
-                         "(must exceed the longest remote compile)")
-    ap.add_argument("--max-attempts", type=int, default=12)
+                    help="log-silence kill threshold during setup/"
+                         "compile phases (must exceed the longest "
+                         "remote compile)")
+    ap.add_argument("--iter-stall-secs", type=int, default=480,
+                    help="tighter threshold once iterations are "
+                         "flowing (per-iter work is ~2 min and fully "
+                         "compiled, so long silence = tunnel wedge)")
+    ap.add_argument("--max-attempts", type=int, default=30)
     args = ap.parse_args()
 
     cmd = [sys.executable, os.path.join(HERE, "nikon_asph_recovery.py"),
@@ -53,7 +58,15 @@ def main():
             if size != last_size:
                 last_size = size
                 last_move = time.time()
-            elif time.time() - last_move > args.stall_secs:
+                continue
+            # adaptive: once the optimizer is printing iterations the
+            # compiled steps take ~2 min, so silence means a wedge
+            with open(args.log, "rb") as lf2:
+                lf2.seek(max(0, size - 4096))
+                tail = lf2.read().decode("utf-8", "ignore")
+            in_iters = "\niter " in tail.rsplit("==== attempt", 1)[-1]
+            thresh = args.iter_stall_secs if in_iters else args.stall_secs
+            if time.time() - last_move > thresh:
                 with open(args.log, "a") as lf:
                     lf.write(f"==== watchdog: stalled "
                              f"{args.stall_secs}s, killing pg "
