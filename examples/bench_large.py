@@ -70,7 +70,8 @@ def main():
     t, fid = packet_closest_hit(
         acc.node_box, acc.node_meta, rows, jnp.asarray(o),
         jnp.asarray(d), jnp.inf, act, n_nodes=acc.n_nodes,
-        rpl=acc.rpl, mxu_rows=mxu_rows, res_rows=res_rows)
+        rpl=acc.rpl, mxu_rows=mxu_rows, res_rows=res_rows,
+        box16=acc.box16)
     t = np.asarray(t)
     fid = np.asarray(fid)
 
