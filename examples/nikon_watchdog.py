@@ -64,7 +64,10 @@ def main():
             with open(args.log, "rb") as lf2:
                 lf2.seek(max(0, size - 4096))
                 tail = lf2.read().decode("utf-8", "ignore")
-            in_iters = "\niter " in tail.rsplit("==== attempt", 1)[-1]
+            seg = tail.rsplit("==== attempt", 1)[-1]
+            # a resumed attempt runs fully-compiled too
+            in_iters = ("\niter " in seg) or ("resumed optimization"
+                                              in seg)
             thresh = args.iter_stall_secs if in_iters else args.stall_secs
             if time.time() - last_move > thresh:
                 with open(args.log, "a") as lf:
