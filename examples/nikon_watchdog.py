@@ -65,15 +65,16 @@ def main():
                 lf2.seek(max(0, size - 4096))
                 tail = lf2.read().decode("utf-8", "ignore")
             seg = tail.rsplit("==== attempt", 1)[-1]
-            # a resumed attempt runs fully-compiled too
-            in_iters = ("\niter " in seg) or ("resumed optimization"
-                                              in seg)
+            # tight threshold only once THIS attempt printed an iter:
+            # the first post-resume step may legitimately hit a cold
+            # compile cache (round-5 livelock: a tight threshold there
+            # kept killing ~10-min remote compiles forever)
+            in_iters = "\niter " in seg
             thresh = args.iter_stall_secs if in_iters else args.stall_secs
             if time.time() - last_move > thresh:
                 with open(args.log, "a") as lf:
-                    lf.write(f"==== watchdog: stalled "
-                             f"{args.stall_secs}s, killing pg "
-                             f"{proc.pid}\n")
+                    lf.write(f"==== watchdog: stalled {thresh}s, "
+                             f"killing pg {proc.pid}\n")
                 os.killpg(proc.pid, signal.SIGKILL)
                 proc.wait()
                 rc = "stalled"

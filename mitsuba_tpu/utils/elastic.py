@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -127,7 +128,15 @@ class CheckpointedLoop:
 
     def resume(self, params, state):
         """Returns (params, state, start_step); fresh state when no
-        checkpoint exists."""
+        checkpoint exists.
+
+        Restored leaves are cast back to the ORIGINAL pytree's exact
+        leaf types (python scalars stay python, dtypes/weak-types
+        match): a leaf that changed aval across the save/load
+        round-trip would silently retrace the jitted step, and a
+        22-surface lens gradient re-traced on a resume costs ~10 min
+        of remote compile per sensor (observed round 5 as a
+        restart-livelock under the stall watchdog)."""
         like = {"params": params, "state": state,
                 "step": jnp.zeros((), jnp.int32)}
         try:
@@ -137,7 +146,17 @@ class CheckpointedLoop:
         step = int(ck["step"]) + 1
         log(Info, "resumed optimization at step %d from %s", step,
             self.path)
-        return ck["params"], ck["state"], step
+
+        def like_cast(saved, orig):
+            if isinstance(orig, bool) or isinstance(orig, int) \
+                    or isinstance(orig, float):
+                return type(orig)(np.asarray(saved))
+            o = jnp.asarray(orig)
+            return jnp.asarray(saved, o.dtype)
+
+        p2 = jax.tree_util.tree_map(like_cast, ck["params"], params)
+        s2 = jax.tree_util.tree_map(like_cast, ck["state"], state)
+        return p2, s2, step
 
     def maybe_save(self, step: int, params, state):
         if (step + 1) % self.every == 0:
