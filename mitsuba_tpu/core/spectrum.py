@@ -123,9 +123,15 @@ def _e_white():
         lam = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1e-3, 1.0, np.float32)
         with jax.ensure_compile_time_eval():
             resp = np.asarray(rgb_response(jnp.asarray(lam)))
-        _E_WHITE_SRGB = jnp.asarray(np.trapezoid(resp, lam, axis=0),
-                                    jnp.float32)
-    return _E_WHITE_SRGB
+        # cache NUMPY, convert per call: a jnp array built while some
+        # jit trace is active is a tracer-wrapped constant, and caching
+        # it leaks the tracer into every later trace
+        # (UnexpectedTracerError on the second jitted caller —
+        # round 5, first hit when a jitted lens gradient was the
+        # process's first spectral user)
+        _E_WHITE_SRGB = np.trapezoid(resp, lam, axis=0).astype(
+            np.float32)
+    return jnp.asarray(_E_WHITE_SRGB)
 
 
 def rgb_response_flat(wavelength_nm):

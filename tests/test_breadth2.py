@@ -416,3 +416,26 @@ def test_srgb_rgb2spec_roundtrip():
         sign_changes = int(np.abs(np.diff(np.sign(
             np.diff(vals) + 1e-12))).sum() // 2)
         assert sign_changes <= 1, sign_changes
+
+
+def test_e_white_cache_no_tracer_leak():
+    """The _e_white normalization cache must stay safe when the
+    process's FIRST spectral user is itself inside a jit trace: caching
+    a jnp constant built under an active trace leaks a tracer into
+    every later trace (round-5 regression hit by the jitted lens
+    gradient; jax.errors.UnexpectedTracerError)."""
+    import jax
+    import jax.numpy as jnp
+
+    import mitsuba_tpu.core.spectrum as sp
+
+    old = sp._E_WHITE_SRGB
+    try:
+        sp._E_WHITE_SRGB = None      # fresh process simulation
+        f1 = jax.jit(lambda x: sp.rgb_response_flat(x).sum())
+        f2 = jax.jit(lambda x: sp.rgb_response_flat(x).sum() * 2.0)
+        a = float(f1(jnp.asarray([500.0])))
+        b = float(f2(jnp.asarray([500.0])))   # raised pre-fix
+        assert abs(b - 2.0 * a) < 1e-5
+    finally:
+        sp._E_WHITE_SRGB = old
