@@ -47,16 +47,31 @@ def main():
             # new process group so the kill reaches python's children
             proc = subprocess.Popen(cmd, stdout=lf, stderr=lf,
                                     start_new_session=True)
-        last_size = -1
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/jax_cache")
+
+        def activity():
+            # log growth OR a finished remote compile landing in the
+            # persistent cache both count as liveness — a sequence of
+            # ~10-min compiles is silent in the log but not in the cache
+            sig = os.path.getsize(args.log)
+            try:
+                mt = max((os.path.getmtime(os.path.join(cache_dir, f))
+                          for f in os.listdir(cache_dir)), default=0.0)
+            except OSError:
+                mt = 0.0
+            return (sig, int(mt))
+
+        last_sig = None
         last_move = time.time()
         while True:
             time.sleep(30)
             rc = proc.poll()
             if rc is not None:
                 break
-            size = os.path.getsize(args.log)
-            if size != last_size:
-                last_size = size
+            sig = activity()
+            if sig != last_sig:
+                last_sig = sig
                 last_move = time.time()
                 continue
             # adaptive: once the optimizer is printing iterations the
