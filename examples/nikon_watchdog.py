@@ -77,7 +77,7 @@ def main():
             # adaptive: once the optimizer is printing iterations the
             # compiled steps take ~2 min, so silence means a wedge
             with open(args.log, "rb") as lf2:
-                lf2.seek(max(0, size - 4096))
+                lf2.seek(max(0, os.path.getsize(args.log) - 4096))
                 tail = lf2.read().decode("utf-8", "ignore")
             seg = tail.rsplit("==== attempt", 1)[-1]
             # tight threshold only once THIS attempt printed an iter:
