@@ -368,13 +368,19 @@ class DesignProblem:
             ]
 
             def grad_fn(p, seed):
-                # drop per-sensor gradients with non-finite leaves and
-                # rescale by the surviving count: with k sensors each
-                # having independent probability q of a divergent MC
-                # gradient (grazing TIR through strongly aspheric
-                # surfaces), an all-or-nothing guard accepts only
-                # (1-q)^k of steps — measured 15% on the Nikon run —
-                # while per-sensor filtering keeps nearly every step
+                # drop per-sensor gradients with non-finite leaves:
+                # with k sensors each having independent probability q
+                # of a divergent MC gradient (grazing TIR through
+                # strongly aspheric surfaces), an all-or-nothing guard
+                # accepts only (1-q)^k of steps — measured 15% late in
+                # the Nikon run.  The surviving sensors' gradients are
+                # used UNSCALED and a quorum of >= 2/3 of the sensors
+                # is required: upscaling by n_sens/n_used was tried and
+                # DIVERGED (round-5 log, iters 119-129: the dropped
+                # sensors are systematically the hardest fields, so the
+                # rescale both biases the direction and spikes the
+                # effective step size)
+                quorum = max(1, (2 * n_sens + 2) // 3)
                 val, g, n_used = None, None, 0
                 for fn in grad_fns:
                     v, gi = fn(p, seed)
@@ -389,14 +395,10 @@ class DesignProblem:
                     else:
                         val = val + v
                         g = jax.tree_util.tree_map(jnp.add, g, gi)
-                if g is None:      # every sensor diverged: skip step
+                if g is None or n_used < quorum:   # skip this step
                     nan = jnp.full((), jnp.nan)
                     return nan, jax.tree_util.tree_map(
                         lambda x: jnp.full_like(x, jnp.nan), p)
-                if n_used < n_sens:
-                    s = n_sens / n_used
-                    val = val * s
-                    g = jax.tree_util.tree_map(lambda x: x * s, g)
                 return val, g
         else:
             grad_fn = jax.jit(jax.value_and_grad(loss_fn))
