@@ -121,17 +121,19 @@ def _e_white():
         # computed OUTSIDE any trace: jnp ops here would return tracers
         # when first called under jit (TracerArrayConversionError)
         lam = np.arange(LAMBDA_MIN, LAMBDA_MAX + 1e-3, 1.0, np.float32)
+        # the WHOLE computation sits under ensure_compile_time_eval:
+        # when the first caller is itself inside a jit trace, a bare
+        # jnp.asarray here would cache a tracer-wrapped constant and
+        # every later trace would raise UnexpectedTracerError (round-5
+        # regression, first hit when a jitted lens gradient was the
+        # process's first spectral user).  Caching a concrete device
+        # array (rather than numpy) keeps the traced HLO byte-identical
+        # to older builds, so persistent-cache entries stay valid.
         with jax.ensure_compile_time_eval():
             resp = np.asarray(rgb_response(jnp.asarray(lam)))
-        # cache NUMPY, convert per call: a jnp array built while some
-        # jit trace is active is a tracer-wrapped constant, and caching
-        # it leaks the tracer into every later trace
-        # (UnexpectedTracerError on the second jitted caller —
-        # round 5, first hit when a jitted lens gradient was the
-        # process's first spectral user)
-        _E_WHITE_SRGB = np.trapezoid(resp, lam, axis=0).astype(
-            np.float32)
-    return jnp.asarray(_E_WHITE_SRGB)
+            _E_WHITE_SRGB = jnp.asarray(
+                np.trapezoid(resp, lam, axis=0), jnp.float32)
+    return _E_WHITE_SRGB
 
 
 def rgb_response_flat(wavelength_nm):
