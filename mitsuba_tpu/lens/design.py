@@ -425,7 +425,8 @@ class DesignProblem:
             p, state, ok = nan_guard_step(opt, p, g, state)
             self.loss_history.append(float(val))
             if loop is not None:
-                loop.maybe_save(it, p, state)
+                loop.maybe_save(it, p, state,
+                                metric=float(val))
             if callback is not None:
                 callback(it, p, float(val))
             if verbose:

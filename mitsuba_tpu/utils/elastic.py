@@ -125,6 +125,7 @@ class CheckpointedLoop:
     def __init__(self, path: str, every: int = 10):
         self.path = path
         self.every = int(every)
+        self.best = float("inf")
 
     def resume(self, params, state):
         """Returns (params, state, start_step); fresh state when no
@@ -158,7 +159,17 @@ class CheckpointedLoop:
         s2 = jax.tree_util.tree_map(like_cast, ck["state"], state)
         return p2, s2, step
 
-    def maybe_save(self, step: int, params, state):
+    def maybe_save(self, step: int, params, state, metric=None):
+        """Periodic rolling checkpoint; when ``metric`` is given, the
+        lowest-metric state is ALSO kept at <path>.best — a diverging
+        optimizer (round 5: the Nikon run walked away from its best
+        loss and the rolling checkpoint had already overwritten it)
+        can then be rolled back to its best visited point."""
+        if metric is not None and float(metric) < self.best:
+            self.best = float(metric)
+            save_checkpoint(self.path + ".best", {
+                "params": params, "state": state,
+                "step": jnp.asarray(step, jnp.int32)})
         if (step + 1) % self.every == 0:
             save_checkpoint(self.path, {
                 "params": params, "state": state,
