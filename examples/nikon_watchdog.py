@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--iters", type=int, default=140)
     ap.add_argument("--spp", type=int, default=256)
     ap.add_argument("--res", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--log", default="/tmp/nikon_watchdog.log")
     ap.add_argument("--stall-secs", type=int, default=2400,
                     help="log-silence kill threshold during setup/"
@@ -39,7 +40,7 @@ def main():
 
     cmd = [sys.executable, os.path.join(HERE, "nikon_asph_recovery.py"),
            "--iters", str(args.iters), "--spp", str(args.spp),
-           "--res", str(args.res)]
+           "--res", str(args.res), "--lr", str(args.lr)]
     for attempt in range(1, args.max_attempts + 1):
         with open(args.log, "a") as lf:
             lf.write(f"\n==== attempt {attempt}: {' '.join(cmd)}\n")
