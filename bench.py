@@ -225,6 +225,7 @@ def main():
     except Exception as e:           # the headline must still print
         large = {"value_large": 0.0, "large_error": repr(e)[:200]}
 
+    cpu, cpu_spread = measure_cpu_baseline()
     print(json.dumps({
         "metric": "rays/s/chip (Cornell box, path spp=64, max_depth=6)",
         "value": rays_per_s,

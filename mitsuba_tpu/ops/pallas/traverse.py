@@ -583,18 +583,24 @@ def _node_box(node_box, nid):
 
 def _node_box16(node_box, nid):
     """Unpack a conservative-bf16 bbox (32 nodes per i32 row): each
-    word holds two bf16 values (high half first); bf16 -> f32 is a
-    16-bit shift + bitcast, cheap scalar ops."""
+    word holds two bf16 values (high half first).  Mosaic's tpu.bitcast
+    needs VECTOR operands, so each SMEM word is splat to a (1, 1)
+    vector first; the resulting (1, 1) f32 bounds broadcast in the
+    slab test exactly like scalars."""
     r = nid // 32
     b = (nid % 32) * 4
     w0, w1, w2 = node_box[r, b], node_box[r, b + 1], node_box[r, b + 2]
-    f = lambda w: jax.lax.bitcast_convert_type(
-        w << 16, jnp.float32)
-    g = lambda w: jax.lax.bitcast_convert_type(
-        w & jnp.int32(-65536), jnp.float32)
-    lo = (g(w0), f(w0), g(w1))
-    hi = (f(w1), g(w2), f(w2))
-    return lo, hi
+
+    def pair(w):
+        wv = jnp.full((1, 1), w, jnp.int32)
+        first = pltpu.bitcast(wv & jnp.int32(-65536), jnp.float32)
+        second = pltpu.bitcast(wv << 16, jnp.float32)
+        return first, second
+
+    lox, loy = pair(w0)
+    loz, hix = pair(w1)
+    hiy, hiz = pair(w2)
+    return (lox, loy, loz), (hix, hiy, hiz)
 
 
 def _box_decoder(box16: bool):
