@@ -1876,11 +1876,16 @@ def megakernel_bvh_applicable(scene) -> bool:
     the accel carries the MXU one-hot resolve layout (round 4: uv rows
     ride the transposed resolve table; such scenes route through the
     per-bounce pipeline, megapath._sorted_bvh)."""
-    from .traverse import MAX_NODES
+    from .traverse import MAX_NODES, MAX_NODES_B16
 
     accel = getattr(scene, "packet_accel", None)
-    if accel is None or accel.n_nodes > MAX_NODES:
+    if accel is None:
         return False
+    cap = MAX_NODES_B16 if accel.box16 else MAX_NODES
+    if accel.n_nodes > cap:
+        return _log_inelig(
+            f"packet accel has {accel.n_nodes} nodes > SMEM cap {cap}"
+            " — wavefront fallback")
     return _plugin_subset_ok(scene, allow_tex=bool(accel.mxu))
 
 
