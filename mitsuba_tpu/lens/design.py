@@ -125,6 +125,55 @@ class FieldSource:
         )
 
 
+def accumulate_sensor_grads(grad_fns, p, seed, retries=2):
+    """Sum per-sensor value_and_grad results, redrawing non-finite ones.
+
+    Per-sensor gradients with non-finite leaves come from pathological
+    MC lanes (grazing TIR through strongly aspheric surfaces); with k
+    sensors each having independent probability q of such a draw, an
+    all-or-nothing guard accepts only (1-q)^k of steps — measured 15%
+    late in the round-5 Nikon run.  Dropping just the offending sensor
+    keeps steps flowing but is NOT harmless: the drops concentrate on
+    exactly the hardest (widest-field) sensors, which therefore receive
+    systematically fewer updates — the round-5 run left its two widest
+    fields under-optimized this way.  So each non-finite sensor is
+    first RESAMPLED with a fresh decorrelated seed up to ``retries``
+    times (a redraw is usually finite; the surviving estimate is still
+    that sensor's unbiased-up-to-conditioning MC gradient) and only
+    dropped if every redraw fails.  Upscaling surviving gradients by
+    n_sens/n_used was tried and DIVERGED (round-5 log, iters 119-129:
+    biased direction + spiked effective step size); survivors are used
+    unscaled.
+
+    Returns (value_sum, grad_sum, used) where ``used`` is a per-sensor
+    bool list; (nan-free) g is None when no sensor survived.
+    """
+    val, g = None, None
+    used = []
+    for si, fn in enumerate(grad_fns):
+        ok = False
+        v = gi = None
+        for r in range(1 + retries):
+            # decorrelate retries from the base seed AND from other
+            # iterations' seeds (which advance by +1 per step): large
+            # odd strides far above any iteration count
+            s = seed if r == 0 else seed + 1000003 * r + 7919 * si
+            v, gi = fn(p, s)
+            ok = all(bool(jnp.isfinite(leaf).all())
+                     for leaf in jax.tree_util.tree_leaves(gi))
+            if ok:
+                break
+        used.append(ok)
+        if not ok:
+            continue
+        if g is None:
+            val, g = v, gi
+        else:
+            val = val + v
+            g = jax.tree_util.tree_map(jnp.add, g, gi)
+    return val, g, used
+
+
 class DesignProblem:
     """End-to-end lens optimization (design_problem.py:280-654)."""
 
@@ -132,7 +181,7 @@ class DesignProblem:
                  spp=256, learning_rate=2e-3, iters=50,
                  film_diagonal=35.0, num_sources=1, max_field_angle=5.0,
                  init_camera_z=0.9, loss_scale=1e4, seed=0,
-                 sensor_fov=45.0, spectral=None):
+                 sensor_fov=45.0, spectral=None, grad_retries=2):
         self.lens_system = lens_system
         self.resolution = resolution
         self.spp = spp
@@ -153,6 +202,12 @@ class DesignProblem:
             if spectral is None else bool(spectral)
         )
         self.loss_history = []
+        # per-sensor non-finite-gradient redraws before dropping the
+        # sensor from a step (see accumulate_sensor_grads); the round-5
+        # Nikon run showed silent drops concentrate on exactly the
+        # hardest (TIR-grazing) fields, leaving them under-optimized
+        self.grad_retries = grad_retries
+        self.sensor_drops = []
 
     # ------------------------------------------------------------ scene
 
@@ -367,35 +422,16 @@ class DesignProblem:
                 for si in range(n_sens)
             ]
 
+            self.sensor_drops = [0] * n_sens
+
             def grad_fn(p, seed):
-                # drop per-sensor gradients with non-finite leaves:
-                # with k sensors each having independent probability q
-                # of a divergent MC gradient (grazing TIR through
-                # strongly aspheric surfaces), an all-or-nothing guard
-                # accepts only (1-q)^k of steps — measured 15% late in
-                # the Nikon run.  The surviving sensors' gradients are
-                # used UNSCALED and a quorum of >= 2/3 of the sensors
-                # is required: upscaling by n_sens/n_used was tried and
-                # DIVERGED (round-5 log, iters 119-129: the dropped
-                # sensors are systematically the hardest fields, so the
-                # rescale both biases the direction and spikes the
-                # effective step size)
+                val, g, used = accumulate_sensor_grads(
+                    grad_fns, p, seed, retries=self.grad_retries)
+                for si, u in enumerate(used):
+                    if not u:
+                        self.sensor_drops[si] += 1
                 quorum = max(1, (2 * n_sens + 2) // 3)
-                val, g, n_used = None, None, 0
-                for fn in grad_fns:
-                    v, gi = fn(p, seed)
-                    finite = all(
-                        bool(jnp.isfinite(leaf).all())
-                        for leaf in jax.tree_util.tree_leaves(gi))
-                    if not finite:
-                        continue
-                    n_used += 1
-                    if g is None:
-                        val, g = v, gi
-                    else:
-                        val = val + v
-                        g = jax.tree_util.tree_map(jnp.add, g, gi)
-                if g is None or n_used < quorum:   # skip this step
+                if g is None or sum(used) < quorum:   # skip this step
                     nan = jnp.full((), jnp.nan)
                     return nan, jax.tree_util.tree_map(
                         lambda x: jnp.full_like(x, jnp.nan), p)

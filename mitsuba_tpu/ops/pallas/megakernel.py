@@ -51,6 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
+# Sublanes per tile for the BRUTE (SMEM-triangle-table) megakernel
+# only; the BVH-family entry points below use traverse.SUB (default 16,
+# MITSUBA_TPU_SUB_BVH) so the wide-packet shared walk ships without
+# retiling this kernel, which was last measured at 8.
 SUB = int(_os.environ.get("MITSUBA_TPU_SUB", "8"))  # sublanes per tile
 LANES = 128
 R_TILE = SUB * LANES    # rays per grid step
@@ -1937,6 +1941,7 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     from .traverse import (BATCH, PACK, QUEUE, RES_COLS,
                            RPL, USE_WAVE, mxu_scratch_shapes,
                            res_width)
+    from .traverse import SUB as SUB_BVH
 
     rpl = RPL if rpl is None else rpl
     batch = BATCH if batch is None else batch
@@ -1944,7 +1949,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
     res = res_rows is not None
 
     n = o.shape[0]
-    n_pad = -(-n // R_TILE) * R_TILE
+    r_tile = SUB_BVH * LANES
+    n_pad = -(-n // r_tile) * r_tile
     pad = n_pad - n
     rows_t = n_pad // LANES
 
@@ -1960,8 +1966,8 @@ def megakernel_trace_bvh(node_box, node_meta, rows, light,
         comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
         comp(active.astype(jnp.float32)),
     ]
-    grid = (rows_t // SUB,)
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+    grid = (rows_t // SUB_BVH,)
+    ray_spec = pl.BlockSpec((SUB_BVH, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = _mk_kernel_bvh(max_depth, rr_depth, n_nodes, n_lights,
                             btypes, rpl, batch, smooth, mxu=mxu,
@@ -2212,13 +2218,15 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     from .traverse import (BATCH, PACK, QUEUE, RES_COLS,
                            RPL, USE_WAVE, mxu_scratch_shapes,
                            res_width)
+    from .traverse import SUB as SUB_BVH
 
     rpl = RPL if rpl is None else rpl
     batch = BATCH if batch is None else batch
     mxu = mxu_rows is not None
     res = res_rows is not None
     n = lane.shape[0]
-    n_pad = -(-n // R_TILE) * R_TILE
+    r_tile = SUB_BVH * LANES
+    n_pad = -(-n // r_tile) * r_tile
     pad = n_pad - n
     rows_t = n_pad // LANES
 
@@ -2231,18 +2239,18 @@ def megakernel_bounce_bvh(node_box, node_meta, rows, light, lane, seed,
     fills = [0.0] * 5 + [1.0] + [0.0] * 10   # dz pad 1 to keep rays valid
     st_t = [comp(x, f) for x, f in zip(state, fills)]
 
-    grid = (rows_t // SUB,)
-    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+    grid = (rows_t // SUB_BVH,)
+    ray_spec = pl.BlockSpec((SUB_BVH, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     if env_pos >= 0:
         en_t = jnp.pad(env_nee_d, ((0, pad), (0, 0))).reshape(
             rows_t, LANES, 8)
         en_t = jnp.transpose(en_t, (0, 2, 1))
-        en_spec = pl.BlockSpec((SUB, 8, LANES), lambda i: (i, 0, 0),
+        en_spec = pl.BlockSpec((SUB_BVH, 8, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
-        en_t = jnp.zeros((SUB, 1, LANES))
-        en_spec = pl.BlockSpec((SUB, 1, LANES), lambda i: (0, 0, 0),
+        en_t = jnp.zeros((SUB_BVH, 1, LANES))
+        en_spec = pl.BlockSpec((SUB_BVH, 1, LANES), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
     if env_meta is None:
         env_meta = jnp.zeros((1, ENV_COLS))

@@ -43,12 +43,16 @@ from ...core.pytree import pytree, static
 
 import os as _os
 
-# sublanes per ray packet: 8 (one vreg tile, 1024 rays) by default;
-# 16 shares ONE walk across 2048 rays (round-4 numpy sim: union node
-# visits per ray -27% on sorted bounce rays) at the cost of 2-vreg
-# slab tests — A/B via MITSUBA_TPU_SUB (must match megakernel.SUB,
-# which reads the same variable)
-SUB = int(_os.environ.get("MITSUBA_TPU_SUB", "8"))
+# sublanes per ray packet for the BVH family: 16 shares ONE walk
+# across 2048 rays (round-5 hardware A/B on the 82k-tri interior:
+# closest sorted bounce 100.4 ms vs 101.9 at 8, shadow any-hit 55.6 vs
+# 59.4, full path +2.2%, bit-identical image mean) and is the default;
+# A/B via MITSUBA_TPU_SUB_BVH (legacy MITSUBA_TPU_SUB honored as a
+# fallback).  The BRUTE Cornell megakernel keeps its own independent
+# megakernel.SUB = 8 — the two kernel families no longer share the
+# constant (round-5: sharing it was the only reason 16 stayed opt-in).
+SUB = int(_os.environ.get("MITSUBA_TPU_SUB_BVH",
+                          _os.environ.get("MITSUBA_TPU_SUB", "16")))
 LANES = 128
 R_TILE = SUB * LANES
 DET_EPS = 1e-9            # matches megakernel._tri_test

@@ -170,3 +170,45 @@ def test_dispersion_gradient_nonzero_when_spectral():
         g[spectral] = float(grads[key])
         assert np.isfinite(g[spectral])
     assert abs(g[True]) > 50.0 * max(abs(g[False]), 1e-12), g
+
+
+def test_accumulate_sensor_grads_resamples_before_dropping():
+    """A sensor whose gradient is non-finite for the base seed must be
+    RETRIED with a decorrelated seed (round-5 Nikon post-mortem: silent
+    drops concentrated on the hardest fields and left them
+    under-optimized), and only dropped when every redraw fails."""
+    from mitsuba_tpu.lens.design import accumulate_sensor_grads
+
+    calls = {0: [], 1: [], 2: []}
+
+    def mk(si, bad_seeds=(), always_bad=False):
+        def fn(p, seed):
+            calls[si].append(int(seed))
+            bad = always_bad or int(seed) in bad_seeds
+            v = jnp.float32(jnp.nan if bad else 1.0 + si)
+            g = {"c": jnp.full((2,), jnp.nan if bad else float(si + 1))}
+            return v, g
+        return fn
+
+    # sensor 0 clean; sensor 1 bad on the base seed only; sensor 2
+    # bad on every draw
+    fns = [mk(0), mk(1, bad_seeds=(7,)), mk(2, always_bad=True)]
+    val, g, used = accumulate_sensor_grads(fns, {"c": jnp.zeros(2)}, 7,
+                                           retries=2)
+    assert used == [True, True, False]
+    # sensor 1 recovered on its first redraw: contributes its gradient
+    assert np.allclose(np.asarray(g["c"]), 3.0)   # 1 (s0) + 2 (s1)
+    assert float(val) == pytest.approx(3.0)       # 1.0 + 2.0
+    assert calls[0] == [7]                        # no wasted redraws
+    assert len(calls[1]) == 2 and calls[1][0] == 7
+    assert calls[1][1] != 7                       # decorrelated redraw
+    assert len(calls[2]) == 3                     # 1 + retries, then drop
+    # retry seeds must differ across sensors (independent redraws)
+    assert calls[1][1] != calls[2][1]
+
+    # all sensors failing every draw -> g is None (caller skips step)
+    fns_bad = [mk(0, always_bad=True)]
+    calls[0].clear()
+    val, g, used = accumulate_sensor_grads(fns_bad, {"c": jnp.zeros(2)},
+                                           7, retries=1)
+    assert g is None and used == [False]

@@ -529,21 +529,22 @@ def test_bvh_megakernel_envmap_parity():
 
 @pytest.mark.slow
 def test_wide_packet_sub16_parity():
-    """MITSUBA_TPU_SUB=16 (2048-ray shared walks, round 5) must match
-    the default 1024-ray packets bit-for-bit on closest/any-hit.  Runs
-    in a subprocess because SUB is bound at import."""
+    """The 1024-ray narrow packets (MITSUBA_TPU_SUB_BVH=8) must match
+    the default 2048-ray shared walks (SUB=16, the round-5 default)
+    bit-for-bit on closest/any-hit.  Runs in a subprocess because SUB
+    is bound at import."""
     import subprocess
     import sys
 
     code = (
         "import os, sys\n"
-        "os.environ['MITSUBA_TPU_SUB'] = '16'\n"
+        "os.environ['MITSUBA_TPU_SUB_BVH'] = '8'\n"
         "sys.path.insert(0, %r)\n"
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "import numpy as np, jax.numpy as jnp\n"
         "from mitsuba_tpu.models.shapes import sphere_mesh\n"
         "from mitsuba_tpu.ops.pallas import traverse as tr\n"
-        "assert tr.SUB == 16\n"
+        "assert tr.SUB == 8\n"
         "rng = np.random.default_rng(3)\n"
         "v, f, n, uv = sphere_mesh(2)\n"
         "vn, fn_ = np.asarray(v), np.asarray(f)\n"
@@ -566,6 +567,7 @@ def test_wide_packet_sub16_parity():
     ) % (str(__import__('pathlib').Path(__file__).parent.parent),)
     env = dict(__import__('os').environ)
     env.pop("MITSUBA_TPU_SUB", None)
+    env.pop("MITSUBA_TPU_SUB_BVH", None)
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
                    timeout=900)
 
@@ -589,10 +591,10 @@ def test_wide_packet_sub16_parity():
         acc.node_box, acc.node_meta, rows, jnp.asarray(o),
         jnp.asarray(d), jnp.inf, act, n_nodes=acc.n_nodes, rpl=acc.rpl,
         mxu_rows=mxu_rows, res_rows=res_rows, interpret=True)
-    t16 = np.load("/tmp/_sub16t.npy")
-    f16 = np.load("/tmp/_sub16f.npy")
-    t8, f8 = np.asarray(t), np.asarray(fid)
-    assert np.array_equal(np.isfinite(t8), np.isfinite(t16))
-    m = np.isfinite(t8)
-    assert np.allclose(t8[m], t16[m], rtol=1e-5, atol=1e-7)
-    assert (f8[m] == f16[m]).mean() > 0.995
+    t_narrow = np.load("/tmp/_sub16t.npy")
+    f_narrow = np.load("/tmp/_sub16f.npy")
+    t_wide, f_wide = np.asarray(t), np.asarray(fid)
+    assert np.array_equal(np.isfinite(t_wide), np.isfinite(t_narrow))
+    m = np.isfinite(t_wide)
+    assert np.allclose(t_wide[m], t_narrow[m], rtol=1e-5, atol=1e-7)
+    assert (f_wide[m] == f_narrow[m]).mean() > 0.995
