@@ -183,6 +183,11 @@ def run(iters=30, spp=512, resolution=48, lr=2e-3, verbose=True):
             "ai_recovered": {k: np.asarray(v).tolist()
                              for k, v in p_fit.items()
                              if k in train_keys},
+            # per-sensor non-finite-gradient drop counts (after the
+            # resample-before-drop redraws): a field with a large count
+            # was under-optimized — exactly the round-5 failure mode on
+            # the two widest fields
+            "sensor_drops": list(getattr(dp, "sensor_drops", [])),
             "config": {"iters": iters, "spp": spp,
                        "resolution": resolution, "lr": lr},
         }, f, indent=1)
