@@ -598,3 +598,21 @@ def test_wide_packet_sub16_parity():
     m = np.isfinite(t_wide)
     assert np.allclose(t_wide[m], t_narrow[m], rtol=1e-5, atol=1e-7)
     assert (f_wide[m] == f_narrow[m]).mean() > 0.995
+
+
+def test_kernel_family_packet_widths_decoupled():
+    """The BVH family (traverse + BVH megakernel entry points) defaults
+    to 16-sublane shared walks while the brute Cornell megakernel stays
+    at its measured SUB=8 — the constants must not re-couple (round 5:
+    sharing one constant was the only reason the measured +2.2% wide
+    walk stayed opt-in for a round)."""
+    import os
+
+    if os.environ.get("MITSUBA_TPU_SUB") or \
+            os.environ.get("MITSUBA_TPU_SUB_BVH"):
+        pytest.skip("packet-width env override active")
+    from mitsuba_tpu.ops.pallas import megakernel as mk
+    from mitsuba_tpu.ops.pallas import traverse as tr
+
+    assert tr.SUB == 16
+    assert mk.SUB == 8
